@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate: compare graft.Verify
+parquet dumps against DuckDB running SparkEntry.oracleSql on the same
+testdata. Usage: selfcheck.py <sfDir> <verifyOutDir> [query...]"""
+import json, sys, glob, os
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            exp = con.execute(sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}"); n_bad += 1; continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet({files!r})").fetchdf()
+        # driver semantics: sort columns by name, then compare values
+        exp = exp.reindex(sorted(exp.columns), axis=1)
+        got = got.reindex(sorted(got.columns), axis=1)
+        if list(exp.columns) != list(got.columns):
+            print(f"FAIL {name}: columns exp={list(exp.columns)} got={list(got.columns)}")
+            n_bad += 1; continue
+        if len(exp) != len(got):
+            print(f"FAIL {name}: rows exp={len(exp)} got={len(got)}")
+            n_bad += 1; continue
+        exp_s = exp.sort_values(list(exp.columns)).reset_index(drop=True)
+        got_s = got.sort_values(list(got.columns)).reset_index(drop=True)
+        diff_cols = []
+        for c in exp.columns:
+            a, b = exp_s[c], got_s[c]
+            if str(a.dtype) != str(b.dtype):
+                diff_cols.append(f"{c}: dtype {a.dtype} vs {b.dtype}")
+            elif not a.equals(b):
+                bad = (a != b) & ~(a.isna() & b.isna())
+                i = bad.idxmax()
+                diff_cols.append(f"{c}: {int(bad.sum())} diffs, first@{i}: {a[i]!r} vs {b[i]!r}")
+        if diff_cols:
+            print(f"FAIL {name}: " + "; ".join(diff_cols)); n_bad += 1
+        else:
+            print(f"ok   {name} ({len(exp)} rows)"); n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    sys.exit(1 if n_bad else 0)
+
+main()

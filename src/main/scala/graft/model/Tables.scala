@@ -1,0 +1,41 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet table readers over the driver testdata directory layout
+  * (`TESTDATA.md`): one parquet file per table under `<sfDir>/`.
+  *
+  * Spark-first posture: we hand Catalyst a plain parquet scan and rely on
+  * column pruning + predicate pushdown (visible as `ReadSchema` /
+  * `PushedFilters` in `explain("formatted")`). At 100 TB the same call
+  * works unchanged against a partitioned table root; nothing here assumes
+  * single-file input. Reference analogue: the `SELECT *` extracts at
+  * `tp2/app/etl.py:201-206` — except we never materialize all columns;
+  * pruning happens per-query.
+  */
+object Tables {
+  def read(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = read(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = read(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = read(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = read(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
+
+  /** `events.ts` is nanosecond-precision in the parquet (TESTDATA.md);
+    * Spark's TimestampType is µs. Read nanos as long
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — the
+    * same truncation DuckDB applies casting timestamp_ns → TIMESTAMP, so
+    * oracle comparisons agree. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    read(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.expr(
+        "timestamp_micros(ts div 1000)"))
+  }
+  def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+}
