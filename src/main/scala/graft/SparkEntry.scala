@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.operators.Relational
+import graft.operators.{Recommend, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +34,9 @@ object SparkEntry {
     "event_edges"       -> ((s, d) => Relational.eventEdges(s, d)),
     "bipartite_edges"   -> ((s, d) => Relational.bipartiteEdges(s, d)),
     "adjacency_norm"    -> ((s, d) => Relational.adjacencyNorm(s, d)),
+    "collab_topk"       -> ((s, d) => Recommend.collabTopk(s, d)),
+    "jaccard_topk"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
+    "rec_blend"         -> ((s, d) => Recommend.recBlend(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,5 +134,81 @@ object SparkEntry {
         |SELECT src, dst,
         |       round(cnt / (sum(cnt) OVER (PARTITION BY src)), 6) AS weight
         |FROM cnt ORDER BY src, dst""".stripMargin,
+
+    "collab_topk" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |seed AS (SELECT min(cid) AS seed_cid FROM b),
+        |p1s AS (SELECT DISTINCT pid AS p1 FROM b, seed WHERE cid = seed_cid),
+        |c2s AS (SELECT DISTINCT b.cid AS c2, p1s.p1
+        |        FROM b JOIN p1s ON b.pid = p1s.p1, seed
+        |        WHERE b.cid <> seed_cid),
+        |paths AS (SELECT c2s.c2, b.pid AS p2
+        |          FROM c2s JOIN b ON b.cid = c2s.c2
+        |          WHERE b.pid <> c2s.p1)
+        |SELECT p2 AS product_id, CAST(count(DISTINCT c2) AS BIGINT) AS score
+        |FROM paths GROUP BY 1
+        |ORDER BY score DESC, product_id ASC LIMIT 10""".stripMargin,
+
+    "jaccard_topk" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
+        |common AS (SELECT x.pid AS p1, y.pid AS p2,
+        |                  CAST(count(*) AS BIGINT) AS common
+        |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
+        |           GROUP BY 1, 2)
+        |SELECT p1, p2,
+        |       round(common / (s1.sz + s2.sz - common), 6) AS jaccard
+        |FROM common JOIN sizes s1 ON p1 = s1.pid
+        |            JOIN sizes s2 ON p2 = s2.pid
+        |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+
+    "rec_blend" ->
+      """WITH b AS (SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+        |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |seed AS (SELECT min(cid) AS seed_cid FROM b),
+        |seeds AS (SELECT DISTINCT pid AS sp FROM b, seed WHERE cid = seed_cid),
+        |oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cooc AS (SELECT a.l_partkey AS src, b2.l_partkey AS dst,
+        |                CAST(count(*) AS BIGINT) AS cnt
+        |         FROM oi a JOIN oi b2 ON a.l_orderkey = b2.l_orderkey
+        |                            AND a.l_partkey <> b2.l_partkey
+        |         GROUP BY 1, 2),
+        |cscore AS (SELECT dst AS pid, CAST(sum(cnt) AS BIGINT) AS s_cooc
+        |           FROM cooc JOIN seeds ON src = sp GROUP BY 1),
+        |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
+        |common AS (SELECT x.pid AS p1, y.pid AS p2,
+        |                  CAST(count(*) AS BIGINT) AS common
+        |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
+        |           GROUP BY 1, 2),
+        |jac AS (SELECT p1, p2, common / (s1.sz + s2.sz - common) AS j
+        |        FROM common JOIN sizes s1 ON p1 = s1.pid
+        |                    JOIN sizes s2 ON p2 = s2.pid),
+        |sym AS (SELECT p1 AS a, p2 AS bb, j FROM jac
+        |        UNION ALL SELECT p2, p1, j FROM jac),
+        |jscore AS (SELECT bb AS pid, sum(j) AS s_jacc
+        |           FROM sym JOIN seeds ON a = sp GROUP BY 1),
+        |cand AS (SELECT COALESCE(c.pid, js.pid) AS pid,
+        |                COALESCE(s_cooc, 0) AS s_cooc,
+        |                COALESCE(s_jacc, CAST(0.0 AS DOUBLE)) AS s_jacc
+        |         FROM cscore c FULL OUTER JOIN jscore js ON c.pid = js.pid),
+        |cand2 AS (SELECT * FROM cand
+        |          WHERE pid NOT IN (SELECT sp FROM seeds)),
+        |norm AS (SELECT pid,
+        |    CASE WHEN max(s_cooc) OVER () > 0
+        |         THEN s_cooc / (max(s_cooc) OVER ())
+        |         ELSE CAST(0.0 AS DOUBLE) END AS nc,
+        |    CASE WHEN max(s_jacc) OVER () > 0
+        |         THEN s_jacc / (max(s_jacc) OVER ())
+        |         ELSE CAST(0.0 AS DOUBLE) END AS nj
+        |  FROM cand2)
+        |SELECT pid AS product_id,
+        |       round(CAST(0.4 AS DOUBLE)*nc + CAST(0.3 AS DOUBLE)*nj, 6) AS score,
+        |       round(CAST(0.4 AS DOUBLE)*nc, 6) AS c_cooc,
+        |       round(CAST(0.3 AS DOUBLE)*nj, 6) AS c_sim
+        |FROM norm
+        |WHERE CAST(0.4 AS DOUBLE)*nc + CAST(0.3 AS DOUBLE)*nj > 0
+        |ORDER BY score DESC, product_id ASC LIMIT 10""".stripMargin,
   )
 }

@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's similarity / recommendation tier (SURVEY.md §2.3-§2.7):
+  * collaborative filtering (3-hop join), Jaccard product similarity, and
+  * the blended recommender (`tp1/knoledge_graphs/recommendation.py`).
+  *
+  * Seed-customer convention: the reference parameterizes by `customer_id`;
+  * for a deterministic declared query we derive the seed as the minimum
+  * customer id present in the purchase graph (SURVEY §7.3 step 3). The
+  * underlying builders take any seed set.
+  *
+  * Scale posture: the seed-side inputs (one customer's products, the
+  * customers sharing them) are tiny relative to the graph → broadcast
+  * them; the big tables only ever shuffle on their natural join keys.
+  * The all-pairs Jaccard self-join is the one quadratic-risk operator:
+  * it is bounded per-customer by basket size (AQE skew-join splits hot
+  * customers; at 100 TB a basket-size cap or minhash pre-filter —
+  * see graft.operators.Dedup — is the documented mitigation).
+  */
+object Recommend {
+
+  private def seedOf(b: DataFrame): DataFrame =
+    b.agg(min("customer_id").as("seed_cid"))
+
+  /** J3+A2 `collab_topk`: 3-hop collaborative filtering — customers who
+    * interacted with the seed's products, what else did they interact
+    * with; score = distinct similar customers per candidate
+    * (ref: `tp2/app/main.py:144-153`; theta filters c1<>c2, p1<>p2).
+    */
+  def collabTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val b = Relational.bipartite(spark, dir)
+    val seed = seedOf(b)
+    val p1s = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
+      .select(col("product_id").as("p1"))
+    val c2s = b.crossJoin(broadcast(seed))
+      .join(broadcast(p1s), col("product_id") === col("p1"))
+      .filter(col("customer_id") =!= col("seed_cid"))
+      .select(col("customer_id").as("c2"), col("p1"))
+      .distinct()
+    val paths = broadcast(c2s)
+      .join(b, col("c2") === col("customer_id"))
+      .filter(col("product_id") =!= col("p1"))
+    paths.groupBy(col("product_id"))
+      .agg(countDistinct(col("c2")).as("score"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(k)
+  }
+
+  /** A10 `jaccard_topk` building block: per unordered product pair,
+    * |customers(a) ∩ customers(b)| / |customers(a) ∪ customers(b)|
+    * (ref: `tp1/knoledge_graphs/recommendation.py:114-133`), as pure
+    * joins+aggs — intersection via self-join on customer, union via
+    * inclusion-exclusion on exact set sizes. All inputs are exact longs;
+    * the division is one correctly-rounded double op → engine-identical.
+    */
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val b = Relational.bipartite(spark, dir)
+    val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
+    val common = b.as("x").join(b.as("y"),
+        col("x.customer_id") === col("y.customer_id") &&
+          col("x.product_id") < col("y.product_id"))
+      .groupBy(col("x.product_id").as("p1"), col("y.product_id").as("p2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).as("s1"), col("p1") === col("s1.product_id"))
+      .join(broadcast(sizes).as("s2"), col("p2") === col("s2.product_id"))
+      .select(col("p1"), col("p2"),
+        (col("common") / (col("s1.sz") + col("s2.sz") - col("common")))
+          .as("jaccard"))
+  }
+
+  /** `jaccard_topk`: top-k most-similar product pairs, deterministic
+    * tie-break (score desc, then pair ids asc — T2 precedent,
+    * `recommendation.py:221`). */
+  def jaccardTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    jaccardPairs(spark, dir)
+      .select(col("p1"), col("p2"), round(col("jaccard"), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("p1"), asc("p2"))
+      .limit(k)
+
+  /** A7+A8+A9+P3+T2 `rec_blend`: the full tp1 blended recommender minus
+    * the PPR strategy (oracle-expressible subset; PPR joins the blend in
+    * [[graft.algo.PageRank]] and is invariant-tested instead):
+    *   - seeds = the seed customer's interacted products
+    *     (`recommendation.py:48-51`);
+    *   - co-occurrence score = Σ over seeds of directed pair counts
+    *     (`recommendation.py:105-112`);
+    *   - similarity score = Σ over seeds of per-seed Jaccard
+    *     (`recommendation.py:114-133`);
+    *   - each strategy max-normalized, max==0 → zeros
+    *     (`recommendation.py:190-196`);
+    *   - weighted blend cooc 0.4 / similarity 0.3
+    *     (`recommendation.py:10-14`), non-positive dropped
+    *     (`recommendation.py:209-210`);
+    *   - seen products excluded via anti-join (`recommendation.py:66-67`);
+    *   - top-N by (-score, product_id) (`recommendation.py:221`).
+    * Per-strategy contributions kept as columns, rounded to 6 dp
+    * (`api.py:47-48`).
+    */
+  def recBlend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val b = Relational.bipartite(spark, dir)
+    val seed = seedOf(b)
+    val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
+      .select(col("product_id").as("sp"))
+    val cScore = Relational.coocCounts(spark, dir)
+      .join(broadcast(seeds), col("src") === col("sp"))
+      .groupBy(col("dst").as("product_id"))
+      .agg(sum("cnt").as("s_cooc"))
+    val jp = jaccardPairs(spark, dir)
+    val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
+      .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
+    val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
+      .groupBy(col("bb").as("product_id"))
+      .agg(sum("jaccard").as("s_jacc"))
+    val cand = cScore.join(jScore, Seq("product_id"), "full_outer")
+      .select(col("product_id"),
+        coalesce(col("s_cooc"), lit(0L)).as("s_cooc"),
+        coalesce(col("s_jacc"), lit(0.0)).as("s_jacc"))
+      .join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
+    val w = Window.partitionBy()
+    val norm = cand
+      .withColumn("nc",
+        when(max("s_cooc").over(w) > 0,
+          col("s_cooc") / max("s_cooc").over(w)).otherwise(0.0))
+      .withColumn("nj",
+        when(max("s_jacc").over(w) > 0,
+          col("s_jacc") / max("s_jacc").over(w)).otherwise(0.0))
+    norm
+      .withColumn("blend", lit(0.4) * col("nc") + lit(0.3) * col("nj"))
+      .filter(col("blend") > 0)
+      .select(col("product_id"), round(col("blend"), 6).as("score"),
+        round(lit(0.4) * col("nc"), 6).as("c_cooc"),
+        round(lit(0.3) * col("nj"), 6).as("c_sim"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(k)
+  }
+}

@@ -47,9 +47,30 @@ object Relational {
   /** Distinct (order, product) incidence — the CONTAINS edge set. The
     * reference's Neo4j MERGE collapses duplicate (order,product) rows
     * (`tp2/app/etl.py:287-303`); `distinct()` reproduces that. */
-  private def orderItems(spark: SparkSession, dir: String): DataFrame =
+  def orderItems(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
       .select(col("l_orderkey"), col("l_partkey"))
+      .distinct()
+
+  /** Unordered directed co-occurrence counts (src, dst, cnt) — shared
+    * builder for cooc_topk / cooc_pairs / adjacency_norm / rec_blend. */
+  def coocCounts(spark: SparkSession, dir: String): DataFrame = {
+    val oi = orderItems(spark, dir)
+    oi.as("a").join(oi.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Unordered distinct customer↔product incidence — shared input of the
+    * whole similarity tier (`tp1/knoledge_graphs/graph.py:25-26`). */
+  def bipartite(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("customer_id"),
+        col("l_partkey").as("product_id"))
       .distinct()
 
   /** J1+A1+T1 `cooc_topk`: "frequently bought together" — 2-hop self-join
@@ -85,15 +106,8 @@ object Relational {
     * Scale note: output is bounded by Σ per-order |items|², not |lineitem|²;
     * hot orders would be the skew axis — AQE skew-join handles it.
     */
-  def coocPairs(spark: SparkSession, dir: String): DataFrame = {
-    val oi = orderItems(spark, dir)
-    oi.as("a").join(oi.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(count(lit(1)).as("cnt"))
-      .orderBy("src", "dst")
-  }
+  def coocPairs(spark: SparkSession, dir: String): DataFrame =
+    coocCounts(spark, dir).orderBy("src", "dst")
 
   /** A2 `popularity_topk`: product popularity = distinct purchasing
     * customers (ref: `tp2/app/main.py:134-140`). countDistinct plans as
@@ -215,13 +229,7 @@ object Relational {
     * similarity tier, so callers cache it.
     */
   def bipartiteEdges(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("customer_id"),
-        col("l_partkey").as("product_id"))
-      .distinct()
-      .orderBy("customer_id", "product_id")
+    bipartite(spark, dir).orderBy("customer_id", "product_id")
 
   /** A6 `adjacency_norm`: co-occurrence adjacency row-normalized so each
     * source's out-weights sum to 1 — the PageRank transition matrix (ref:
@@ -232,14 +240,7 @@ object Relational {
     * (`tp1/knoledge_graphs/api.py:47`).
     */
   def adjacencyNorm(spark: SparkSession, dir: String): DataFrame = {
-    val cnt = {
-      val oi = orderItems(spark, dir)
-      oi.as("a").join(oi.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-        .agg(count(lit(1)).as("cnt"))
-    }
+    val cnt = coocCounts(spark, dir)
     val w = Window.partitionBy("src")
     cnt.withColumn("weight", round(col("cnt") / sum(col("cnt")).over(w), 6))
       .select("src", "dst", "weight")
