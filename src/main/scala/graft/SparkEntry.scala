@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.algo.PageRank
 import graft.operators.{Recommend, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -37,6 +38,10 @@ object SparkEntry {
     "collab_topk"       -> ((s, d) => Recommend.collabTopk(s, d)),
     "jaccard_topk"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
     "rec_blend"         -> ((s, d) => Recommend.recBlend(s, d)),
+    // iterative graph tier — not SQL-expressible, so no oracleSql entry;
+    // verified by golden-fixture + invariant ScalaTests (SURVEY §5.2)
+    "pagerank_global"   -> ((s, d) => PageRank.pagerankGlobal(s, d)),
+    "ppr_seeded"        -> ((s, d) => PageRank.pprSeeded(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

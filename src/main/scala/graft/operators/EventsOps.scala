@@ -1,0 +1,71 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Event-stream analytics over the `events` table (extension surface,
+  * SURVEY §7.4): JSON prop extraction, tumbling-window aggregation, and
+  * batch sessionization (gaps-and-islands). The streaming (Structured
+  * Streaming) variants of the windowed aggregations live in
+  * [[graft.streaming.EventStream]]; these batch forms are the
+  * oracle-checkable equivalents.
+  */
+object EventsOps {
+  import Det._
+
+  /** `json_props`: extract the JSON payload (`events.props`, e.g.
+    * '{"k": 87}') and aggregate per event type. `get_json_object` is
+    * codegen'd and stays inside WholeStageCodegen — no UDF. Sums are over
+    * exact longs. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** `event_hourly`: tumbling 1-hour windowed aggregation — count, distinct
+    * users, exact cents-sum of value (`window($"ts","1 hour")` in the
+    * streaming variant; `date_trunc` here so DuckDB can mirror it).
+    * Partial aggregation makes this a single narrow shuffle keyed on
+    * (hour, event_type) — the classic streaming-friendly rollup. */
+  def eventHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"),
+        sumCents(col("value")).as("sum_value"))
+      .orderBy("hour", "event_type")
+
+  /** `sessionize`: batch session windows with a 30-minute inactivity gap —
+    * gaps-and-islands: flag session starts via lag, running-sum to a
+    * session id, aggregate per (user, session). All µs-integer arithmetic →
+    * engine-exact. Equal-timestamp ties don't affect the running sum, so
+    * the result is deterministic despite the non-unique sort key.
+    * Scale: one shuffle on user_id; per-user state is a sort — exactly how
+    * `session_window` executes in Structured Streaming. */
+  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800L * 1000000L // 30 min
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"))
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+    val flagged = e.withColumn("new_sess",
+      when(col("ts_us") - lag("ts_us", 1).over(w) > gapUs, 1)
+        .when(lag("ts_us", 1).over(w).isNull, 1)
+        .otherwise(0))
+    flagged
+      .withColumn("session_id", sum("new_sess")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts_us")).as("start_us"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("duration_us"))
+      .orderBy("user_id", "session_id")
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Text analysis over the `documents` table (extension surface, SURVEY
+  * §7.4): token statistics, quality scoring, language-ID heuristic, and
+  * document fingerprinting. Everything is built from codegen'd
+  * `functions._` array/string expressions — no UDFs — and all output
+  * floats are ratios of exact integers (engine-deterministic).
+  */
+object TextOps {
+
+  /** Portable 32-bit string hash both engines can compute identically:
+    * first 8 hex chars of md5 as an unsigned int. Spark: conv(hex,16,10);
+    * DuckDB: CAST('0x'||hex AS BIGINT). Used as the shared primitive for
+    * fingerprints, minhash and simhash (graft.operators.Dedup). */
+  def h32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** `text_stats`: per-document token counts, distinct tokens, mean token
+    * length, and a 32-bit content fingerprint. Mean token length is
+    * derived arithmetically from char count and token count (single-space
+    * tokenization) so it's one exact division. Embarrassingly parallel —
+    * no shuffle at all; the plan is scan→project. */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("n_tokens"),
+        size(array_distinct(toks(col("text")))).cast("long").as("n_uniq"),
+        round((length(col("text")) - size(toks(col("text"))) + 1)
+          / size(toks(col("text"))).cast("double"), 6).as("avg_token_len"),
+        h32(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** `text_quality`: quality scoring — stopword ratio, type-token ratio,
+    * and a boolean keep-gate, the standard pre-training corpus filters
+    * (length bounds + stopword floor). */
+  def textQuality(spark: SparkSession, dir: String): DataFrame = {
+    val t = toks(col("text"))
+    val stopCnt = size(expr(
+      "filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'in'))"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(t).cast("long").as("n_tokens"),
+        stopCnt.cast("long").as("stop_cnt"),
+        round(stopCnt / size(t).cast("double"), 6).as("stop_ratio"),
+        round(size(array_distinct(t)) / size(t).cast("double"), 6)
+          .as("ttr"),
+        (size(t) >= 20 && size(t) <= 1000 && stopCnt > 0).as("keep"))
+      .orderBy("doc_id")
+  }
+
+  /** `lang_id`: stopword-vote language identification — count function
+    * words per language, argmax with a deterministic tie-break (en > fr >
+    * de > es). A real corpus would use char n-gram profiles; the mechanism
+    * (per-language token votes + argmax, one scan, no shuffle) is the
+    * scale-relevant part. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    def votes(words: Seq[String]): Column = size(expr(
+      s"filter(split(text, ' '), x -> x IN (${words.map("'" + _ + "'").mkString(", ")}))"))
+    val en = votes(Seq("the", "a", "of", "and", "in"))
+    val fr = votes(Seq("le", "la", "de", "et", "un"))
+    val de = votes(Seq("der", "die", "das", "und", "ein"))
+    val es = votes(Seq("el", "los", "de", "y", "un"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("label"),
+        en.cast("long").as("en_votes"), fr.cast("long").as("fr_votes"),
+        de.cast("long").as("de_votes"), es.cast("long").as("es_votes"),
+        when(en >= fr && en >= de && en >= es, "en")
+          .when(fr >= de && fr >= es, "fr")
+          .when(de >= es, "de")
+          .otherwise("es").as("pred_lang"))
+      .orderBy("doc_id")
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algo.PageRank
+
+/** Golden-fixture + invariant tests for G1 (FIXTURES.md §A.1/§A.2).
+  * The 4-node toy adjacency:
+  *   P1→P2 (1.0); P2→P1 (0.5), P2→P4 (0.5); P3 sink; P4→P2 (1.0).
+  */
+class PageRankSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toyVertices(pers: Map[Long, Double]) =
+    Seq(1L, 2L, 3L, 4L).map(id => (id, pers.getOrElse(id, 0.0)))
+      .toDF("id", "pers")
+
+  private def toyEdges =
+    Seq((1L, 2L, 1.0), (2L, 1L, 0.5), (2L, 4L, 0.5), (4L, 2L, 1.0))
+      .toDF("src", "dst", "weight")
+
+  private def ranks(pers: Map[Long, Double]): Map[Long, Double] =
+    PageRank.run(spark, toyVertices(pers), toyEdges)
+      .as[(Long, Double)].collect().toMap
+
+  test("global PageRank matches the reference golden values") {
+    // tp1 engine executed on the seed: P1:0.244544 P2:0.463293
+    // P3:0.047619 P4:0.244544 (FIXTURES.md §A.2)
+    val r = ranks(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    val golden = Map(1L -> 0.244544, 2L -> 0.463293, 3L -> 0.047619,
+      4L -> 0.244544)
+    golden.foreach { case (id, exp) =>
+      assert(math.abs(r(id) - exp) < 2e-6, s"vertex $id: ${r(id)} vs $exp")
+    }
+  }
+
+  test("rank is a probability distribution (Σ=1)") {
+    val r = ranks(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("seeded PPR (C3, seed {P1}) matches the reference breakdown") {
+    // strategy_breakdown C3 personalized_pagerank:
+    // P2:0.459442, P4:0.195279, P3:0.0 (FIXTURES.md §A.2)
+    val r = ranks(Map(1L -> 1.0))
+    assert(math.abs(r(2L) - 0.459442) < 2e-6)
+    assert(math.abs(r(4L) - 0.195279) < 2e-6)
+    assert(math.abs(r(3L) - 0.0) < 2e-6)
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("seeded PPR (C2, seeds {P2,P3,P4}) matches the reference breakdown") {
+    // strategy_breakdown C2 personalized_pagerank: P1:0.210965
+    val r = ranks(Map(2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    assert(math.abs(r(1L) - 0.210965) < 2e-6)
+  }
+
+  test("all-zero personalization falls back to uniform (ref :183-188)") {
+    val zero = ranks(Map.empty)
+    val unif = ranks(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    zero.foreach { case (id, v) => assert(math.abs(v - unif(id)) < 1e-12) }
+  }
+
+  test("pagerank_global runs on the toy parquet layout end-to-end") {
+    val dir = Fixtures.write(spark)
+    val out = PageRank.pagerankGlobal(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    // same graph as toyEdges (adjacency derives from the same orders)
+    assert(math.abs(out(2L) - 0.463293) < 2e-6)
+    assert(math.abs(out.values.sum - 1.0) < 1e-5) // rounded to 6dp each
+  }
+}
