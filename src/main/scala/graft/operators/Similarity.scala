@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Approximate-nearest-neighbor search over the embedding column
+  * (extension surface, SURVEY §7.4). Vectors are float32 in the parquet;
+  * all arithmetic casts to double first so both engines see identical
+  * bits. The dot/norm folds are `aggregate`/`zip_with` array expressions —
+  * codegen'd, no UDF.
+  *
+  * Scale posture: brute force is the correctness baseline (O(N) per probe,
+  * broadcast the probes); the bucketed variant is the 100 TB path — a
+  * deterministic sign-quantization over the leading dimensions plays the
+  * role of an IVF coarse quantizer, turning the scan into an equi-join on
+  * bucket id. Recall/cost trades by bucket bit-width exactly as IVF nlist
+  * does; a learned quantizer would drop in behind the same bucket column.
+  */
+object Similarity {
+
+  private def asDouble(c: Column): Column =
+    expr(s"transform(${c.toString}, x -> cast(x as double))")
+
+  private val dot =
+    "aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
+  private val norm2 = (c: String) =>
+    s"aggregate($c, 0D, (acc, x) -> acc + x * x)"
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+
+  /** `sim_topk`: brute-force cosine top-k for the probe vector (min
+    * vec_id — same deterministic-parameter convention as the seed
+    * customer). */
+  def simTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val e = vectors(spark, dir)
+    val probe = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    e.crossJoin(broadcast(probe))
+      .filter(col("vec_id") =!= col("pid"))
+      .select(col("vec_id"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+      .orderBy(desc("cosine"), asc("vec_id"))
+      .limit(k)
+  }
+
+  /** Deterministic sign-quantization bucket over the first `bits` vector
+    * dimensions — the IVF-style coarse partition. */
+  private def bucketOf(bits: Int): Column =
+    (0 until bits)
+      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i))
+        .otherwise(0L))
+      .reduce(_ + _)
+
+  /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched
+    * only against vectors in the same sign-bucket; per-probe top-k via a
+    * rank window. The bucket equi-join replaces the all-pairs cross join:
+    * at 100 TB this is one shuffle on bucket id instead of a broadcast
+    * scan per probe batch. */
+  def knnBucketed(spark: SparkSession, dir: String, bits: Int = 8,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val e = vectors(spark, dir).withColumn("bucket", bucketOf(bits))
+    val probes = e.orderBy("vec_id").limit(nProbes)
+      .select(col("vec_id").as("pid"), col("v").as("pv"),
+        col("bucket").as("pbucket"))
+    val scored = e.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("pid")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy("pid", "rank")
+  }
+}

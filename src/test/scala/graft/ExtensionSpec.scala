@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, EventsOps, Similarity, TextOps}
+
+/** Semantic tests for the extension tier (dedup / similarity / text /
+  * events) on the sf0.001 driver testdata — properties the DuckDB oracle
+  * can't express (estimator quality, cross-operator consistency). */
+class ExtensionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("minhash estimate tracks exact ngram jaccard on candidate pairs") {
+    val est = Dedup.dedupMinhash(spark, dir, limit = 1000)
+      .as[(Long, Long, Double)].collect().map { case (a, b, e) => ((a, b), e) }.toMap
+    val exact = Dedup.ngramJaccard(spark, dir, limit = 100000)
+      .as[(Long, Long, Double)].collect().map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(est.nonEmpty, "LSH produced no candidate pairs")
+    // unbiased estimator with k=16: |est - exact| within ~4 std devs
+    // (σ = sqrt(j(1-j)/16) ≤ 0.125) for every candidate pair
+    est.foreach { case (pair, e) =>
+      val j = exact.getOrElse(pair, 0.0)
+      assert(math.abs(e - j) <= 0.5, s"pair $pair: est $e vs exact $j")
+    }
+  }
+
+  test("simhash: identical docs get identical fingerprints, hamming is sane") {
+    val sig = Dedup.simhash(spark, dir)
+    val joined = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        .as("hamming"))
+      .agg(min("hamming"), max("hamming")).collect()(0)
+    assert(joined.getInt(1) <= 32)
+    assert(sig.count() == sig.select("doc_id").distinct().count())
+  }
+
+  test("dedup_exact partitions the corpus (groups cover all docs)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet").count()
+    val agg = Dedup.dedupExact(spark, dir)
+      .agg(sum("dup_count").as("total")).collect()(0).getLong(0)
+    assert(agg == docs)
+  }
+
+  test("knn_bucketed results appear in brute-force ranking with same score") {
+    val brute = Similarity.simTopk(spark, dir, k = 1000)
+      .as[(Long, Double)].collect().toMap
+    val probeId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    val bucketed = Similarity.knnBucketed(spark, dir)
+      .filter(col("pid") === probeId)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+    bucketed.foreach { case (id, cos) =>
+      assert(math.abs(brute(id) - cos) < 1e-9,
+        s"vec $id: bucketed $cos vs brute ${brute(id)}")
+    }
+  }
+
+  test("sessionize: session counts bounded by events, durations non-negative") {
+    val s = EventsOps.sessionize(spark, dir)
+    val bad = s.filter(col("duration_us") < 0 || col("n_events") < 1).count()
+    assert(bad == 0)
+    val events = graft.model.Tables.events(spark, dir).count()
+    val totalEvents = s.agg(sum("n_events")).collect()(0).getLong(0)
+    assert(totalEvents == events)
+  }
+
+  test("sessionize splits on the 30-minute gap (toy check)") {
+    // user 1: events at t=0, +10min, +50min → 2 sessions (gap 40min > 30)
+    val us = 1000000L
+    val df = Seq(
+      (1L, 0L), (1L, 600L * us * 1000), (1L, 3600L * us * 1000)
+    ).toDF("user_id", "ts_ns")
+    val d = Fixtures.write(spark)
+    // write a one-off events table shape into temp dir for this check
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    df.select(monotonically_increasing_id().as("event_id"),
+        col("ts_ns").as("ts"), col("user_id"),
+        lit("view").as("event_type"), lit(1.0).as("value"))
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = EventsOps.sessionize(spark, tmp)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(out.length == 2, out.mkString(","))
+    assert(out.map(_._3).sum == 3) // all events covered
+    assert(d.nonEmpty)
+  }
+
+  test("text_stats consistent with documents.n_chars") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"))
+    val mismatch = docs.filter(col("n_chars") =!= col("len")).count()
+    // n_chars column should equal actual text length in the testdata
+    assert(mismatch == 0)
+    val stats = TextOps.textStats(spark, dir)
+    assert(stats.filter(col("n_tokens") <= 0).count() == 0)
+  }
+}
