@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.algo.PageRank
-import graft.operators.{Dedup, EventsOps, Recommend, Relational, Similarity, TextOps}
+import graft.operators.{Dedup, EventsOps, Multimodal, Recommend, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -58,6 +58,8 @@ object SparkEntry {
     // similarity search tier
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
     "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
+    // multimodal plumbing (decode stubbed — see Multimodal scaladoc)
+    "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -438,5 +440,13 @@ object SparkEntry {
         |           FROM scored)
         |SELECT pid, rank, vec_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "multimodal_features" ->
+      """SELECT doc_id AS asset_id,
+        |       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+        |            WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |       CAST(length(text) AS BIGINT) AS n_bytes,
+        |       CAST(16 AS BIGINT) AS dim
+        |FROM documents ORDER BY asset_id""".stripMargin,
   )
 }

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Structured Streaming variants of the events analytics (SURVEY §2.10:
+  * the reference consumes its stream-shaped `events` table strictly in
+  * batch; this is the extension surface's streaming path).
+  *
+  * `readStream` over the same parquet layout → watermarked windowed
+  * aggregation → any sink. The batch equivalents in
+  * [[graft.operators.EventsOps]] are the oracle-checked forms; ScalaTest
+  * drives these with a memory sink and `processAllAvailable()` and
+  * reconciles against the batch results.
+  *
+  * Scale posture: tumbling/sliding windows + watermark keep state bounded
+  * by (watermark horizon × key cardinality); `session_window` state is
+  * per-(user, open-session). At 100 TB/day the same topology runs with a
+  * kafka source and checkpointed sinks — nothing here is parquet-specific
+  * except the source line.
+  */
+object EventStream {
+
+  /** events schema as stored (ts is int64 nanos in the parquet). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Streaming source over the events parquet dir, ns→µs normalized like
+    * the batch reader. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source monitors a DIRECTORY; the testdata ships one
+    // parquet file per table in a flat dir, so glob-filter to the table
+    spark.readStream
+      .schema(eventsSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark — the
+    * streaming twin of `EventsOps.eventHourly`. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("hour"), col("event_type"), col("n"),
+        col("sum_value"))
+
+  /** Session windows with a 30-minute inactivity gap — the streaming twin
+    * of `EventsOps.sessionize` (same gap parameter). */
+  def sessionAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"),
+        col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("start"),
+        col("w.end").as("end"), col("n_events"))
+
+  /** Drive a streaming frame to completion into an in-memory table —
+    * batch-parity harness for tests (spark_guide.md: memory sink +
+    * processAllAvailable). */
+  def runToMemory(df: DataFrame, name: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

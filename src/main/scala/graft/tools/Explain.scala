@@ -1,0 +1,28 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump formatted physical plans for the declared queries — plan-review
+  * aid (SURVEY §4.2 "verify via explain()"). Usage:
+  *   runMain graft.tools.Explain <sfDir> [query...]
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names = if (args.length > 1) args.tail.toSet
+      else graft.SparkEntry.queries.keySet
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)
+      .foreach { case (name, fn) =>
+        println(s"\n===== $name =====")
+        println(fn(spark, dir).queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      }
+    spark.stop()
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventsOps, Multimodal}
+import graft.streaming.EventStream
+
+/** Streaming/batch parity + multimodal plumbing tests. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("streaming hourly agg reconciles with the batch rollup") {
+    val q = EventStream.runToMemory(
+      EventStream.hourlyAgg(EventStream.readEvents(spark, dir)),
+      "hourly_stream")
+    try {
+      val streamed = spark.table("hourly_stream")
+        .select(col("hour"), col("event_type"), col("n"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = EventsOps.eventHourly(spark, dir)
+        .select(col("hour"), col("event_type"), col("n"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("streaming session windows cover every event") {
+    val q = EventStream.runToMemory(
+      EventStream.sessionAgg(EventStream.readEvents(spark, dir)),
+      "session_stream")
+    try {
+      val total = spark.table("session_stream")
+        .agg(sum("n_events")).collect()(0).getLong(0)
+      val events = graft.model.Tables.events(spark, dir).count()
+      assert(total == events)
+      // same session count as the batch gaps-and-islands form
+      val streamSessions = spark.table("session_stream").count()
+      val batchSessions = EventsOps.sessionize(spark, dir).count()
+      assert(streamSessions == batchSessions)
+    } finally q.stop()
+  }
+
+  test("multimodal: features are partition-parallel, normalized, typed") {
+    val f = Multimodal.features(spark, dir).cache()
+    assert(f.count() > 0)
+    // histogram is normalized: Σ bins ≈ 1 for non-empty payloads
+    val sums = f.filter(col("n_bytes") > 0)
+      .select(expr("aggregate(features, 0D, (a, x) -> a + x)").as("s"))
+      .as[Double].collect()
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-3, s"histogram sum $s"))
+    assert(f.select("kind").distinct().count() == 3)
+    f.unpersist()
+  }
+}
