@@ -36,19 +36,29 @@ object SparkEntry {
     "bipartite_edges"   -> ((s, d) => Relational.bipartiteEdges(s, d)),
     "adjacency_norm"    -> ((s, d) => Relational.adjacencyNorm(s, d)),
     "collab_topk"       -> ((s, d) => Recommend.collabTopk(s, d)),
-    "jaccard_topk"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
+    "jaccard_sim"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
     "rec_blend"         -> ((s, d) => Recommend.recBlend(s, d)),
     // iterative graph tier — not SQL-expressible, so no oracleSql entry;
     // verified by golden-fixture + invariant ScalaTests (SURVEY §5.2)
     "pagerank_global"   -> ((s, d) => PageRank.pagerankGlobal(s, d)),
     "ppr_seeded"        -> ((s, d) => PageRank.pprSeeded(s, d)),
+    "rec_blend_full"    -> ((s, d) => {
+      // full tp1 blend incl. the PPR strategy (Engine scaladoc); seed =
+      // min purchasing customer, same convention as rec_blend
+      val g = graft.rec.Engine.fromOrders(s, d)
+      val cid = g.incidence.agg(org.apache.spark.sql.functions
+        .min("customer_id")).collect()(0).getLong(0)
+      graft.rec.Engine.recommend(s, g, cid, topN = 10)
+    }),
     // events analytics tier
     "json_props"        -> ((s, d) => EventsOps.jsonProps(s, d)),
     "event_hourly"      -> ((s, d) => EventsOps.eventHourly(s, d)),
+    "event_sliding"     -> ((s, d) => EventsOps.eventSliding(s, d)),
     "sessionize"        -> ((s, d) => EventsOps.sessionize(s, d)),
     // text analysis tier
-    "text_stats"        -> ((s, d) => TextOps.textStats(s, d)),
+    "text_tokens"        -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
+    "tfidf"             -> ((s, d) => TextOps.tfidf(s, d)),
     "lang_id"           -> ((s, d) => TextOps.langId(s, d)),
     // dedup tier
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -173,7 +183,7 @@ object SparkEntry {
         |FROM paths GROUP BY 1
         |ORDER BY score DESC, product_id ASC LIMIT 10""".stripMargin,
 
-    "jaccard_topk" ->
+    "jaccard_sim" ->
       """WITH b AS (SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
@@ -267,7 +277,7 @@ object SparkEntry {
         |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
 
-    "text_stats" ->
+    "text_tokens" ->
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
@@ -440,6 +450,32 @@ object SparkEntry {
         |           FROM scored)
         |SELECT pid, rank, vec_id, cosine FROM ranked
         |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "event_sliding" ->
+      """WITH e AS (SELECT event_type, user_id,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |x AS (SELECT event_type, user_id,
+        |        unnest([(us // 1800000000) * 1800000000,
+        |                (us // 1800000000) * 1800000000 - 1800000000])
+        |          AS w_us
+        |      FROM e)
+        |SELECT make_timestamp(w_us) AS window_start, event_type,
+        |       CAST(count(*) AS BIGINT) AS n,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM x GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+
+    "tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+        |SELECT doc_id, tf.term, tf, df,
+        |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+        |FROM tf JOIN dfreq ON tf.term = dfreq.term, n
+        |ORDER BY doc_id, tf.term""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS asset_id,

@@ -63,25 +63,31 @@ object PageRank {
     require(n > 0, "PageRank needs at least one vertex")
     val persTotal = vRaw.map(_._2).sum()
 
-    // Partition the iteration by graph size, not by cluster width: with a
-    // small vertex set, 50 iterations × defaultParallelism tiny tasks are
-    // pure scheduling overhead (measured 32 s → ~8 s at sf0.1 by sizing
-    // down). ~250k vertices per partition keeps partitions cache-friendly;
-    // big graphs still fan out to the full cluster.
-    val numParts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism * 4,
-      math.ceil(n / 250000.0).toInt))
-    val part = new HashPartitioner(numParts)
-
-    // edges keyed by src, partitioned once for the whole iteration
-    val eBySrc: RDD[(Long, (Long, Double))] = edges
+    val eRaw = edges
       .select(col("src").cast("long"), col("dst").cast("long"),
         col("weight").cast("double"))
       .as[(Long, Long, Double)].rdd
       .map { case (s, d, w) => (s, (d, w)) }
-      .partitionBy(part).cache()
-    val hasOut: RDD[(Long, Boolean)] =
-      eBySrc.keys.distinct(numParts).map((_, true)).partitionBy(part)
+      .cache()
+    val m = eRaw.count()
+
+    // Partition the iteration by graph size, not by cluster width: tiny
+    // graphs under defaultParallelism partitions are pure scheduling
+    // overhead across 50 iterations, but per-iteration WORK scales with
+    // edges, so the edge count must size the partitioning too (vertex-only
+    // sizing left 2.3M edge tuples on one thread at sf0.1). ~250k
+    // tuples/partition; big graphs still fan out to the full cluster.
+    val numParts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism * 4,
+      math.ceil(math.max(n, m) / 250000.0).toInt))
+    val part = new HashPartitioner(numParts)
+
+    // adjacency lists: one row per source, partitioned once — the
+    // per-iteration join is then |V|-sized and narrow; only the flatMapped
+    // contributions (map-side combined) hit the per-iteration shuffle
+    val eBySrc: RDD[(Long, Array[(Long, Double)])] = eRaw
+      .groupByKey(part).mapValues(_.toArray).cache()
+    val hasOut: RDD[(Long, Boolean)] = eBySrc.mapValues(_ => true)
 
     // state: id -> (rank, pers, isSink); co-partitioned with edges
     var state: RDD[(Long, (Double, Double, Boolean))] = vRaw
@@ -99,7 +105,8 @@ object PageRank {
     while (iter < params.maxIter && delta >= params.tol) {
       val sm = sinkMass
       val contribs = eBySrc.join(state, part)
-        .map { case (_, ((dst, w), (r, _, _))) => (dst, w * r) }
+        .flatMap { case (_, (adj, (r, _, _))) =>
+          adj.iterator.map { case (dst, w) => (dst, w * r) } }
         .reduceByKey(part, _ + _) // the one shuffle per iteration
       val stepped = state.leftOuterJoin(contribs, part)
         .mapValues { case ((oldR, p, s), c) =>

@@ -43,6 +43,28 @@ object EventsOps {
         sumCents(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** `event_sliding`: sliding-window aggregation (1 h window, 30 min
+    * slide) in batch form: each event belongs to exactly two window
+    * starts — its 30-min-floor and the one before — so the window
+    * assignment is a 2-way explode followed by one grouped aggregation,
+    * exactly how Spark's own `window(ts, '1 hour', '30 minutes')`
+    * generator expands (the streaming twin lives in
+    * [[graft.streaming.EventStream]]). µs-integer window math →
+    * engine-exact. */
+  def eventSliding(spark: SparkSession, dir: String): DataFrame = {
+    val slideUs = 1800000000L // 30 min
+    Tables.events(spark, dir)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("t0", expr(s"(us div $slideUs) * $slideUs"))
+      .select(col("event_type"), col("user_id"),
+        explode(array(col("t0"), col("t0") - slideUs)).as("w_us"))
+      .groupBy(timestamp_micros(col("w_us")).as("window_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("users"))
+      .orderBy("window_start", "event_type")
+  }
+
   /** `sessionize`: batch session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag session starts via lag, running-sum to a
     * session id, aggregate per (user, session). All µs-integer arithmetic →

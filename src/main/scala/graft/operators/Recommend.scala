@@ -33,7 +33,18 @@ object Recommend {
     */
   def collabTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val b = Relational.bipartite(spark, dir)
-    val seed = seedOf(b)
+    collabFrom(b, seedOf(b), k)
+  }
+
+  /** Same 3-hop ranking for an explicit customer id (the `/recs?
+    * strategy=similarity&customer_id=` path, `tp2/app/main.py:144-153`). */
+  def collabTopkFor(spark: SparkSession, dir: String, customerId: Long,
+      k: Int = 10): DataFrame = {
+    val b = Relational.bipartite(spark, dir)
+    collabFrom(b, spark.range(1).select(lit(customerId).as("seed_cid")), k)
+  }
+
+  private def collabFrom(b: DataFrame, seed: DataFrame, k: Int): DataFrame = {
     val p1s = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
       .select(col("product_id").as("p1"))
     val c2s = b.crossJoin(broadcast(seed))
@@ -57,8 +68,13 @@ object Recommend {
     * inclusion-exclusion on exact set sizes. All inputs are exact longs;
     * the division is one correctly-rounded double op → engine-identical.
     */
-  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val b = Relational.bipartite(spark, dir)
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsFrom(Relational.bipartite(spark, dir))
+
+  /** Same computation over any (customer_id, product_id) incidence —
+    * shared with [[graft.rec.Engine]], whose incidence may also include
+    * event-derived interactions (`graph.py:55-66`). */
+  def jaccardPairsFrom(b: DataFrame): DataFrame = {
     val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
     val common = b.as("x").join(b.as("y"),
         col("x.customer_id") === col("y.customer_id") &&

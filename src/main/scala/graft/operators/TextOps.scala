@@ -55,6 +55,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `tfidf`: term frequency × inverse document frequency over the token
+    * stream — the UDTF-shaped explode generator (SURVEY §7.4): explode →
+    * two hash aggregations → broadcast of the tiny df dimension back onto
+    * tf. idf uses the raw ln(N/df) form; tf·idf is a product of exact
+    * longs through libm ln, rounded to 6 dp. Scale: tf shuffles on
+    * (doc, term), df on term — both partial-aggregated map-side; df is
+    * vocabulary-sized → broadcast join. */
+  def tfidf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val tok = docs.select(col("doc_id"),
+      explode(toks(col("text"))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "term")
+  }
+
   /** `lang_id`: stopword-vote language identification — count function
     * words per language, argmax with a deterministic tie-break (en > fr >
     * de > es). A real corpus would use char n-gram profiles; the mechanism

@@ -1,0 +1,197 @@
+package graft.rec
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.algo.PageRank
+import graft.operators.{Recommend, Relational}
+
+/** The tp1 `RecommendationEngine` re-expressed over DataFrames
+  * (`tp1/knoledge_graphs/recommendation.py`) — the full three-strategy
+  * blend including the personalized-PageRank component, with every edge
+  * case the reference defines (SURVEY §7.5.4):
+  *   - unknown customer → error (`recommendation.py:93-95`, P5);
+  *   - seedless customer → global-PageRank fallback labeled
+  *     `global_pagerank` (`recommendation.py:52,224-229`, G2);
+  *   - candidates already seen are excluded (`recommendation.py:66-67`);
+  *   - per-strategy max-normalization, max==0 → zeros
+  *     (`recommendation.py:190-196`);
+  *   - blend weights cooc 0.4 / similarity 0.3 / PPR 0.3
+  *     (`recommendation.py:10-14`), non-positive totals dropped;
+  *   - top-N by (-score, product_id), scores rounded to 6 dp
+  *     (`recommendation.py:221`, `api.py:47-48`).
+  *
+  * The graph inputs are parameters (a [[ProductGraph]]) rather than table
+  * reads: the reference builds its incidence from orders AND events
+  * (`graph.py:55-66`); the driver testdata has no event→product edge, so
+  * the testdata path uses order-derived incidence while the unit tests
+  * feed the reference's exact toy graph and assert its golden outputs.
+  */
+object Engine {
+
+  /** The derived graph structures of tp1 `GraphData` (`graph.py:19-33`):
+    * catalog products, customer↔product incidence, directed co-occurrence
+    * counts. The row-normalized adjacency (graph.py:70-77) derives from
+    * `cooc` on demand. */
+  final case class ProductGraph(
+      customers: DataFrame, // (customer_id: Long)
+      products: DataFrame,  // (id: Long)
+      incidence: DataFrame, // (customer_id, product_id) distinct
+      cooc: DataFrame)      // (src, dst, cnt)
+
+  /** Testdata builder: order-derived incidence + lineitem co-occurrence. */
+  def fromOrders(spark: SparkSession, dir: String): ProductGraph =
+    ProductGraph(
+      customers = spark.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("customer_id")),
+      products = spark.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("id")),
+      incidence = Relational.bipartite(spark, dir),
+      cooc = Relational.coocCounts(spark, dir))
+
+  /** P5 existence guard (`recommendation.py:93-95`): unknown customer is
+    * an error — distinct from a KNOWN customer with no interactions, who
+    * gets the global fallback. */
+  private def ensureKnown(g: ProductGraph, customerId: Long): Unit =
+    require(!g.customers.filter(col("customer_id") === customerId).isEmpty,
+      s"unknown customer id: $customerId")
+
+  private def adjacency(g: ProductGraph): DataFrame = {
+    val w = Window.partitionBy("src")
+    g.cooc.select(col("src"), col("dst"),
+      (col("cnt") / sum(col("cnt")).over(w)).as("weight"))
+  }
+
+  private val BlendCooc = 0.4
+  private val BlendSim = 0.3
+  private val BlendPpr = 0.3
+
+  /** `recommend_for_customer` (`recommendation.py:44-68`). Output:
+    * (product_id, score, c_cooc, c_sim, c_ppr, c_global) — the per-
+    * strategy contribution breakdown the reference's API returns. */
+  def recommend(spark: SparkSession, g: ProductGraph, customerId: Long,
+      topN: Int = 3): DataFrame = {
+    ensureKnown(g, customerId)
+    val seeds = g.incidence
+      .filter(col("customer_id") === customerId)
+      .select(col("product_id").as("sp")).cache()
+    if (seeds.isEmpty) return globalFallback(spark, g, topN)
+
+    // strategy 1: co-occurrence — Σ over seeds of pair counts (A7)
+    val cScore = g.cooc.join(broadcast(seeds), col("src") === col("sp"))
+      .groupBy(col("dst").as("product_id"))
+      .agg(sum("cnt").as("s_cooc"))
+    // strategy 2: Jaccard similarity — Σ over seeds of per-seed jaccard
+    val jp = Recommend.jaccardPairsFrom(g.incidence)
+    val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
+      .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"),
+        col("jaccard")))
+    val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
+      .groupBy(col("bb").as("product_id"))
+      .agg(sum("jaccard").as("s_jacc"))
+    // strategy 3: seeded personalized PageRank (G1)
+    val pers = g.products
+      .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
+      .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
+        .as("pers"))
+    val pScore = PageRank.run(spark, pers, adjacency(g))
+      .select(col("id").as("product_id"), col("rank").as("s_ppr"))
+
+    val cand = cScore
+      .join(jScore, Seq("product_id"), "full_outer")
+      .join(pScore, Seq("product_id"), "full_outer")
+      .select(col("product_id"),
+        coalesce(col("s_cooc"), lit(0L)).as("s_cooc"),
+        coalesce(col("s_jacc"), lit(0.0)).as("s_jacc"),
+        coalesce(col("s_ppr"), lit(0.0)).as("s_ppr"))
+      .join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
+      // PPR normalizes over its FULL rank dict, seeds included — the
+      // reference's cooc/jaccard loops skip seed candidates while building
+      // their maps (recommendation.py:109-110,117-118) but the PPR map is
+      // the raw rank vector (:135-142); normalizing PPR over non-seed
+      // candidates only would inflate c_ppr (golden C2: 0.136231, not 0.3)
+      .crossJoin(broadcast(
+        pScore.agg(max(col("s_ppr")).as("ppr_max"))))
+    val w = Window.partitionBy()
+    def norm(c: String) =
+      when(max(col(c)).over(w) > 0, col(c) / max(col(c)).over(w))
+        .otherwise(0.0)
+    cand
+      .withColumn("nc", norm("s_cooc"))
+      .withColumn("nj", norm("s_jacc"))
+      .withColumn("np", when(col("ppr_max") > 0,
+        col("s_ppr") / col("ppr_max")).otherwise(0.0))
+      .withColumn("blend", lit(BlendCooc) * col("nc")
+        + lit(BlendSim) * col("nj") + lit(BlendPpr) * col("np"))
+      .filter(col("blend") > 0)
+      .select(col("product_id"),
+        round(col("blend"), 6).as("score"),
+        round(lit(BlendCooc) * col("nc"), 6).as("c_cooc"),
+        round(lit(BlendSim) * col("nj"), 6).as("c_sim"),
+        round(lit(BlendPpr) * col("np"), 6).as("c_ppr"),
+        lit(0.0).as("c_global"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(topN)
+  }
+
+  /** G2: seedless customers get the global PageRank top-N, labeled
+    * `global_pagerank` (`recommendation.py:224-229`). */
+  private def globalFallback(spark: SparkSession, g: ProductGraph,
+      topN: Int): DataFrame = {
+    val v = g.products.withColumn("pers", lit(1.0))
+    PageRank.run(spark, v, adjacency(g))
+      .select(col("id").as("product_id"),
+        round(col("rank"), 6).as("score"),
+        lit(0.0).as("c_cooc"), lit(0.0).as("c_sim"), lit(0.0).as("c_ppr"),
+        round(col("rank"), 6).as("c_global"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(topN)
+  }
+
+  /** `strategy_breakdown` (`recommendation.py:70-89`): raw un-normalized
+    * per-strategy rankings for debugging. Returns
+    * (strategy, product_id, score). */
+  def strategyBreakdown(spark: SparkSession, g: ProductGraph,
+      customerId: Long): DataFrame = {
+    ensureKnown(g, customerId)
+    val seeds = g.incidence
+      .filter(col("customer_id") === customerId)
+      .select(col("product_id").as("sp")).cache()
+    if (seeds.isEmpty)
+      return PageRank.run(spark,
+          g.products.withColumn("pers", lit(1.0)), adjacency(g))
+        .select(lit("global_pagerank").as("strategy"),
+          col("id").as("product_id"), round(col("rank"), 6).as("score"))
+        .orderBy(desc("score"), asc("product_id"))
+    def dropSeeds(df: DataFrame): DataFrame =
+      df.join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
+    val cScore = dropSeeds(
+      g.cooc.join(broadcast(seeds), col("src") === col("sp"))
+        .groupBy(col("dst").as("product_id"))
+        .agg(sum("cnt").cast("double").as("score")))
+      .select(lit("co_occurrence").as("strategy"), col("product_id"),
+        round(col("score"), 6).as("score"))
+    val jp = Recommend.jaccardPairsFrom(g.incidence)
+    val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
+      .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"),
+        col("jaccard")))
+    val jScore = dropSeeds(
+      sym.join(broadcast(seeds), col("a") === col("sp"))
+        .groupBy(col("bb").as("product_id"))
+        .agg(sum("jaccard").as("score")))
+      .select(lit("similarity").as("strategy"), col("product_id"),
+        round(col("score"), 6).as("score"))
+    val pers = g.products
+      .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
+      .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
+        .as("pers"))
+    val pScore = dropSeeds(
+      PageRank.run(spark, pers, adjacency(g))
+        .select(col("id").as("product_id"), col("rank").as("score")))
+      .select(lit("personalized_pagerank").as("strategy"), col("product_id"),
+        round(col("score"), 6).as("score"))
+    cScore.unionAll(jScore).unionAll(pScore)
+      .orderBy(asc("strategy"), desc("score"), asc("product_id"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.algo.PageRank
+
+/** ScalaCheck-generator property tests (SURVEY §5.2): PageRank
+  * conservation + convergence on random graphs, Jaccard range/symmetry on
+  * random bipartite incidences. Samples are drawn from Gen with a fixed
+  * seed (the scalatest/scalacheck bridge artifact isn't in the offline
+  * cache, so sampling is driven manually). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val smallGraph: Gen[(Int, List[(Long, Long)])] = for {
+    n <- Gen.choose(2, 12)
+    density <- Gen.choose(1, 3)
+    edges <- Gen.listOfN(n * density, for {
+      s <- Gen.choose(0L, n - 1L)
+      d <- Gen.choose(0L, n - 1L)
+    } yield (s, d))
+  } yield (n, edges.filter(e => e._1 != e._2).distinct)
+
+  test("PageRank conserves probability mass on random graphs") {
+    samples(smallGraph, 8).foreach { case (n, edges) =>
+      val v = (0L until n.toLong).map((_, 1.0)).toDF("id", "pers")
+      // row-normalize out-weights like adjacency_norm does
+      val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+      val e = edges.map { case (s, d) => (s, d, 1.0 / outDeg(s)) }
+        .toDF("src", "dst", "weight")
+      val ranks = PageRank.run(spark, v, e).as[(Long, Double)].collect()
+      assert(ranks.length == n)
+      assert(math.abs(ranks.map(_._2).sum - 1.0) < 1e-6,
+        s"n=$n edges=$edges sum=${ranks.map(_._2).sum}")
+      assert(ranks.forall(_._2 >= 0))
+    }
+  }
+
+  test("PageRank on an edgeless graph is teleport-only (all sinks)") {
+    val v = (0L until 4L).map(i => (i, if (i == 2L) 1.0 else 0.0))
+      .toDF("id", "pers")
+    val e = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    val r = PageRank.run(spark, v, e).as[(Long, Double)].collect().toMap
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(r(2L) > r(0L)) // personalization survives sink redistribution
+  }
+
+  test("jaccard is within [0,1] and symmetric on random incidences") {
+    val pairsGen = Gen.listOfN(60, for {
+      c <- Gen.choose(1L, 8L); p <- Gen.choose(1L, 10L)
+    } yield (c, p))
+    samples(pairsGen, 8).foreach { pairs =>
+      val b = pairs.distinct.toDF("customer_id", "product_id")
+      val sizes = b.groupBy("product_id").count()
+        .as[(Long, Long)].collect().toMap
+      val common = b.as("x").join(b.as("y"),
+          $"x.customer_id" === $"y.customer_id" &&
+            $"x.product_id" < $"y.product_id")
+        .groupBy($"x.product_id".as("p1"), $"y.product_id".as("p2"))
+        .count().as[(Long, Long, Long)].collect()
+      common.foreach { case (p1, p2, c) =>
+        val j = c.toDouble / (sizes(p1) + sizes(p2) - c)
+        assert(j >= 0.0 && j <= 1.0)
+        val j2 = c.toDouble / (sizes(p2) + sizes(p1) - c)
+        assert(j == j2)
+      }
+    }
+  }
+}

@@ -43,6 +43,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sliding window matches the batch 2-way-explode form") {
+    val sliding = EventStream.readEvents(spark, dir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+    val q = EventStream.runToMemory(sliding, "sliding_stream")
+    try {
+      val streamed = spark.table("sliding_stream")
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      val batch = EventsOps.eventSliding(spark, dir)
+        .select(col("window_start"), col("event_type"), col("n"))
+        .as[(java.sql.Timestamp, String, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("multimodal: features are partition-parallel, normalized, typed") {
     val f = Multimodal.features(spark, dir).cache()
     assert(f.count() > 0)
