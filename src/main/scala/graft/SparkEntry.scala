@@ -68,6 +68,7 @@ object SparkEntry {
     // similarity search tier
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
     "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
+    "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     // multimodal plumbing (decode stubbed — see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
   )
@@ -476,6 +477,25 @@ object SparkEntry {
         |       round(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
         |FROM tf JOIN dfreq ON tf.term = dfreq.term, n
         |ORDER BY doc_id, tf.term""".stripMargin,
+
+    "dedup_embedding" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |eb AS (SELECT vec_id, v,
+        |         (SELECT CAST(sum(CASE WHEN v[CAST(i AS INTEGER) + 1] > 0
+        |                     THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+        |                     ELSE 0 END) AS BIGINT)
+        |          FROM (SELECT unnest(range(8)) AS i)) AS bucket
+        |       FROM e)
+        |SELECT x.vec_id AS p1, y.vec_id AS p2,
+        |       round(list_sum(list_transform(list_zip(x.v, y.v),
+        |                                     s -> s[1] * s[2]))
+        |         / (sqrt(list_sum(list_transform(x.v, t -> t*t)))
+        |            * sqrt(list_sum(list_transform(y.v, t -> t*t)))), 6)
+        |         AS cosine
+        |FROM eb x JOIN eb y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+        |ORDER BY cosine DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
 
     "multimodal_features" ->
       """SELECT doc_id AS asset_id,

@@ -58,6 +58,29 @@ object Similarity {
         .otherwise(0L))
       .reduce(_ + _)
 
+  /** `dedup_embedding`: embedding-cosine near-duplicate pairs — all pairs
+    * sharing a sign-bucket (the LSH-style candidate filter: near-identical
+    * vectors agree on every leading-dimension sign), scored by exact
+    * cosine, highest first. The bucket equi-join bounds the pairwise work
+    * per bucket exactly as MinHash banding does for text
+    * ([[Dedup.dedupMinhash]]); at 100 TB buckets cap the quadratic corner
+    * and a hot-bucket guard would drop degenerate cells. */
+  def dedupEmbedding(spark: SparkSession, dir: String, bits: Int = 8,
+      limit: Int = 100): DataFrame = {
+    val e = vectors(spark, dir).withColumn("bucket", bucketOf(bits))
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.bucket") === col("y.bucket") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("p1"), col("y.vec_id").as("p2"),
+        col("x.v").as("v"), col("y.v").as("pv"))
+    pairs.select(col("p1"), col("p2"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+      .orderBy(desc("cosine"), asc("p1"), asc("p2"))
+      .limit(limit)
+  }
+
   /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched
     * only against vectors in the same sign-bucket; per-probe top-k via a
     * rank window. The bucket equi-join replaces the all-pairs cross join:

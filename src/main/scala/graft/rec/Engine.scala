@@ -70,9 +70,14 @@ object Engine {
   /** `recommend_for_customer` (`recommendation.py:44-68`). Output:
     * (product_id, score, c_cooc, c_sim, c_ppr, c_global) — the per-
     * strategy contribution breakdown the reference's API returns. */
-  def recommend(spark: SparkSession, g: ProductGraph, customerId: Long,
+  def recommend(spark: SparkSession, gRaw: ProductGraph, customerId: Long,
       topN: Int = 3): DataFrame = {
-    ensureKnown(g, customerId)
+    ensureKnown(gRaw, customerId)
+    // cooc feeds both the co-occurrence scores and the PPR adjacency, and
+    // the incidence feeds seeds + jaccard sizes + jaccard pairs — cache
+    // the shared inputs so the blend evaluates each subplan once
+    val g = gRaw.copy(incidence = gRaw.incidence.cache(),
+      cooc = gRaw.cooc.cache())
     val seeds = g.incidence
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")).cache()
