@@ -1,0 +1,40 @@
+package graft
+
+import graft.operators.Relational
+
+/** Physical-plan regression tests (SURVEY §4.2: "verify via explain()").
+  * These lock in the scale-relevant plan properties: predicate pushdown,
+  * column pruning, top-k as TakeOrderedAndProject, broadcast of
+  * dimension tables. */
+class PlanSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("scan_project pushes the enum filter and prunes columns") {
+    val p = plan(Relational.scanProject(spark, dir))
+    assert(p.contains("PushedFilters: [In(event_type"), p)
+    // only the 4 projected columns reach the scan
+    assert(p.contains("ReadSchema: struct<event_id:bigint,user_id:bigint," +
+      "event_type:string,value:double>"), p)
+  }
+
+  test("cooc_topk plans top-k as TakeOrderedAndProject with broadcast dims") {
+    val p = plan(Relational.coocTopk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("lineitem scans read only the join keys for cooc") {
+    val p = plan(Relational.coocPairs(spark, dir))
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), p)
+  }
+
+  test("popularity_topk keeps the aggregation partial (no extra shuffle before join)") {
+    val p = plan(Relational.popularityTopk(spark, dir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // orders side prunes to the two join/agg columns
+    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), p)
+  }
+}
