@@ -21,17 +21,22 @@ import graft.model.Tables
   */
 object Similarity {
 
+  // plain cast, not a transform lambda: float→double widening is exact
+  // and the Cast stays inside whole-stage codegen (HOF lambdas don't)
   private def asDouble(c: Column): Column =
-    expr(s"transform(${c.toString}, x -> cast(x as double))")
+    c.cast("array<double>")
 
-  private val dot =
-    "aggregate(zip_with(v, pv, (x, y) -> x * y), 0D, (acc, x) -> acc + x)"
-  private val norm2 = (c: String) =>
-    s"aggregate($c, 0D, (acc, x) -> acc + x * x)"
+  // native codegen'd expressions (graft.functions.VectorExpressions) —
+  // bit-identical to the aggregate/zip_with folds (VectorExprSpec) but a
+  // fused primitive loop with no intermediate array
+  private val dot = "graft_dot(v, pv)"
+  private val norm2 = (c: String) => s"graft_norm2($c)"
 
-  private def vectors(spark: SparkSession, dir: String): DataFrame =
+  private def vectors(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), asDouble(col("embedding")).as("v"))
+  }
 
   /** `sim_topk`: brute-force cosine top-k for the probe vector (min
     * vec_id — same deterministic-parameter convention as the seed
