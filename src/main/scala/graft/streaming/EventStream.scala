@@ -67,6 +67,47 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("start"),
         col("w.end").as("end"), col("n_events"))
 
+  /** Per-user running state for the custom-state path
+    * (`flatMapGroupsWithState`): event count + cumulative dyadic weight
+    * (same CASE weights as `EventsOps.eventWeights`, so the final states
+    * reconcile with the batch aggregate — StreamingSpec asserts it). */
+  final case class UserState(events: Long, weight: Double)
+  final case class UserUpdate(user_id: Long, events: Long, weight: Double)
+
+  /** Stateful per-user accumulation via `flatMapGroupsWithState` — the
+    * arbitrary-state API (`KeyValueGroupedDataset`), for semantics the
+    * built-in windows can't express (cross-batch running totals, custom
+    * eviction). State is per-key and bounded by user cardinality; at
+    * 100 TB/day state would carry a timeout
+    * (`GroupStateTimeout.EventTimeTimeout`) to evict idle users. */
+  def statefulUserTotals(events: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.Dataset[UserUpdate] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events.select(col("user_id"), col("event_type"))
+      .as[(Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserUpdate](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, String)],
+         state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.events
+          var w = prev.weight
+          rows.foreach { case (_, et) =>
+            n += 1
+            w += (et match {
+              case "view" => 0.5; case "click" => 1.0
+              case "purchase" => 2.0; case _ => 0.0
+            })
+          }
+          val next = UserState(n, w)
+          state.update(next)
+          Iterator(UserUpdate(user, next.events, next.weight))
+      }
+  }
+
   /** Drive a streaming frame to completion into an in-memory table —
     * batch-parity harness for tests (spark_guide.md: memory sink +
     * processAllAvailable). */

@@ -61,6 +61,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState totals reconcile with the batch aggregate") {
+    val updates = EventStream.statefulUserTotals(
+      EventStream.readEvents(spark, dir))
+    val q = updates.toDF().writeStream
+      .outputMode("update").format("memory").queryName("user_state").start()
+    try {
+      q.processAllAvailable()
+      // keep the LAST update per user (update mode emits per-batch rows)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(desc("events"))
+      val finalState = spark.table("user_state")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "events", "weight")
+        .as[(Long, Long, Double)].collect()
+        .map { case (u, e, wt) => u -> ((e, wt)) }.toMap
+      val batchWeights = graft.operators.Relational
+        .eventWeights(spark, dir).as[(Long, Double)].collect().toMap
+      val batchCounts = graft.model.Tables.events(spark, dir)
+        .groupBy("user_id").count().as[(Long, Long)].collect().toMap
+      batchCounts.foreach { case (u, c) =>
+        assert(finalState(u)._1 == c, s"user $u count")
+      }
+      batchWeights.foreach { case (u, wt) =>
+        assert(finalState(u)._2 == wt, s"user $u weight") // dyadic → exact
+      }
+    } finally q.stop()
+  }
+
   test("multimodal: features are partition-parallel, normalized, typed") {
     val f = Multimodal.features(spark, dir).cache()
     assert(f.count() > 0)
