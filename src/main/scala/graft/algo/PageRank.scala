@@ -77,9 +77,12 @@ object PageRank {
     // edges, so the edge count must size the partitioning too (vertex-only
     // sizing left 2.3M edge tuples on one thread at sf0.1). ~250k
     // tuples/partition; big graphs still fan out to the full cluster.
+    // vertices dominate task sizing once edges are grouped to adjacency
+    // lists (per-task rows ≈ |V|/parts); edges only matter via the
+    // flatMap emission volume, which one thread clears at ~50M/s
     val numParts = math.max(1, math.min(
       spark.sparkContext.defaultParallelism * 4,
-      math.ceil(math.max(n, m) / 250000.0).toInt))
+      math.ceil(math.max(n / 100000.0, m / 2000000.0)).toInt))
     val part = new HashPartitioner(numParts)
 
     // adjacency lists: one row per source, partitioned once — the

@@ -53,7 +53,12 @@ object Relational {
       .distinct()
 
   /** Unordered directed co-occurrence counts (src, dst, cnt) — shared
-    * builder for cooc_topk / cooc_pairs / adjacency_norm / rec_blend. */
+    * builder for cooc_topk / cooc_pairs / adjacency_norm / rec_blend /
+    * the PageRank adjacency. Cached: Spark's CacheManager matches
+    * identical analyzed plans, so within one session (Verify/Bench run
+    * all queries in one) the self-join materializes once and every
+    * cooc-derived query reads the cached counts (|parts|·avg-degree rows
+    * — MBs, not the lineitem scan). */
   def coocCounts(spark: SparkSession, dir: String): DataFrame = {
     val oi = orderItems(spark, dir)
     oi.as("a").join(oi.as("b"),
@@ -61,10 +66,12 @@ object Relational {
           col("a.l_partkey") =!= col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
       .agg(count(lit(1)).as("cnt"))
+      .cache()
   }
 
   /** Unordered distinct customer↔product incidence — shared input of the
-    * whole similarity tier (`tp1/knoledge_graphs/graph.py:25-26`). */
+    * whole similarity tier (`tp1/knoledge_graphs/graph.py:25-26`).
+    * Cached across queries like [[coocCounts]]. */
   def bipartite(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
@@ -72,6 +79,7 @@ object Relational {
       .select(col("o_custkey").as("customer_id"),
         col("l_partkey").as("product_id"))
       .distinct()
+      .cache()
 
   /** J1+A1+T1 `cooc_topk`: "frequently bought together" — 2-hop self-join
     * on the order key, directed pair counts, global top-k
