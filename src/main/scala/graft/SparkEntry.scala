@@ -59,6 +59,7 @@ object SparkEntry {
     "text_tokens"        -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
     "tfidf"             -> ((s, d) => TextOps.tfidf(s, d)),
+    "text_fingerprint"  -> ((s, d) => TextOps.textFingerprint(s, d)),
     "lang_id"           -> ((s, d) => TextOps.langId(s, d)),
     // dedup tier
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
@@ -330,6 +331,18 @@ object SparkEntry {
         |            WHEN de_votes >= es_votes THEN 'de'
         |            ELSE 'es' END AS pred_lang
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text,
+        |         '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT)
+        |         AS n_tokens_re,
+        |       CAST(list_reduce(
+        |         list_prepend(0, list_transform(string_split(text, ' '),
+        |           t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+        |         (a, b) -> (a * 31 + b) % 1000000007) AS BIGINT)
+        |         AS rolling_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_exact" ->
       """SELECT md5(text) AS text_hash, min(doc_id) AS keep_id,

@@ -55,6 +55,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** `text_fingerprint`: order-sensitive document fingerprinting — a
+    * polynomial rolling hash folded over the token-hash sequence
+    * ((acc·31 + h32(tok)) mod p), plus a BPE-ish regex token count
+    * (letters / digits / punctuation runs — the pre-tokenizer split most
+    * BPE vocabularies use). Unlike the set-based minhash/simhash
+    * signatures, the rolling hash distinguishes token ORDER, so shuffled
+    * duplicates don't collide. Fold + regex are single-pass, shuffle-free.
+    */
+  def textFingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
+          .cast("long").as("n_tokens_re"),
+        expr(
+          """aggregate(
+            |  transform(split(text, ' '),
+            |    t -> cast(conv(substr(md5(t), 1, 8), 16, 10) as bigint)),
+            |  cast(0 as bigint),
+            |  (acc, x) -> (acc * 31 + x) % 1000000007)""".stripMargin)
+          .as("rolling_fp"))
+      .orderBy("doc_id")
+
   /** `tfidf`: term frequency × inverse document frequency over the token
     * stream — the UDTF-shaped explode generator (SURVEY §7.4): explode →
     * two hash aggregations → broadcast of the tiny df dimension back onto
