@@ -1,0 +1,72 @@
+package graft.sources
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.Relational
+
+/** The tp2 ETL entrypoint (`tp2/app/etl.py:167-332`) as one Spark job:
+  * relational tables → property-graph store (node + edge parquet),
+  * replacing the reference's one-network-round-trip-per-row MERGE loops
+  * (`etl.py:223-329` — the survey's #1 anti-pattern) with partition-
+  * parallel writes. MERGE idempotency becomes key-dedup before write
+  * (SURVEY §3.3); dangling FKs drop via the inner joins in
+  * [[Relational.edgesBuild]]. The reference's load-order constraint
+  * (categories → products → … → events) dissolves into plan data
+  * dependencies.
+  *
+  * Prints the reference's completion sentinel `ETL done.` — the string
+  * every reference test asserts on (`tp2/app/test.py:163`).
+  */
+object Etl {
+
+  def run(spark: SparkSession, inDir: String, outDir: String): Unit = {
+    // nodes: one row per entity, labeled — MERGE-keyed on (label, id)
+    val nodes =
+      Tables.customer(spark, inDir).select(lit("Customer").as("label"),
+          concat(lit("C"), col("c_custkey")).as("id"),
+          col("c_name").as("name"))
+        .unionAll(Tables.part(spark, inDir).select(lit("Product").as("label"),
+          concat(lit("P"), col("p_partkey")).as("id"),
+          col("p_name").as("name")))
+        .unionAll(Tables.orders(spark, inDir).select(lit("Order").as("label"),
+          concat(lit("O"), col("o_orderkey")).as("id"),
+          col("o_orderstatus").as("name")))
+        .unionAll(Tables.part(spark, inDir)
+          .select(col("p_brand")).distinct()
+          .select(lit("Category").as("label"), col("p_brand").as("id"),
+            col("p_brand").as("name")))
+        .dropDuplicates("label", "id")
+    nodes.write.mode(SaveMode.Overwrite)
+      .partitionBy("label").parquet(s"$outDir/nodes")
+
+    // edges: FK-resolution + dynamic event types, partitioned by type so
+    // per-relationship scans prune to one directory
+    Relational.edgesBuild(spark, inDir)
+      .unionAll(Relational.eventEdges(spark, inDir)
+        .select(col("rel_type"), col("src"),
+          concat(lit("E"), col("event_id")).as("dst"),
+          col("value").as("weight")))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("rel_type").parquet(s"$outDir/edges")
+
+    // the sentinel every reference test greps for (tp2/app/etl.py:332)
+    println("ETL done.")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val inDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_graph_store"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    run(spark, inDir, outDir)
+    spark.stop()
+  }
+}
