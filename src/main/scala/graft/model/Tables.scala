@@ -26,12 +26,17 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
 
   /** `events.ts` is nanosecond-precision in the parquet (TESTDATA.md);
-    * Spark's TimestampType is µs. Read nanos as long
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to µs — the
-    * same truncation DuckDB applies casting timestamp_ns → TIMESTAMP, so
-    * oracle comparisons agree. */
+    * Spark's TimestampType is µs. The SESSION must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft mains and the
+    * test session builder set it — a reader must not mutate session conf
+    * as a side effect); this reader then truncates the nano longs to µs —
+    * the same truncation DuckDB applies casting timestamp_ns → TIMESTAMP,
+    * so oracle comparisons agree. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
+      == "true",
+      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true" +
+        " (events.parquet stores ns timestamps)")
     read(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.expr(
         "timestamp_micros(ts div 1000)"))

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's similarity / recommendation tier (SURVEY.md §2.3-§2.7):
@@ -137,14 +136,19 @@ object Recommend {
         coalesce(col("s_cooc"), lit(0L)).as("s_cooc"),
         coalesce(col("s_jacc"), lit(0.0)).as("s_jacc"))
       .join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
-    val w = Window.partitionBy()
-    val norm = cand
-      .withColumn("nc",
-        when(max("s_cooc").over(w) > 0,
-          col("s_cooc") / max("s_cooc").over(w)).otherwise(0.0))
-      .withColumn("nj",
-        when(max("s_jacc").over(w) > 0,
-          col("s_jacc") / max("s_jacc").over(w)).otherwise(0.0))
+    // A8 max-scaling without a single-partition window: the global max is
+    // a partial-aggregated scalar broadcast back over the candidates, so
+    // no candidate row ever leaves its partition (the ppr_max pattern in
+    // graft.rec.Engine). cand is cached because both the scalar agg and
+    // the normalization scan it.
+    val candC = cand.cache()
+    val maxes = candC.agg(max("s_cooc").as("max_cooc"),
+      max("s_jacc").as("max_jacc"))
+    val norm = candC.crossJoin(broadcast(maxes))
+      .withColumn("nc", when(col("max_cooc") > 0,
+        col("s_cooc") / col("max_cooc")).otherwise(0.0))
+      .withColumn("nj", when(col("max_jacc") > 0,
+        col("s_jacc") / col("max_jacc")).otherwise(0.0))
     norm
       .withColumn("blend", lit(0.4) * col("nc") + lit(0.3) * col("nj"))
       .filter(col("blend") > 0)

@@ -72,6 +72,8 @@ object Engine {
     * strategy contribution breakdown the reference's API returns. */
   def recommend(spark: SparkSession, gRaw: ProductGraph, customerId: Long,
       topN: Int = 3): DataFrame = {
+    // T3: [1,10] clamp, default 3 (api.py:66) — shared with RecsApi
+    val n = RecsApi.clampTopN(topN)
     ensureKnown(gRaw, customerId)
     // cooc feeds both the co-occurrence scores and the PPR adjacency, and
     // the incidence feeds seeds + jaccard sizes + jaccard pairs — cache
@@ -81,7 +83,7 @@ object Engine {
     val seeds = g.incidence
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")).cache()
-    if (seeds.isEmpty) return globalFallback(spark, g, topN)
+    if (seeds.isEmpty) return globalFallback(spark, g, n)
 
     // strategy 1: co-occurrence — Σ over seeds of pair counts (A7)
     val cScore = g.cooc.join(broadcast(seeds), col("src") === col("sp"))
@@ -118,13 +120,17 @@ object Engine {
       // candidates only would inflate c_ppr (golden C2: 0.136231, not 0.3)
       .crossJoin(broadcast(
         pScore.agg(max(col("s_ppr")).as("ppr_max"))))
-    val w = Window.partitionBy()
-    def norm(c: String) =
-      when(max(col(c)).over(w) > 0, col(c) / max(col(c)).over(w))
-        .otherwise(0.0)
-    cand
-      .withColumn("nc", norm("s_cooc"))
-      .withColumn("nj", norm("s_jacc"))
+      .cache()
+    // cooc/jaccard maxes as broadcast scalars too (same pattern as
+    // ppr_max) — A8 max-scaling must not funnel the candidate set into a
+    // single partition, which is what an empty Window.partitionBy() does
+    val maxes = cand.agg(max(col("s_cooc")).as("max_cooc"),
+      max(col("s_jacc")).as("max_jacc"))
+    def norm(c: String, m: String) =
+      when(col(m) > 0, col(c) / col(m)).otherwise(0.0)
+    cand.crossJoin(broadcast(maxes))
+      .withColumn("nc", norm("s_cooc", "max_cooc"))
+      .withColumn("nj", norm("s_jacc", "max_jacc"))
       .withColumn("np", when(col("ppr_max") > 0,
         col("s_ppr") / col("ppr_max")).otherwise(0.0))
       .withColumn("blend", lit(BlendCooc) * col("nc")
@@ -137,7 +143,7 @@ object Engine {
         round(lit(BlendPpr) * col("np"), 6).as("c_ppr"),
         lit(0.0).as("c_global"))
       .orderBy(desc("score"), asc("product_id"))
-      .limit(topN)
+      .limit(n)
   }
 
   /** G2: seedless customers get the global PageRank top-N, labeled

@@ -20,16 +20,25 @@ import graft.operators.{Recommend, Relational}
 object RecsApi {
   val Strategies: Set[String] = Set("co_occurrence", "similarity", "pagerank")
 
+  /** T3: the reference clamps requested result counts to [1,10]
+    * (`tp1/knoledge_graphs/api.py:66,82` — `max(1, min(10, top_n))`);
+    * out-of-range values are clamped, never errors. Shared by every
+    * API-level entry point (this dispatch, [[Engine.recommend]], the HTTP
+    * front door). */
+  def clampTopN(n: Int): Int = math.max(1, math.min(10, n))
+
   def recs(spark: SparkSession, dir: String, strategy: String,
-      customerId: Option[Long] = None, limit: Int = 10): DataFrame =
+      customerId: Option[Long] = None, limit: Int = 10): DataFrame = {
+    val lim = clampTopN(limit)
     strategy match {
-      case "co_occurrence" => Relational.coocTopk(spark, dir, limit)
+      case "co_occurrence" => Relational.coocTopk(spark, dir, lim)
       case "similarity" => customerId match {
-        case Some(c) => Recommend.collabTopkFor(spark, dir, c, limit)
-        case None    => Relational.popularityTopk(spark, dir, limit)
+        case Some(c) => Recommend.collabTopkFor(spark, dir, c, lim)
+        case None    => Relational.popularityTopk(spark, dir, lim)
       }
-      case "pagerank" => Relational.orderfreqTopk(spark, dir, limit)
+      case "pagerank" => Relational.orderfreqTopk(spark, dir, lim)
       case other => throw new IllegalArgumentException(
         s"unknown strategy: $other (expected one of ${Strategies.mkString(", ")})")
     }
+  }
 }

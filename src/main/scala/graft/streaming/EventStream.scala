@@ -33,9 +33,10 @@ object EventStream {
     StructField("props", StringType)))
 
   /** Streaming source over the events parquet dir, ns→µs normalized like
-    * the batch reader. */
+    * the batch reader (the session must be built with
+    * `spark.sql.legacy.parquet.nanosAsLong=true`, same contract as
+    * [[graft.model.Tables.events]]). */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source monitors a DIRECTORY; the testdata ships one
     // parquet file per table in a flat dir, so glob-filter to the table
     spark.readStream

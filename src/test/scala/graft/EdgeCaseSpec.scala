@@ -45,4 +45,21 @@ class EdgeCaseSpec extends SparkSpec {
     val s = graft.operators.Similarity.simTopk(spark, dir, k = 1000)
     assert(s.filter(col("cosine") < -1 || col("cosine") > 1).count() == 0)
   }
+
+  test("T3: RecsApi clamps limit to [1,10] — 0, -5 and 99 never error") {
+    import graft.rec.RecsApi
+    assert(RecsApi.recs(spark, dir, "co_occurrence", limit = 0).count() == 1)
+    assert(RecsApi.recs(spark, dir, "co_occurrence", limit = -5).count() == 1)
+    assert(RecsApi.recs(spark, dir, "co_occurrence", limit = 99).count() == 10)
+  }
+
+  test("T3: Engine.recommend clamps topN to [1,10] on the toy graph") {
+    import graft.rec.Engine
+    val g = Engine.fromOrders(spark, Fixtures.write(spark))
+    // C1's toy blend has 2 candidates (P3, P4) — topN=-5 clamps to 1
+    assert(Engine.recommend(spark, g, 1L, topN = -5).count() == 1)
+    // 99 clamps to 10, which exceeds the candidate count → all candidates
+    val all = Engine.recommend(spark, g, 1L, topN = 99).count()
+    assert(all >= 1 && all <= 10)
+  }
 }

@@ -34,6 +34,31 @@ class PageRankSpec extends SparkSpec {
     }
   }
 
+  test("distributed loop matches the same goldens (localThreshold=0)") {
+    // the single-task fast path handles small graphs; force the
+    // co-partitioned RDD loop to keep the 100-TB code path golden-tested
+    val r = PageRank.run(spark,
+        toyVertices(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0)),
+        toyEdges, PageRank.Params(localThreshold = 0L))
+      .as[(Long, Double)].collect().toMap
+    val golden = Map(1L -> 0.244544, 2L -> 0.463293, 3L -> 0.047619,
+      4L -> 0.244544)
+    golden.foreach { case (id, exp) =>
+      assert(math.abs(r(id) - exp) < 2e-6, s"vertex $id: ${r(id)} vs $exp")
+    }
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("fast path and distributed loop agree to fp noise (seeded)") {
+    val local = ranks(Map(1L -> 1.0))
+    val dist = PageRank.run(spark, toyVertices(Map(1L -> 1.0)), toyEdges,
+        PageRank.Params(localThreshold = 0L))
+      .as[(Long, Double)].collect().toMap
+    local.foreach { case (id, v) =>
+      assert(math.abs(v - dist(id)) < 1e-9, s"vertex $id: $v vs ${dist(id)}")
+    }
+  }
+
   test("rank is a probability distribution (Σ=1)") {
     val r = ranks(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
     assert(math.abs(r.values.sum - 1.0) < 1e-9)

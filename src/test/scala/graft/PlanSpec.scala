@@ -37,4 +37,15 @@ class PlanSpec extends SparkSpec {
     // orders side prunes to the two join/agg columns
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), p)
   }
+
+  test("no declared query plans an unpartitioned Window (single-partition scale guard)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+      }
+      assert(bad.isEmpty,
+        s"$name funnels all rows into one partition via Window.partitionBy(): $bad")
+    }
+  }
 }
