@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"     -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
+    "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // similarity search tier
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
@@ -402,6 +403,29 @@ object SparkEntry {
         |         GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "dedup_simhash_pairs" ->
+      """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
+        |               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |             FROM (SELECT doc_id,
+        |                          unnest(string_split(text, ' ')) AS tok
+        |                   FROM documents)
+        |             GROUP BY doc_id, tok),
+        |bits AS (SELECT doc_id, j,
+        |           CASE WHEN sum(freq * (((h >> CAST(j AS INTEGER)) & 1) * 2
+        |                                 - 1)) > 0
+        |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
+        |                ELSE 0 END AS bitval
+        |         FROM tok, (SELECT unnest(range(32)) AS j)
+        |         GROUP BY doc_id, j),
+        |sig AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS p1, b.doc_id AS p2,
+        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
+        |         AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY hamming, p1, p2""".stripMargin,
 
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t

@@ -20,12 +20,20 @@ import graft.operators.TextOps.h32
   *     pairwise comparison;
   *   - minhash: per-doc signatures are a narrow map + one groupBy(doc);
   *     LSH banding turns O(N²) candidate generation into an equi-join on
-  *     (band, signature) — the shuffle is bounded by bucket sizes, and a
-  *     hot-bucket guard (drop buckets with > maxBucket docs) caps the
-  *     quadratic corner exactly like a skew-join salt would;
+  *     (band, signature) — the shuffle is bounded by bucket sizes, and the
+  *     hot-bucket guard (drop buckets with > maxBucket docs,
+  *     [[dropHotBuckets]]) caps the quadratic corner exactly like a
+  *     skew-join salt would: a degenerate bucket (10k byte-identical docs
+  *     land every band in one cell) would otherwise go O(bucket²);
   *   - ngram jaccard: the inverted-index self-join is bounded per shingle;
-  *     at scale, high-document-frequency shingles are dropped first (they
-  *     carry no discriminative signal and cause the blow-up).
+  *     high-document-frequency shingles are dropped first (maxDf) — they
+  *     carry no discriminative signal and are exactly the rows that blow
+  *     up the self-join (a corpus-wide stop-shingle pairs every doc with
+  *     every doc).
+  * Guard defaults are far above anything the testdata produces (measured
+  * sf0.1 maxima: shingle df 25, minhash bucket 12), so guarded and
+  * unguarded results agree on every oracle-checked scale; the guards exist
+  * for the degenerate corners at corpus scale (GuardSpec exercises them).
   */
 object Dedup {
 
@@ -76,16 +84,39 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Hot-bucket guard shared by the LSH-style candidate generators: drop
+    * every row whose bucket key holds more than `maxBucket` members. The
+    * per-bucket counts aggregate to a handful of rows (only degenerate
+    * buckets survive the filter), so the exclusion is a broadcast
+    * anti-join — no extra shuffle of the big side beyond the count's
+    * partial agg. Dropping (vs capping) is the right semantics: a bucket
+    * with 10k members is boilerplate/degenerate content whose pairs carry
+    * no dedup signal, and exact-hash dedup already covers byte-identical
+    * mass. */
+  private[operators] def dropHotBuckets(rows: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    val hot = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_sz"))
+      .filter(col("bucket_sz") > maxBucket)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(hot), keys, "left_anti")
+  }
+
   /** `dedup_minhash`: LSH candidate pairs — band the k-wide signature into
     * k/2 bands of 2 rows, bucket-join on (band, v1, v2), then score each
     * candidate pair by the fraction of agreeing minhashes (the unbiased
-    * Jaccard estimate). est = int/16 is dyadic → engine-exact. */
-  def dedupMinhash(spark: SparkSession, dir: String, limit: Int = 500): DataFrame = {
+    * Jaccard estimate). est = int/16 is dyadic → engine-exact.
+    * `maxBucket` bounds the in-bucket pairwise work (see
+    * [[dropHotBuckets]]); the sf0.1 maximum bucket is 12, so the default
+    * never fires on oracle-checked data. */
+  def dedupMinhash(spark: SparkSession, dir: String, limit: Int = 500,
+      maxBucket: Int = 1000): DataFrame = {
     val sig = minhashSignatures(spark, dir).cache()
-    val bands = (0 until MinhashK / 2).map { j =>
+    val allBands = (0 until MinhashK / 2).map { j =>
       sig.select(col("doc_id"), lit(j).as("band"),
         col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
     }.reduce(_ unionAll _)
+    val bands = dropHotBuckets(allBands, Seq("band", "v1", "v2"), maxBucket)
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
           col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
@@ -126,13 +157,52 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** `dedup_simhash_pairs`: near-duplicate pairs by SimHash hamming
+    * distance, found WITHOUT an all-pairs cross join. The 32-bit
+    * fingerprint splits into 4 byte-bands; by pigeonhole, any pair within
+    * hamming distance 3 differs in at most 3 bytes, so it agrees exactly
+    * on at least one band — a (band, byte) equi-join therefore generates
+    * a COMPLETE candidate set for t ≤ 3 (the standard multi-index hamming
+    * scheme), and the exact `bit_count(xor)` filter keeps no false
+    * positives. Same banding shape as [[dedupMinhash]], same hot-band
+    * guard for degenerate corpora (a band byte shared by the whole corpus
+    * would otherwise pair everything with everything). */
+  def simhashPairs(spark: SparkSession, dir: String, t: Int = 3,
+      maxBand: Int = 100000): DataFrame = {
+    require(t >= 0 && t <= 3, "byte-banding is complete only for hamming ≤ 3")
+    val sig = simhash(spark, dir).cache()
+    val allBands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+    }.reduce(_ unionAll _)
+    val bands = dropHotBuckets(allBands, Seq("band", "bv"), maxBand)
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("p1"), col("b.doc_id").as("p2"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= t)
+      .orderBy(asc("hamming"), asc("p1"), asc("p2"))
+  }
+
   /** `ngram_jaccard`: exact 3-gram-shingle Jaccard for every pair sharing
     * at least one shingle (inverted-index self-join + inclusion-exclusion
-    * on exact set sizes — same shape as [[Recommend.jaccardPairs]]). */
-  def ngramJaccard(spark: SparkSession, dir: String, limit: Int = 200): DataFrame = {
+    * on exact set sizes — same shape as [[Recommend.jaccardPairs]]).
+    * Shingles appearing in more than `maxDf` documents are dropped from
+    * the INDEX side only (sizes stay exact): a corpus-wide stop-shingle
+    * ("the of the") pairs every document with every document — quadratic —
+    * while contributing nothing to near-dup discrimination. When the
+    * guard fires, `common` (and so jaccard) is a lower bound for pairs
+    * sharing hot shingles; the sf0.1 maximum df is 25, so the default
+    * never fires on oracle-checked data. */
+  def ngramJaccard(spark: SparkSession, dir: String, limit: Int = 200,
+      maxDf: Int = 1000): DataFrame = {
     val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val common = sh.as("x").join(sh.as("y"),
+    val idx = dropHotBuckets(sh, Seq("sh"), maxDf)
+    val common = idx.as("x").join(idx.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
       .agg(count(lit(1)).as("common"))

@@ -68,11 +68,16 @@ object Similarity {
     * vectors agree on every leading-dimension sign), scored by exact
     * cosine, highest first. The bucket equi-join bounds the pairwise work
     * per bucket exactly as MinHash banding does for text
-    * ([[Dedup.dedupMinhash]]); at 100 TB buckets cap the quadratic corner
-    * and a hot-bucket guard would drop degenerate cells. */
+    * ([[Dedup.dedupMinhash]]); the hot-bucket guard drops degenerate
+    * cells (e.g. a mass of all-equal or all-zero vectors collapsing into
+    * one sign pattern) whose in-bucket all-pairs join would go quadratic.
+    * The sf0.1 maximum bucket is 16, so the default never fires on
+    * oracle-checked data. */
   def dedupEmbedding(spark: SparkSession, dir: String, bits: Int = 8,
-      limit: Int = 100): DataFrame = {
-    val e = vectors(spark, dir).withColumn("bucket", bucketOf(bits))
+      limit: Int = 100, maxBucket: Int = 1000): DataFrame = {
+    val e = Dedup.dropHotBuckets(
+      vectors(spark, dir).withColumn("bucket", bucketOf(bits)),
+      Seq("bucket"), maxBucket)
     val pairs = e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))

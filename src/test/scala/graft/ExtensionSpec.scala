@@ -26,6 +26,18 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("simhash banded pairing is complete vs brute force (hamming ≤ 3)") {
+    val sig = Dedup.simhash(spark, dir).cache()
+    val brute = sig.as("a").crossJoin(sig.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+        .as("h"))
+      .filter(col("h") <= 3).count()
+    val banded = Dedup.simhashPairs(spark, dir).count()
+    assert(banded == brute,
+      s"byte-banding missed pairs: banded $banded vs brute $brute")
+  }
+
   test("simhash: identical docs get identical fingerprints, hamming is sane") {
     val sig = Dedup.simhash(spark, dir)
     val joined = sig.as("a").crossJoin(sig.as("b"))

@@ -1,0 +1,73 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.{Dedup, Similarity}
+
+/** Degenerate-bucket guards (VERDICT r1 item 3): a corpus with a huge
+  * byte-identical mass lands every LSH band/bucket in one cell; without
+  * the guards, the in-bucket all-pairs joins go quadratic (10k identical
+  * docs → ~50M candidate pairs PER BAND). These tests feed exactly that
+  * corpus with low thresholds and assert the guarded operators complete
+  * and still find the genuine near-duplicates outside the mass. Exact
+  * dedup (one hash groupBy) is the pass that owns byte-identical mass —
+  * dropping it from the near-dup tiers loses nothing. */
+class GuardSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 10k byte-identical docs + two genuinely near-dup docs (6 shingles,
+    * 5 shared → exact jaccard 5/7). */
+  private lazy val docsDir: String = {
+    val d = Files.createTempDirectory("graft-guard").toString
+    val mass = (1L to 10000L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta"))
+    val near = Seq(
+      (20001L, "one two three four five six seven eight"),
+      (20002L, "one two three four five six seven nine"))
+    (mass ++ near).toDF("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("minhash hot-bucket guard: 10k-identical-doc corpus completes; no mass pairs") {
+    val out = Dedup
+      .dedupMinhash(spark, docsDir, limit = 1000000, maxBucket = 100)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall { case (a, b, _) => a > 10000L && b > 10000L },
+      s"mass pair leaked: ${out.take(5).mkString(",")}")
+  }
+
+  test("ngram high-DF shingle drop: stop-shingle mass dropped, rare-shingle pair exact") {
+    val out = Dedup
+      .ngramJaccard(spark, docsDir, limit = 1000000, maxDf = 100)
+      .as[(Long, Long, Double)].collect()
+    assert(out.forall { case (a, b, _) => a > 10000L && b > 10000L })
+    // the near-dup pair only shares rare shingles — its exact jaccard
+    // survives the guard untouched (5 of 7 distinct shingles shared)
+    assert(out.exists { case (a, b, j) =>
+      a == 20001L && b == 20002L && math.abs(j - 5.0 / 7) < 1e-6 })
+  }
+
+  test("simhash hot-band guard bounds the banded pairing on the same corpus") {
+    val out = Dedup.simhashPairs(spark, docsDir, t = 3, maxBand = 100)
+      .as[(Long, Long, Long)].collect()
+    assert(out.forall { case (a, b, _) => a > 10000L && b > 10000L })
+  }
+
+  test("embedding hot-bucket guard: identical-vector mass dropped, near pair kept") {
+    val d = Files.createTempDirectory("graft-guard-emb").toString
+    val mass = (1L to 5000L).map(i => (i, Array.fill(8)(1.0f)))
+    val near = Seq(
+      (20001L, Array(-1.0f, 1f, 1f, 1f, 1f, 1f, 1f, 0.9f)),
+      (20002L, Array(-1.0f, 1f, 1f, 1f, 1f, 1f, 1f, 1.0f)))
+    (mass ++ near).toDF("vec_id", "embedding")
+      .coalesce(2).write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = Similarity.dedupEmbedding(spark, d, maxBucket = 100)
+      .as[(Long, Long, Double)].collect()
+    // the 5000-strong sign-bucket (all-positive → 255) is dropped; the
+    // two near vectors share bucket 254 and remain the only pair
+    assert(out.length == 1, out.mkString(","))
+    assert(out.head._1 == 20001L && out.head._2 == 20002L)
+    assert(out.head._3 > 0.99)
+  }
+}
