@@ -1,0 +1,74 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.scalatest.BeforeAndAfterAll
+
+import graft.serve.HttpApi
+
+/** In-process HTTP front-door tests on the toy fixture (the reference's
+  * endpoint surface: `tp2/app/main.py:27-89`, `tp1 api.py:54-96`). */
+class ServeSpec extends SparkSpec with BeforeAndAfterAll {
+
+  private lazy val api = new HttpApi(spark, Fixtures.write(spark))
+  private lazy val port = api.start()
+  private lazy val client = HttpClient.newHttpClient()
+
+  override def afterAll(): Unit = api.stop()
+
+  private def get(path: String): (Int, String) = {
+    val req = HttpRequest
+      .newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build()
+    val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+    (resp.statusCode(), resp.body())
+  }
+
+  test("GET /health is a liveness probe") {
+    val (code, body) = get("/health")
+    assert(code == 200 && body.contains("\"ok\":true"), body)
+  }
+
+  test("GET / lists the endpoints") {
+    val (code, body) = get("/")
+    assert(code == 200 && body.contains("\"/recs\""), body)
+  }
+
+  test("GET /recs defaults to co_occurrence with the tp2 envelope") {
+    val (code, body) = get("/recs")
+    assert(code == 200, body)
+    assert(body.contains("\"strategy\":\"co_occurrence\""), body)
+    assert(body.contains("\"recommendations\":[{"), body)
+    assert(body.contains("\"product_id\":"), body)
+  }
+
+  test("GET /recs with similarity + customer_id dispatches the 3-hop path") {
+    val (code, body) = get("/recs?strategy=similarity&customer_id=1&limit=5")
+    assert(code == 200, body)
+    assert(body.contains("\"customer_id\":1"), body)
+  }
+
+  test("GET /recs with an unknown strategy is a 400 with detail") {
+    val (code, body) = get("/recs?strategy=bogus")
+    assert(code == 400 && body.contains("Unknown strategy"), body)
+  }
+
+  test("GET /customers/{id}/recommendations carries the contributions map") {
+    val (code, body) = get("/customers/1/recommendations?top_n=3")
+    assert(code == 200, body)
+    assert(body.contains("\"contributions\":{\"co_occurrence\":"), body)
+    assert(body.contains("\"personalized_pagerank\":"), body)
+  }
+
+  test("GET /customers/{id}/recommendations for an unknown customer is 404") {
+    val (code, body) = get("/customers/9999/recommendations")
+    assert(code == 404 && body.contains("unknown customer"), body)
+  }
+
+  test("GET /customers/{id}/strategies returns the per-strategy breakdown") {
+    val (code, body) = get("/customers/1/strategies?top_n=2")
+    assert(code == 200, body)
+    assert(body.contains("\"personalized_pagerank\":["), body)
+    assert(body.contains("\"co_occurrence\":["), body)
+  }
+}
