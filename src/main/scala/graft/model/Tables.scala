@@ -43,4 +43,19 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** S2's live-database analogue (SURVEY §2.1): the reference extracts
+    * Postgres tables over a single cursor (`tp2/app/etl.py:201-206` —
+    * `SELECT *` + fetchall); on Spark the same extraction is a JDBC scan.
+    * Filters and column pruning push down to the database as SQL
+    * (JdbcSpec asserts the pushed filter reaches the scan), and passing
+    * `partitionColumn`/`lowerBound`/`upperBound`/`numPartitions` splits
+    * the extract into parallel range queries — the scale-out ingest
+    * shape the reference's fetchall loop can't express. */
+  def jdbc(s: SparkSession, url: String, table: String,
+      options: Map[String, String] = Map.empty): DataFrame =
+    options.foldLeft(
+        s.read.format("jdbc").option("url", url).option("dbtable", table)) {
+      case (r, (k, v)) => r.option(k, v)
+    }.load()
 }

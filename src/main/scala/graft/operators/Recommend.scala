@@ -125,7 +125,10 @@ object Recommend {
       .join(broadcast(seeds), col("src") === col("sp"))
       .groupBy(col("dst").as("product_id"))
       .agg(sum("cnt").as("s_cooc"))
-    val jp = jaccardPairs(spark, dir)
+    // cache: `sym` scans the pairs subplan twice (both orientations of
+    // the unionAll), and the same plan serves the jaccard_topk query —
+    // without the cache the expensive customer self-join runs twice here
+    val jp = jaccardPairs(spark, dir).cache()
     val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
     val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
