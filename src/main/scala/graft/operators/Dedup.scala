@@ -116,7 +116,9 @@ object Dedup {
       sig.select(col("doc_id"), lit(j).as("band"),
         col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
     }.reduce(_ unionAll _)
-    val bands = dropHotBuckets(allBands, Seq("band", "v1", "v2"), maxBucket)
+    // cached: the pruned bands feed both sides of the bucket self-join
+    val bands =
+      dropHotBuckets(allBands, Seq("band", "v1", "v2"), maxBucket).cache()
     val cand = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
           col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
@@ -175,7 +177,7 @@ object Dedup {
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
     }.reduce(_ unionAll _)
-    val bands = dropHotBuckets(allBands, Seq("band", "bv"), maxBand)
+    val bands = dropHotBuckets(allBands, Seq("band", "bv"), maxBand).cache()
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -201,7 +203,7 @@ object Dedup {
       maxDf: Int = 1000): DataFrame = {
     val sh = shingles(spark, dir).cache()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val idx = dropHotBuckets(sh, Seq("sh"), maxDf)
+    val idx = dropHotBuckets(sh, Seq("sh"), maxDf).cache()
     val common = idx.as("x").join(idx.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))

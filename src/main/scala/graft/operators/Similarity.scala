@@ -77,7 +77,7 @@ object Similarity {
       limit: Int = 100, maxBucket: Int = 1000): DataFrame = {
     val e = Dedup.dropHotBuckets(
       vectors(spark, dir).withColumn("bucket", bucketOf(bits)),
-      Seq("bucket"), maxBucket)
+      Seq("bucket"), maxBucket).cache()
     val pairs = e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
