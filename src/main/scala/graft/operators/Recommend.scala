@@ -72,7 +72,12 @@ object Recommend {
 
   /** Same computation over any (customer_id, product_id) incidence —
     * shared with [[graft.rec.Engine]], whose incidence may also include
-    * event-derived interactions (`graph.py:55-66`). */
+    * event-derived interactions (`graph.py:55-66`). Cached at the builder:
+    * the customer self-join is the expensive part and the SAME plan
+    * serves jaccard_topk, both blends (which scan it twice via the
+    * symmetrized union), and the strategy breakdown — Spark's cache
+    * manager matches by canonicalized plan, so every caller in a session
+    * shares one materialization. */
   def jaccardPairsFrom(b: DataFrame): DataFrame = {
     val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
     val common = b.as("x").join(b.as("y"),
@@ -86,6 +91,7 @@ object Recommend {
       .select(col("p1"), col("p2"),
         (col("common") / (col("s1.sz") + col("s2.sz") - col("common")))
           .as("jaccard"))
+      .cache()
   }
 
   /** `jaccard_topk`: top-k most-similar product pairs, deterministic
@@ -125,10 +131,7 @@ object Recommend {
       .join(broadcast(seeds), col("src") === col("sp"))
       .groupBy(col("dst").as("product_id"))
       .agg(sum("cnt").as("s_cooc"))
-    // cache: `sym` scans the pairs subplan twice (both orientations of
-    // the unionAll), and the same plan serves the jaccard_topk query —
-    // without the cache the expensive customer self-join runs twice here
-    val jp = jaccardPairs(spark, dir).cache()
+    val jp = jaccardPairs(spark, dir) // cached at the builder
     val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
     val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))

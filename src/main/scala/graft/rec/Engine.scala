@@ -90,8 +90,7 @@ object Engine {
       .groupBy(col("dst").as("product_id"))
       .agg(sum("cnt").as("s_cooc"))
     // strategy 2: Jaccard similarity — Σ over seeds of per-seed jaccard
-    // (cached: the sym unionAll reads the pairs subplan twice)
-    val jp = Recommend.jaccardPairsFrom(g.incidence).cache()
+    val jp = Recommend.jaccardPairsFrom(g.incidence) // cached at builder
     val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"),
         col("jaccard")))
@@ -184,7 +183,7 @@ object Engine {
         .agg(sum("cnt").cast("double").as("score")))
       .select(lit("co_occurrence").as("strategy"), col("product_id"),
         round(col("score"), 6).as("score"))
-    val jp = Recommend.jaccardPairsFrom(g.incidence).cache()
+    val jp = Recommend.jaccardPairsFrom(g.incidence)
     val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"),
         col("jaccard")))
