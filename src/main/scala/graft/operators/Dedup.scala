@@ -157,6 +157,7 @@ object Dedup {
     tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("doc_id"), sig.as("simhash"))
       .orderBy("doc_id")
+      .cache() // shared by the dedup_simhash query and [[simhashPairs]]
   }
 
   /** `dedup_simhash_pairs`: near-duplicate pairs by SimHash hamming
@@ -170,9 +171,16 @@ object Dedup {
     * guard for degenerate corpora (a band byte shared by the whole corpus
     * would otherwise pair everything with everything). */
   def simhashPairs(spark: SparkSession, dir: String, t: Int = 3,
+      maxBand: Int = 100000): DataFrame =
+    simhashPairsFrom(simhash(spark, dir), t, maxBand)
+
+  /** Banded pairing over any (doc_id, simhash) fingerprint relation —
+    * factored out so the pigeonhole-completeness claim is property-tested
+    * on arbitrary synthetic fingerprints (PropertySpec), not just the
+    * testdata corpus. */
+  def simhashPairsFrom(sig: DataFrame, t: Int = 3,
       maxBand: Int = 100000): DataFrame = {
     require(t >= 0 && t <= 3, "byte-banding is complete only for hamming ≤ 3")
-    val sig = simhash(spark, dir).cache()
     val allBands = (0 until 4).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))

@@ -50,6 +50,34 @@ class PropertySpec extends SparkSpec {
     assert(r(2L) > r(0L)) // personalization survives sink redistribution
   }
 
+  test("simhash byte-banding finds EVERY pair within hamming 3 (random fingerprints)") {
+    // pigeonhole claim behind dedup_simhash_pairs: 3 differing bits touch
+    // at most 3 of the 4 bytes, so one byte-band always matches. Random
+    // fingerprints are drawn clustered (few distinct base values, random
+    // low-weight flips) so small-hamming pairs actually occur.
+    val fpGen = for {
+      base <- Gen.choose(0L, 0xFFFFFFFFL)
+      flips <- Gen.choose(0, 4)
+      bits <- Gen.listOfN(flips, Gen.choose(0, 31))
+    } yield bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val corpus = Gen.listOfN(40, fpGen)
+    samples(corpus, 6).foreach { fps =>
+      val sig = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+        .toDF("doc_id", "simhash")
+      val banded = graft.operators.Dedup.simhashPairsFrom(sig, t = 3)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = (for {
+        (a, i) <- fps.zipWithIndex; (b, j) <- fps.zipWithIndex
+        if i < j
+        h = java.lang.Long.bitCount(a ^ b)
+        if h <= 3
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      assert(banded == brute,
+        s"banded ${banded.size} vs brute ${brute.size}: " +
+          s"missing ${(brute -- banded).take(3)}")
+    }
+  }
+
   test("jaccard is within [0,1] and symmetric on random incidences") {
     val pairsGen = Gen.listOfN(60, for {
       c <- Gen.choose(1L, 8L); p <- Gen.choose(1L, 10L)
