@@ -38,6 +38,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), p)
   }
 
+  test("hot-bucket guards exclude via broadcast anti-join (no big-side shuffle)") {
+    // the guard's oversized-bucket list is a handful of rows — it must
+    // broadcast, never shuffle the band/index relation a third time
+    Seq(graft.operators.Dedup.dedupMinhash(spark, dir),
+        graft.operators.Dedup.ngramJaccard(spark, dir),
+        graft.operators.Similarity.dedupEmbedding(spark, dir)).foreach { df =>
+      val p = plan(df)
+      assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+    }
+  }
+
   test("no declared query plans an unpartitioned Window (single-partition scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     SparkEntry.queries.foreach { case (name, fn) =>
