@@ -71,7 +71,26 @@ object Engine {
     * (product_id, score, c_cooc, c_sim, c_ppr, c_global) — the per-
     * strategy contribution breakdown the reference's API returns. */
   def recommend(spark: SparkSession, gRaw: ProductGraph, customerId: Long,
-      topN: Int = 3): DataFrame = {
+      topN: Int = 3): DataFrame =
+    recommendInternal(spark, gRaw, customerId, topN)._1
+
+  /** Serving path ([[graft.serve.HttpApi]]): materializes the top-N and
+    * releases the PER-REQUEST caches (this customer's seed set and
+    * candidate table). A long-lived server answering many customers would
+    * otherwise accumulate one cache entry per request; the session-level
+    * builder caches (incidence, cooc, jaccard pairs, PageRank adjacency)
+    * are shared across customers and stay. */
+  def recommendRows(spark: SparkSession, gRaw: ProductGraph,
+      customerId: Long, topN: Int = 3)
+      : Array[org.apache.spark.sql.Row] = {
+    val (df, perRequest) = recommendInternal(spark, gRaw, customerId, topN)
+    val rows = df.collect()
+    perRequest.foreach(_.unpersist(blocking = false))
+    rows
+  }
+
+  private def recommendInternal(spark: SparkSession, gRaw: ProductGraph,
+      customerId: Long, topN: Int): (DataFrame, Seq[DataFrame]) = {
     // T3: [1,10] clamp, default 3 (api.py:66) — shared with RecsApi
     val n = RecsApi.clampTopN(topN)
     ensureKnown(gRaw, customerId)
@@ -83,7 +102,7 @@ object Engine {
     val seeds = g.incidence
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")).cache()
-    if (seeds.isEmpty) return globalFallback(spark, g, n)
+    if (seeds.isEmpty) return (globalFallback(spark, g, n), Seq(seeds))
 
     // strategy 1: co-occurrence — Σ over seeds of pair counts (A7)
     val cScore = g.cooc.join(broadcast(seeds), col("src") === col("sp"))
@@ -128,7 +147,7 @@ object Engine {
       max(col("s_jacc")).as("max_jacc"))
     def norm(c: String, m: String) =
       when(col(m) > 0, col(c) / col(m)).otherwise(0.0)
-    cand.crossJoin(broadcast(maxes))
+    val out = cand.crossJoin(broadcast(maxes))
       .withColumn("nc", norm("s_cooc", "max_cooc"))
       .withColumn("nj", norm("s_jacc", "max_jacc"))
       .withColumn("np", when(col("ppr_max") > 0,
@@ -144,6 +163,7 @@ object Engine {
         lit(0.0).as("c_global"))
       .orderBy(desc("score"), asc("product_id"))
       .limit(n)
+    (out, Seq(seeds, cand))
   }
 
   /** G2: seedless customers get the global PageRank top-N, labeled
@@ -164,17 +184,31 @@ object Engine {
     * per-strategy rankings for debugging. Returns
     * (strategy, product_id, score). */
   def strategyBreakdown(spark: SparkSession, g: ProductGraph,
-      customerId: Long): DataFrame = {
+      customerId: Long): DataFrame =
+    breakdownInternal(spark, g, customerId)._1
+
+  /** Serving path twin of [[recommendRows]] for the breakdown endpoint:
+    * collect, then release the per-request seed cache. */
+  def breakdownRows(spark: SparkSession, g: ProductGraph,
+      customerId: Long): Array[org.apache.spark.sql.Row] = {
+    val (df, perRequest) = breakdownInternal(spark, g, customerId)
+    val rows = df.collect()
+    perRequest.foreach(_.unpersist(blocking = false))
+    rows
+  }
+
+  private def breakdownInternal(spark: SparkSession, g: ProductGraph,
+      customerId: Long): (DataFrame, Seq[DataFrame]) = {
     ensureKnown(g, customerId)
     val seeds = g.incidence
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")).cache()
     if (seeds.isEmpty)
-      return PageRank.run(spark,
+      return (PageRank.run(spark,
           g.products.withColumn("pers", lit(1.0)), adjacency(g))
         .select(lit("global_pagerank").as("strategy"),
           col("id").as("product_id"), round(col("rank"), 6).as("score"))
-        .orderBy(desc("score"), asc("product_id"))
+        .orderBy(desc("score"), asc("product_id")), Seq(seeds))
     def dropSeeds(df: DataFrame): DataFrame =
       df.join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
     val cScore = dropSeeds(
@@ -202,7 +236,8 @@ object Engine {
         .select(col("id").as("product_id"), col("rank").as("score")))
       .select(lit("personalized_pagerank").as("strategy"), col("product_id"),
         round(col("score"), 6).as("score"))
-    cScore.unionAll(jScore).unionAll(pScore)
-      .orderBy(asc("strategy"), desc("score"), asc("product_id"))
+    (cScore.unionAll(jScore).unionAll(pScore)
+      .orderBy(asc("strategy"), desc("score"), asc("product_id")),
+      Seq(seeds))
   }
 }

@@ -124,7 +124,9 @@ final class HttpApi(spark: SparkSession, dir: String, port: Int = 0) {
       case (Some(id), Some("recommendations")) =>
         val topN = params(ex).get("top_n").flatMap(_.toIntOption).getOrElse(3)
         try {
-          val items = Engine.recommend(spark, g, id, topN).collect().map { r =>
+          // recommendRows releases the per-request caches after collect —
+          // a long-lived server must not accumulate one entry per request
+          val items = Engine.recommendRows(spark, g, id, topN).map { r =>
             s"""{"product_id":${r.getLong(0)},"score":${r.getDouble(1)},""" +
               s""""contributions":{"co_occurrence":${r.getDouble(2)},""" +
               s""""similarity":${r.getDouble(3)},""" +
@@ -139,7 +141,7 @@ final class HttpApi(spark: SparkSession, dir: String, port: Int = 0) {
         val topN = RecsApi.clampTopN(
           params(ex).get("top_n").flatMap(_.toIntOption).getOrElse(3))
         try {
-          val by = Engine.strategyBreakdown(spark, g, id).collect()
+          val by = Engine.breakdownRows(spark, g, id)
             .groupBy(_.getString(0))
           // the reference's breakdown dict always carries every strategy
           // key, empty lists included (recommendation.py:70-89); seedless

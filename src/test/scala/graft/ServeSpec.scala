@@ -65,6 +65,22 @@ class ServeSpec extends SparkSpec with BeforeAndAfterAll {
     assert(code == 404 && body.contains("unknown customer"), body)
   }
 
+  test("non-numeric customer id and junk top_n degrade gracefully") {
+    val (code, _) = get("/customers/abc/recommendations")
+    assert(code == 404)
+    val (code2, body2) = get("/customers/1/recommendations?top_n=abc")
+    assert(code2 == 200, body2) // unparseable top_n falls back to default 3
+  }
+
+  test("per-request caches are released after serving (no cache leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach(_ => get("/customers/1/recommendations?top_n=3"))
+    val after = spark.sparkContext.getPersistentRDDs.size
+    // session-level builder caches may appear once; per-request seed and
+    // candidate caches must not accumulate per call
+    assert(after - before <= 4, s"cache entries grew $before -> $after")
+  }
+
   test("GET /customers/{id}/strategies returns the per-strategy breakdown") {
     val (code, body) = get("/customers/1/strategies?top_n=2")
     assert(code == 200, body)
