@@ -68,6 +68,17 @@ object EventStream {
       .select(col("user_id"), col("w.start").as("start"),
         col("w.end").as("end"), col("n_events"))
 
+  /** Streaming ingestion dedup — the exactly-once guard a training-data
+    * pipeline puts in front of every append-only sink (the streaming twin
+    * of `dedup_exact`'s hash groupBy): the first occurrence of each key
+    * passes, replays and duplicates within the watermark horizon drop,
+    * and the dedup state is bounded by (horizon × arrival rate) instead
+    * of all-time key history — the property that makes the operator
+    * viable at 100 TB/day (`dropDuplicatesWithinWatermark`). */
+  def dedupEvents(events: DataFrame, key: String = "event_id"): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(key)
+
   /** Per-user running state for the custom-state path
     * (`flatMapGroupsWithState`): event count + cumulative dyadic weight
     * (same CASE weights as `EventsOps.eventWeights`, so the final states

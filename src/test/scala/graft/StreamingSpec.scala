@@ -89,6 +89,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events, keeps one row per id") {
+    // a source dir whose events file contains every event TWICE (replay)
+    val src = graft.model.Tables.events(spark, dir)
+      .select(col("event_id"), expr("unix_micros(ts) * 1000").as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+    // the testdata layout ships events.parquet as a single FILE (the
+    // stream source's pathGlobFilter matches leaf file names) — write to
+    // a staging dir and move the single part file into place
+    val tmp = java.nio.file.Files.createTempDirectory("graft-replay").toString
+    src.unionAll(src).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/staging")
+    val part = new java.io.File(s"$tmp/staging").listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$tmp/events.parquet"))
+    val q = EventStream.dedupEvents(EventStream.readEvents(spark, tmp))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("dedup_stream").start()
+    try {
+      q.processAllAvailable()
+      val unique = graft.model.Tables.events(spark, dir)
+        .select("event_id").distinct().count()
+      assert(spark.table("dedup_stream").count() == unique)
+      assert(spark.table("dedup_stream")
+        .groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+    } finally q.stop()
+  }
+
   test("multimodal: features are partition-parallel, normalized, typed") {
     val f = Multimodal.features(spark, dir).cache()
     assert(f.count() > 0)
