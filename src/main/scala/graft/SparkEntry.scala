@@ -71,8 +71,9 @@ object SparkEntry {
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
     "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
-    // multimodal plumbing (decode stubbed — see Multimodal scaladoc)
+    // multimodal plumbing (decode/demux stubbed — see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
+    "multimodal_frames"   -> ((s, d) => Multimodal.framesQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -541,5 +542,20 @@ object SparkEntry {
         |       CAST(length(text) AS BIGINT) AS n_bytes,
         |       CAST(16 AS BIGINT) AS dim
         |FROM documents ORDER BY asset_id""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH v AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 2),
+        |f AS (SELECT doc_id,
+        |             unnest(range(0, CAST(ceil(length(text) / 256.0) AS BIGINT),
+        |                          2)) AS frame_idx,
+        |             text
+        |      FROM v)
+        |SELECT doc_id AS asset_id, frame_idx,
+        |       CAST(length(substr(text, CAST(frame_idx * 256 + 1 AS INTEGER),
+        |                          256)) AS BIGINT) AS n_bytes,
+        |       CAST(('0x' || substr(md5(substr(text,
+        |              CAST(frame_idx * 256 + 1 AS INTEGER), 256)), 1, 8))
+        |            AS BIGINT) AS frame_fp
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
   )
 }

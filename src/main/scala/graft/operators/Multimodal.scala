@@ -90,4 +90,47 @@ object Multimodal {
       .select(col("asset_id"), col("kind"), col("n_bytes"),
         size(col("features")).cast("long").as("dim"))
       .orderBy("asset_id")
+
+  /** One sampled frame: position, size, and a 32-bit content
+    * fingerprint of the raw frame bytes. */
+  final case class Frame(asset_id: Long, frame_idx: Long, n_bytes: Long,
+      frame_fp: Long)
+
+  /** `multimodal_frames`: frame sampling for video assets — every
+    * `every`-th fixed-size byte window of the payload becomes one frame
+    * row. The "demuxer" here is a byte slicer (==== STUB ====: a real
+    * container demuxer slots into the same loop); the plumbing is the
+    * production shape — `mapPartitions` over the typed asset Dataset so
+    * the demuxer context (here the reused MessageDigest; in production a
+    * codec handle + native buffers) is allocated once per PARTITION, and
+    * payload bytes never shuffle: only (id, idx, size, fingerprint) rows
+    * flow downstream. Oracle-checkable because the testdata payloads are
+    * ASCII (byte windows == character windows, verified over every sf),
+    * so DuckDB replays the exact slicing + md5 fingerprint in SQL. */
+  def frameSample(spark: SparkSession, dir: String, frameSize: Int = 256,
+      every: Int = 2): Dataset[Frame] = {
+    import spark.implicits._
+    assets(spark, dir).filter(col("kind") === "video").mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.flatMap { a =>
+        val n = a.payload.length
+        val nFrames = (n + frameSize - 1) / frameSize
+        Iterator.range(0, nFrames, every).map { i =>
+          val start = i * frameSize
+          val len = math.min(frameSize, n - start)
+          md5.reset()
+          val hex = md5
+            .digest(java.util.Arrays.copyOfRange(a.payload, start, start + len))
+            .map("%02x".format(_)).mkString
+          Frame(a.asset_id, i.toLong, len.toLong,
+            java.lang.Long.parseLong(hex.substring(0, 8), 16))
+        }
+      }
+    }
+  }
+
+  /** Declared-query form of [[frameSample]]. */
+  def framesQuery(spark: SparkSession, dir: String): DataFrame =
+    frameSample(spark, dir).toDF()
+      .orderBy("asset_id", "frame_idx")
 }

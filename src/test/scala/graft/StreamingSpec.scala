@@ -119,6 +119,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multimodal frame sampling: coverage, stride, and boundary sizes") {
+    val frames = Multimodal.frameSample(spark, dir).cache()
+    val videos = Multimodal.assets(spark, dir)
+      .filter(col("kind") === "video").cache()
+    // one row group per video asset; stride-2 indices only
+    assert(frames.select("asset_id").distinct().count() == videos.count())
+    assert(frames.filter(col("frame_idx") % 2 =!= 0).count() == 0)
+    // every frame is full-size except possibly the asset's last one
+    val shortFrames = frames.filter(col("n_bytes") < 256)
+    assert(shortFrames.groupBy("asset_id").count()
+      .filter(col("count") > 1).count() == 0)
+    // fingerprints match the column-expression md5 path (same hash family
+    // the oracle replays) for a spot-checked asset
+    val a = videos.orderBy("asset_id").limit(1)
+      .select(col("asset_id"), expr("substr(cast(payload as string), 1, 256)")
+        .as("f0")).withColumn("fp", graft.operators.TextOps.h32(col("f0")))
+      .select("asset_id", "fp").as[(Long, Long)].collect().head
+    val got = frames.filter(col("asset_id") === a._1)
+      .filter(col("frame_idx") === 0).select("frame_fp")
+      .as[Long].collect().head
+    assert(got == a._2, s"asset ${a._1}: jvm fp $got vs expr fp ${a._2}")
+    frames.unpersist(); videos.unpersist()
+  }
+
   test("multimodal: features are partition-parallel, normalized, typed") {
     val f = Multimodal.features(spark, dir).cache()
     assert(f.count() > 0)
