@@ -74,6 +74,7 @@ object SparkEntry {
     // multimodal plumbing (decode/demux stubbed — see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames"   -> ((s, d) => Multimodal.framesQuery(s, d)),
+    "multimodal_resize"   -> ((s, d) => Multimodal.resizeQuery(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -557,5 +558,15 @@ object SparkEntry {
         |              CAST(frame_idx * 256 + 1 AS INTEGER), 256)), 1, 8))
         |            AS BIGINT) AS frame_fp
         |FROM f ORDER BY asset_id, frame_idx""".stripMargin,
+
+    "multimodal_resize" ->
+      """WITH im AS (SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0),
+        |r AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,
+        |             regexp_replace(text, '(.)(.)', '\1', 'g') AS rz
+        |      FROM im)
+        |SELECT doc_id AS asset_id, n_bytes,
+        |       CAST(length(rz) AS BIGINT) AS resized_bytes,
+        |       CAST(('0x' || substr(md5(rz), 1, 8)) AS BIGINT) AS resized_fp
+        |FROM r ORDER BY asset_id""".stripMargin,
   )
 }

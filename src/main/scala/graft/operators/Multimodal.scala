@@ -133,4 +133,38 @@ object Multimodal {
   def framesQuery(spark: SparkSession, dir: String): DataFrame =
     frameSample(spark, dir).toDF()
       .orderBy("asset_id", "frame_idx")
+
+  /** One resized asset: original and downsampled sizes plus a 32-bit
+    * fingerprint of the downsampled bytes. */
+  final case class Resized(asset_id: Long, n_bytes: Long,
+      resized_bytes: Long, resized_fp: Long)
+
+  /** `multimodal_resize`: nearest-neighbor downsampling for image assets
+    * — keep every `factor`-th payload byte (==== STUB ====: a real
+    * implementation decodes pixels and resamples; the nearest-neighbor
+    * byte stride is the honest stand-in with identical data movement).
+    * Same plumbing contract as [[frameSample]]: partition-amortized
+    * context, no payload shuffle, small rows out. Oracle-checked for
+    * factor=2 via the pair-regex in DuckDB (ASCII payloads, no
+    * newlines — both verified over every sf). */
+  def resize(spark: SparkSession, dir: String,
+      factor: Int = 2): Dataset[Resized] = {
+    import spark.implicits._
+    assets(spark, dir).filter(col("kind") === "image").mapPartitions { it =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+      it.map { a =>
+        val out = new Array[Byte]((a.payload.length + factor - 1) / factor)
+        var i = 0
+        while (i < out.length) { out(i) = a.payload(i * factor); i += 1 }
+        md5.reset()
+        val hex = md5.digest(out).map("%02x".format(_)).mkString
+        Resized(a.asset_id, a.payload.length.toLong, out.length.toLong,
+          java.lang.Long.parseLong(hex.substring(0, 8), 16))
+      }
+    }
+  }
+
+  /** Declared-query form of [[resize]]. */
+  def resizeQuery(spark: SparkSession, dir: String): DataFrame =
+    resize(spark, dir).toDF().orderBy("asset_id")
 }

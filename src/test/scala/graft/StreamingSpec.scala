@@ -143,6 +143,16 @@ class StreamingSpec extends SparkSpec {
     frames.unpersist(); videos.unpersist()
   }
 
+  test("multimodal resize halves sizes (ceil) for every image asset") {
+    val r = Multimodal.resize(spark, dir).cache()
+    val images = Multimodal.assets(spark, dir)
+      .filter(col("kind") === "image").count()
+    assert(r.count() == images)
+    assert(r.filter(col("resized_bytes") =!=
+      ceil(col("n_bytes") / 2.0).cast("long")).count() == 0)
+    r.unpersist()
+  }
+
   test("multimodal: features are partition-parallel, normalized, typed") {
     val f = Multimodal.features(spark, dir).cache()
     assert(f.count() > 0)
