@@ -70,6 +70,7 @@ object SparkEntry {
     // similarity search tier
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
     "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
+    "knn_multiprobe"    -> ((s, d) => Similarity.knnMultiProbe(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     // multimodal plumbing (decode/demux stubbed — see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
@@ -484,6 +485,39 @@ object SparkEntry {
         |               6) AS cosine
         |           FROM eb e2 JOIN probes p
         |             ON e2.bucket = p.pbucket AND e2.vec_id <> p.pid),
+        |ranked AS (SELECT pid, vec_id, cosine,
+        |             CAST(row_number() OVER (PARTITION BY pid
+        |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        |           FROM scored)
+        |SELECT pid, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    "knn_multiprobe" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |eb AS (SELECT vec_id, v,
+        |         (SELECT CAST(sum(CASE WHEN v[CAST(i AS INTEGER) + 1] > 0
+        |                     THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+        |                     ELSE 0 END) AS BIGINT)
+        |          FROM (SELECT unnest(range(8)) AS i)) AS bucket
+        |       FROM e),
+        |probes AS (SELECT vec_id AS pid, v AS pv, bucket AS pbucket
+        |           FROM eb ORDER BY vec_id LIMIT 5),
+        |cand AS (SELECT pid, pv,
+        |           unnest(list_concat([pbucket],
+        |             list_transform(range(8),
+        |               i -> xor(pbucket,
+        |                 CAST(1 AS BIGINT) << CAST(i AS INTEGER))))) AS cb
+        |         FROM probes),
+        |scored AS (SELECT c.pid, e2.vec_id,
+        |             round(list_sum(list_transform(list_zip(e2.v, c.pv),
+        |                                           s -> s[1] * s[2]))
+        |               / (sqrt(list_sum(list_transform(e2.v, x -> x*x)))
+        |                  * sqrt(list_sum(list_transform(c.pv, x -> x*x)))),
+        |               6) AS cosine
+        |           FROM eb e2 JOIN cand c
+        |             ON e2.bucket = c.cb AND e2.vec_id <> c.pid),
         |ranked AS (SELECT pid, vec_id, cosine,
         |             CAST(row_number() OVER (PARTITION BY pid
         |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank

@@ -91,6 +91,40 @@ object Similarity {
       .limit(limit)
   }
 
+  /** `knn_multiprobe`: ANN with the IVF `nprobe` lever — each probe
+    * searches its own sign-bucket PLUS every bucket at hamming distance 1
+    * (one flipped quantization bit), the standard multi-probe LSH recall
+    * fix: a near neighbor that lands on the other side of one hyperplane
+    * is no longer missed. Still an equi-join — the probe side explodes to
+    * (bits+1) candidate bucket ids (tiny, broadcast), the corpus side
+    * never fans out. Recall grows from 1 bucket to bits+1 buckets of
+    * candidates per probe at the same shuffle shape; cost stays bounded
+    * by bucket sizes, monotone in `bits`. */
+  def knnMultiProbe(spark: SparkSession, dir: String, bits: Int = 8,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val e = vectors(spark, dir).withColumn("bucket", bucketOf(bits))
+    val probes = e.orderBy("vec_id").limit(nProbes)
+      .select(col("vec_id").as("pid"), col("v").as("pv"),
+        col("bucket").as("pbucket"))
+    val candBuckets = probes.select(col("pid"), col("pv"),
+      explode(array(col("pbucket") +:
+        (0 until bits).map(b => col("pbucket")
+          .bitwiseXOR(lit(1L << b))): _*)).as("cb"))
+    val scored = e.join(broadcast(candBuckets),
+        col("bucket") === col("cb") && col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("pid")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy("pid", "rank")
+  }
+
   /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched
     * only against vectors in the same sign-bucket; per-probe top-k via a
     * rank window. The bucket equi-join replaces the all-pairs cross join:

@@ -70,6 +70,26 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("multi-probe ANN strictly widens single-bucket recall, scores exact") {
+    val brute = Similarity.simTopk(spark, dir, k = 1000)
+      .as[(Long, Double)].collect().toMap
+    val probeId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    def hits(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.filter(col("pid") === probeId).select("vec_id")
+        .as[Long].collect().toSet
+    val single = hits(Similarity.knnBucketed(spark, dir, k = 1000))
+    val multi = hits(Similarity.knnMultiProbe(spark, dir, k = 1000))
+    assert(single.subsetOf(multi),
+      s"multiprobe lost single-bucket hits: ${(single -- multi).take(3)}")
+    // every multiprobe score agrees with brute force to fp exactness
+    Similarity.knnMultiProbe(spark, dir, k = 1000)
+      .filter(col("pid") === probeId)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+      .foreach { case (id, cos) =>
+        assert(math.abs(brute(id) - cos) < 1e-9, s"vec $id") }
+  }
+
   test("sessionize: session counts bounded by events, durations non-negative") {
     val s = EventsOps.sessionize(spark, dir)
     val bad = s.filter(col("duration_us") < 0 || col("n_events") < 1).count()
