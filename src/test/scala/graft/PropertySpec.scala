@@ -26,18 +26,27 @@ class PropertySpec extends SparkSpec {
     } yield (s, d))
   } yield (n, edges.filter(e => e._1 != e._2).distinct)
 
-  test("PageRank conserves probability mass on random graphs") {
+  test("PageRank conserves mass; fast path ≡ distributed loop on random graphs") {
     samples(smallGraph, 8).foreach { case (n, edges) =>
       val v = (0L until n.toLong).map((_, 1.0)).toDF("id", "pers")
       // row-normalize out-weights like adjacency_norm does
       val outDeg = edges.groupBy(_._1).view.mapValues(_.size).toMap
       val e = edges.map { case (s, d) => (s, d, 1.0 / outDeg(s)) }
         .toDF("src", "dst", "weight")
+      // default params → single-task fast path on graphs this small
       val ranks = PageRank.run(spark, v, e).as[(Long, Double)].collect()
       assert(ranks.length == n)
       assert(math.abs(ranks.map(_._2).sum - 1.0) < 1e-6,
         s"n=$n edges=$edges sum=${ranks.map(_._2).sum}")
       assert(ranks.forall(_._2 >= 0))
+      // the co-partitioned RDD loop (the 100-TB path) must agree to fp
+      // noise on the same graph — keeps BOTH paths random-graph-covered
+      val dist = PageRank.run(spark, v, e,
+          PageRank.Params(localThreshold = 0L))
+        .as[(Long, Double)].collect().toMap
+      ranks.foreach { case (id, r) =>
+        assert(math.abs(r - dist(id)) < 1e-9,
+          s"n=$n vertex $id: fast $r vs distributed ${dist(id)}") }
     }
   }
 
