@@ -46,6 +46,13 @@ class EdgeCaseSpec extends SparkSpec {
     assert(s.filter(col("cosine") < -1 || col("cosine") > 1).count() == 0)
   }
 
+  test("F6: now() sanity query answers (ref tp2/app/test.py:96-127)") {
+    // the reference's test_3 is a bare `SELECT now()` liveness probe;
+    // the engine answers the same SQL
+    val ts = spark.sql("SELECT now() AS ts").collect()(0).getTimestamp(0)
+    assert(ts != null)
+  }
+
   test("T3: RecsApi clamps limit to [1,10] — 0, -5 and 99 never error") {
     import graft.rec.RecsApi
     assert(RecsApi.recs(spark, dir, "co_occurrence", limit = 0).count() == 1)

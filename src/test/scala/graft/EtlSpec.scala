@@ -11,7 +11,12 @@ class EtlSpec extends SparkSpec {
 
   test("ETL writes a typed graph store; counts reconcile with the tables") {
     val out = java.nio.file.Files.createTempDirectory("graft-etl").toString
-    Etl.run(spark, "/root/testdata/sf0.001", out)
+    // every reference test greps for this sentinel (tp2/app/test.py:163)
+    val stdout = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(stdout)) {
+      Etl.run(spark, "/root/testdata/sf0.001", out)
+    }
+    assert(stdout.toString.contains("ETL done."), stdout.toString)
 
     val nodes = spark.read.parquet(s"$out/nodes")
     val byLabel = nodes.groupBy("label").count()
