@@ -61,6 +61,7 @@ object SparkEntry {
     "tfidf"             -> ((s, d) => TextOps.tfidf(s, d)),
     "text_fingerprint"  -> ((s, d) => TextOps.textFingerprint(s, d)),
     "lang_id"           -> ((s, d) => TextOps.langId(s, d)),
+    "lang_id_ngram"     -> ((s, d) => TextOps.langIdNgram(s, d)),
     // dedup tier
     "dedup_exact"       -> ((s, d) => Dedup.dedupExact(s, d)),
     "dedup_minhash"     -> ((s, d) => Dedup.dedupMinhash(s, d)),
@@ -335,6 +336,46 @@ object SparkEntry {
         |            WHEN de_votes >= es_votes THEN 'de'
         |            ELSE 'es' END AS pred_lang
         |FROM v ORDER BY doc_id""".stripMargin,
+
+    "lang_id_ngram" ->
+      """WITH s AS (SELECT doc_id, lang,
+        |    ((length(text) - length(replace(text, ' th', ''))) // 3
+        |     + (length(text) - length(replace(text, 'the', ''))) // 3
+        |     + (length(text) - length(replace(text, 'ing', ''))) // 3
+        |     + (length(text) - length(replace(text, ' an', ''))) // 3
+        |     + (length(text) - length(replace(text, 'ion', ''))) // 3)
+        |      AS en_score,
+        |    ((length(text) - length(replace(text, ' le', ''))) // 3
+        |     + (length(text) - length(replace(text, 'les', ''))) // 3
+        |     + (length(text) - length(replace(text, ' de', ''))) // 3
+        |     + (length(text) - length(replace(text, 'ent', ''))) // 3
+        |     + (length(text) - length(replace(text, 'que', ''))) // 3)
+        |      AS fr_score,
+        |    ((length(text) - length(replace(text, 'der', ''))) // 3
+        |     + (length(text) - length(replace(text, 'die', ''))) // 3
+        |     + (length(text) - length(replace(text, 'sch', ''))) // 3
+        |     + (length(text) - length(replace(text, 'ein', ''))) // 3
+        |     + (length(text) - length(replace(text, 'und', ''))) // 3)
+        |      AS de_score,
+        |    ((length(text) - length(replace(text, ' el', ''))) // 3
+        |     + (length(text) - length(replace(text, 'los', ''))) // 3
+        |     + (length(text) - length(replace(text, 'las', ''))) // 3
+        |     + (length(text) - length(replace(text, 'ado', ''))) // 3
+        |     + (length(text) - length(replace(text, ' de', ''))) // 3)
+        |      AS es_score
+        |  FROM documents)
+        |SELECT doc_id, lang AS label,
+        |       CAST(en_score AS BIGINT) AS en_score,
+        |       CAST(fr_score AS BIGINT) AS fr_score,
+        |       CAST(de_score AS BIGINT) AS de_score,
+        |       CAST(es_score AS BIGINT) AS es_score,
+        |       CASE WHEN en_score >= fr_score AND en_score >= de_score
+        |                 AND en_score >= es_score THEN 'en'
+        |            WHEN fr_score >= de_score AND fr_score >= es_score
+        |              THEN 'fr'
+        |            WHEN de_score >= es_score THEN 'de'
+        |            ELSE 'es' END AS pred_lang
+        |FROM s ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

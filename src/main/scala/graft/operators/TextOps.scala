@@ -123,4 +123,40 @@ object TextOps {
           .otherwise("es").as("pred_lang"))
       .orderBy("doc_id")
   }
+
+  /** Character-trigram profiles for [[langIdNgram]] — a handful of
+    * high-frequency trigrams per language (leading/trailing spaces are
+    * significant: " th" ≠ "the"). All patterns are exactly 3 chars so the
+    * occurrence count divides evenly. */
+  private val NgramProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" th", "the", "ing", " an", "ion"),
+    "fr" -> Seq(" le", "les", " de", "ent", "que"),
+    "de" -> Seq("der", "die", "sch", "ein", "und"),
+    "es" -> Seq(" el", "los", "las", "ado", " de"))
+
+  /** `lang_id_ngram`: character-n-gram language identification — the
+    * profile-based heuristic real pipelines use when token lists are too
+    * brittle: per language, sum the occurrence counts of a few
+    * high-frequency character trigrams (counted via the length-delta of
+    * `replace`, an exact integer — no regex, no explode), argmax with the
+    * same deterministic tie-break as [[langId]]. Still one scan, zero
+    * shuffles, all codegen'd string builtins; the two heuristics
+    * cross-check each other in ExtensionSpec. */
+  def langIdNgram(spark: SparkSession, dir: String): DataFrame = {
+    def occurrences(t: String): Column =
+      expr(s"(length(text) - length(replace(text, '$t', ''))) div 3")
+    val score: Map[String, Column] = NgramProfiles.map { case (l, ts) =>
+      l -> ts.map(occurrences).reduce(_ + _) }.toMap
+    val (en, fr, de, es) =
+      (score("en"), score("fr"), score("de"), score("es"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang").as("label"),
+        en.as("en_score"), fr.as("fr_score"),
+        de.as("de_score"), es.as("es_score"),
+        when(en >= fr && en >= de && en >= es, "en")
+          .when(fr >= de && fr >= es, "fr")
+          .when(de >= es, "de")
+          .otherwise("es").as("pred_lang"))
+      .orderBy("doc_id")
+  }
 }

@@ -119,6 +119,19 @@ class ExtensionSpec extends SparkSpec {
     assert(d.nonEmpty)
   }
 
+  test("lang_id_ngram: the prediction always carries the max profile score") {
+    val df = TextOps.langIdNgram(spark, dir)
+    val best = greatest(col("en_score"), col("fr_score"),
+      col("de_score"), col("es_score"))
+    val predScore = when(col("pred_lang") === "en", col("en_score"))
+      .when(col("pred_lang") === "fr", col("fr_score"))
+      .when(col("pred_lang") === "de", col("de_score"))
+      .otherwise(col("es_score"))
+    assert(df.filter(predScore =!= best).count() == 0)
+    assert(df.filter(!col("pred_lang").isin("en", "fr", "de", "es"))
+      .count() == 0)
+  }
+
   test("text_stats consistent with documents.n_chars") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"))
