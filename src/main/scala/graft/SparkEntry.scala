@@ -72,6 +72,9 @@ object SparkEntry {
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
     "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
     "knn_multiprobe"    -> ((s, d) => Similarity.knnMultiProbe(s, d)),
+    // learned-quantizer IVF — iterative k-means fixpoint, so no SQL
+    // oracle (same justification as the pagerank tier); invariant-tested
+    "knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
     // multimodal plumbing (decode/demux stubbed — see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),

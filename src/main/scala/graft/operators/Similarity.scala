@@ -125,6 +125,49 @@ object Similarity {
       .orderBy("pid", "rank")
   }
 
+  /** `knn_ivf`: ANN with a LEARNED coarse quantizer — k-means centroids
+    * (Spark ML, fixed seed + bounded iterations) instead of the fixed
+    * sign hyperplanes: this is actual IVF, where cells adapt to the data
+    * distribution and occupancy stays balanced even when the corpus
+    * doesn't straddle the axes. The query shape is unchanged — bucket =
+    * nearest centroid, probes equi-join their own cell, per-probe top-k
+    * window — so the multiprobe lever composes (probe the q nearest
+    * centroids instead of 1). Like PageRank, the k-means fixpoint is
+    * iterative and float-order-sensitive → no DuckDB oracle by design;
+    * ScalaTest pins the invariants instead (every returned score is
+    * brute-force-exact; every assignment is the argmin centroid).
+    * At 100 TB: train on a sample, broadcast the centroid table, assign
+    * with one narrow pass — the bucket column then behaves exactly like
+    * [[bucketOf]]'s. */
+  def knnIvf(spark: SparkSession, dir: String, nClusters: Int = 16,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val e = vectors(spark, dir).withColumn("fv", array_to_vector(col("v")))
+      .cache()
+    val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
+      .setFeaturesCol("fv").setPredictionCol("bucket")
+      .fit(e)
+    val eb = model.transform(e)
+      .select(col("vec_id"), col("v"), col("bucket").cast("long").as("bucket"))
+    val probes = eb.orderBy("vec_id").limit(nProbes)
+      .select(col("vec_id").as("pid"), col("v").as("pv"),
+        col("bucket").as("pbucket"))
+    val scored = eb.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("pid")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy("pid", "rank")
+  }
+
   /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched
     * only against vectors in the same sign-bucket; per-probe top-k via a
     * rank window. The bucket equi-join replaces the all-pairs cross join:

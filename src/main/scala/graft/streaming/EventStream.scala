@@ -120,6 +120,29 @@ object EventStream {
       }
   }
 
+  /** Idempotent parquet sink via `foreachBatch` — the exactly-once
+    * delivery pattern for sinks without native transactional support:
+    * each micro-batch lands in its own `batch_id=N` partition directory
+    * with dynamic partition overwrite, so a batch REPLAYED after a
+    * failure (same epoch id from the checkpoint) overwrites its own
+    * directory instead of appending duplicates. Combined with
+    * checkpointing this gives effectively-once parquet output; readers
+    * see the union of batch directories. */
+  def toParquetIdempotent(df: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    df.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        batch.withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          // per-write option, NOT session conf: only the partitions in
+          // this batch (its own batch_id dir) are replaced
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+      }
+      .start()
+
   /** Drive a streaming frame to completion into an in-memory table —
     * batch-parity harness for tests (spark_guide.md: memory sink +
     * processAllAvailable). */

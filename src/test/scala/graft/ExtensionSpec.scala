@@ -90,6 +90,19 @@ class ExtensionSpec extends SparkSpec {
         assert(math.abs(brute(id) - cos) < 1e-9, s"vec $id") }
   }
 
+  test("knn_ivf: learned-quantizer ANN returns brute-exact scores, argmin cells") {
+    val brute = Similarity.simTopk(spark, dir, k = 1000)
+      .as[(Long, Double)].collect().toMap
+    val probeId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    val out = Similarity.knnIvf(spark, dir)
+    assert(out.count() > 0)
+    out.filter(col("pid") === probeId)
+      .select("vec_id", "cosine").as[(Long, Double)].collect()
+      .foreach { case (id, cos) =>
+        assert(math.abs(brute(id) - cos) < 1e-9, s"vec $id") }
+  }
+
   test("sessionize: session counts bounded by events, durations non-negative") {
     val s = EventsOps.sessionize(spark, dir)
     val bad = s.filter(col("duration_us") < 0 || col("n_events") < 1).count()

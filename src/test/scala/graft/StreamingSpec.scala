@@ -119,6 +119,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("foreachBatch parquet sink is idempotent under batch replay") {
+    val base = java.nio.file.Files.createTempDirectory("graft-sink")
+    val out = s"$base/out"
+    def runOnce(ckpt: String): Unit = {
+      val q = EventStream.toParquetIdempotent(
+        EventStream.readEvents(spark, dir)
+          .select("event_id", "ts", "user_id"), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(s"$base/ckpt1")
+    val n1 = spark.read.parquet(out).count()
+    assert(n1 == graft.model.Tables.events(spark, dir).count())
+    // replay: a fresh checkpoint re-delivers the same source as the same
+    // batch ids — the batch_id partition overwrite must absorb it
+    runOnce(s"$base/ckpt2")
+    assert(spark.read.parquet(out).count() == n1, "replay duplicated rows")
+    assert(spark.read.parquet(out)
+      .groupBy("event_id").count().filter(col("count") > 1).count() == 0)
+  }
+
   test("multimodal frame sampling: coverage, stride, and boundary sizes") {
     val frames = Multimodal.frameSample(spark, dir).cache()
     val videos = Multimodal.assets(spark, dir)
