@@ -44,5 +44,15 @@ class EtlSpec extends SparkSpec {
     // dynamic event edges present with the mapped types
     assert(byType.keySet.intersect(
       Set("VIEWED", "CLICKED", "PURCHASED")).nonEmpty)
+
+    // the partitioned layout must PRUNE: a per-relationship scan reads
+    // only its rel_type directory (the reason the store partitions by
+    // type at all — at 100 TB this is the difference between one
+    // directory and the full edge set)
+    val pruned = edges.filter(col("rel_type") === "PLACED")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("rel_type"), plan)
+    assert(pruned.count() == orders)
   }
 }
