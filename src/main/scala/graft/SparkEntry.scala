@@ -55,6 +55,7 @@ object SparkEntry {
     "event_hourly"      -> ((s, d) => EventsOps.eventHourly(s, d)),
     "event_sliding"     -> ((s, d) => EventsOps.eventSliding(s, d)),
     "sessionize"        -> ((s, d) => EventsOps.sessionize(s, d)),
+    "event_funnel"      -> ((s, d) => EventsOps.eventFunnel(s, d)),
     // text analysis tier
     "text_tokens"        -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
@@ -286,6 +287,23 @@ object SparkEntry {
         |SELECT user_id, session_id, CAST(count(*) AS BIGINT) AS n_events,
         |       min(ts_us) AS start_us, max(ts_us) - min(ts_us) AS duration_us
         |FROM s GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "event_funnel" ->
+      """SELECT * FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      AS first_view_us,
+        |    min(CASE WHEN event_type = 'click'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      AS first_click_us,
+        |    min(CASE WHEN event_type = 'purchase'
+        |             THEN epoch_us(CAST(ts AS TIMESTAMP)) END)
+        |      AS first_purchase_us
+        |  FROM events GROUP BY user_id)
+        |WHERE first_view_us < first_click_us
+        |  AND first_click_us < first_purchase_us
+        |ORDER BY user_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

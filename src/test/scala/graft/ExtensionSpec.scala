@@ -103,6 +103,17 @@ class ExtensionSpec extends SparkSpec {
         assert(math.abs(brute(id) - cos) < 1e-9, s"vec $id") }
   }
 
+  test("event_funnel: strict step ordering; bounded by purchasing users") {
+    val f = EventsOps.eventFunnel(spark, dir).cache()
+    assert(f.filter(col("first_view_us") >= col("first_click_us") ||
+      col("first_click_us") >= col("first_purchase_us")).count() == 0)
+    val purchasers = graft.model.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().count()
+    assert(f.count() <= purchasers)
+    f.unpersist()
+  }
+
   test("sessionize: session counts bounded by events, durations non-negative") {
     val s = EventsOps.sessionize(spark, dir)
     val bad = s.filter(col("duration_us") < 0 || col("n_events") < 1).count()
