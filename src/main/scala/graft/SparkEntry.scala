@@ -56,6 +56,7 @@ object SparkEntry {
     "event_sliding"     -> ((s, d) => EventsOps.eventSliding(s, d)),
     "sessionize"        -> ((s, d) => EventsOps.sessionize(s, d)),
     "event_funnel"      -> ((s, d) => EventsOps.eventFunnel(s, d)),
+    "event_retention"   -> ((s, d) => EventsOps.eventRetention(s, d)),
     // text analysis tier
     "text_tokens"        -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
@@ -304,6 +305,19 @@ object SparkEntry {
         |WHERE first_view_us < first_click_us
         |  AND first_click_us < first_purchase_us
         |ORDER BY user_id""".stripMargin,
+
+    "event_retention" ->
+      """WITH acts AS (SELECT DISTINCT user_id,
+        |                date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |              FROM events),
+        |firsts AS (SELECT user_id, min(day) AS cohort_day
+        |           FROM acts GROUP BY 1)
+        |SELECT cohort_day,
+        |       CAST(date_diff('day', cohort_day, day) AS BIGINT)
+        |         AS day_offset,
+        |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+        |FROM acts a JOIN firsts f ON a.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,

@@ -87,6 +87,25 @@ object EventsOps {
       .orderBy("user_id")
   }
 
+  /** `event_retention`: cohort retention — users cohorted by their first
+    * active day; for every (cohort_day, day_offset) cell, the distinct
+    * users from that cohort active that many days later. Two grouped
+    * aggregations and one equi-join on user_id — day-granular dates and
+    * distinct counts, all engine-exact. Scale: `acts` is
+    * one-row-per-(user, day) (bounded by users × horizon), both
+    * aggregations partial; no window, no self-join on the raw stream. */
+  def eventRetention(spark: SparkSession, dir: String): DataFrame = {
+    val acts = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .distinct()
+    val firsts = acts.groupBy("user_id").agg(min("day").as("cohort_day"))
+    acts.join(firsts, "user_id")
+      .groupBy(col("cohort_day"),
+        datediff(col("day"), col("cohort_day")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("users"))
+      .orderBy("cohort_day", "day_offset")
+  }
+
   /** `sessionize`: batch session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag session starts via lag, running-sum to a
     * session id, aggregate per (user, session). All µs-integer arithmetic →

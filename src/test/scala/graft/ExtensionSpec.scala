@@ -114,6 +114,19 @@ class ExtensionSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("event_retention: day-0 cells equal cohort sizes, offsets non-negative") {
+    val r = EventsOps.eventRetention(spark, dir).cache()
+    assert(r.filter(col("day_offset") < 0).count() == 0)
+    // every user is active on their own first day → the day-0 cell IS the
+    // cohort size, and summing day-0 over cohorts covers every user
+    val day0 = r.filter(col("day_offset") === 0)
+      .agg(sum("users")).collect()(0).getLong(0)
+    val allUsers = graft.model.Tables.events(spark, dir)
+      .select("user_id").distinct().count()
+    assert(day0 == allUsers)
+    r.unpersist()
+  }
+
   test("sessionize: session counts bounded by events, durations non-negative") {
     val s = EventsOps.sessionize(spark, dir)
     val bad = s.filter(col("duration_us") < 0 || col("n_events") < 1).count()
