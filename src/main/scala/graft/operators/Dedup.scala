@@ -216,9 +216,14 @@ object Dedup {
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
       .agg(count(lit(1)).as("common"))
+    // `sizes` is one row per DOCUMENT — corpus-sized, not dimension-sized
+    // — so no forced broadcast: these are plain equi-joins and AQE
+    // broadcasts only when the runtime size fits (contrast
+    // [[Recommend.jaccardPairs]], whose sizes table is bounded by the
+    // product catalog).
     common
-      .join(broadcast(sizes).as("s1"), col("p1") === col("s1.doc_id"))
-      .join(broadcast(sizes).as("s2"), col("p2") === col("s2.doc_id"))
+      .join(sizes.as("s1"), col("p1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("p2") === col("s2.doc_id"))
       .select(col("p1"), col("p2"),
         round(col("common") / (col("s1.sz") + col("s2.sz") - col("common")), 6)
           .as("jaccard"))

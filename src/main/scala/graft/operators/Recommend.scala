@@ -12,9 +12,11 @@ import org.apache.spark.sql.functions._
   * customer id present in the purchase graph (SURVEY §7.3 step 3). The
   * underlying builders take any seed set.
   *
-  * Scale posture: the seed-side inputs (one customer's products, the
-  * customers sharing them) are tiny relative to the graph → broadcast
-  * them; the big tables only ever shuffle on their natural join keys.
+  * Scale posture: only provably bounded relations carry a broadcast
+  * hint (the 1-row seed scalar; the seed's products, bounded by catalog
+  * size). Data-dependent sets — the customers sharing a seed product —
+  * join unhinted on their natural equi-keys and AQE picks broadcast
+  * only when the runtime size fits.
   * The all-pairs Jaccard self-join is the one quadratic-risk operator:
   * it is bounded per-customer by basket size (AQE skew-join splits hot
   * customers; at 100 TB a basket-size cap or minhash pre-filter —
@@ -51,7 +53,12 @@ object Recommend {
       .filter(col("customer_id") =!= col("seed_cid"))
       .select(col("customer_id").as("c2"), col("p1"))
       .distinct()
-    val paths = broadcast(c2s)
+    // c2s (customers sharing any seed product) is DATA-DEPENDENT and
+    // unbounded — one popular seed product makes it a large fraction of
+    // the customer base, so a forced broadcast would OOM at scale. The
+    // join key is a plain equi-key: leave the strategy to AQE, which
+    // broadcasts only when the runtime size actually fits.
+    val paths = c2s
       .join(b, col("c2") === col("customer_id"))
       .filter(col("product_id") =!= col("p1"))
     paths.groupBy(col("product_id"))

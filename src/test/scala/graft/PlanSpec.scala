@@ -49,6 +49,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("no declared query forces a broadcast of a data-dependent Distinct relation") {
+    // A broadcast HINT overrides autoBroadcastJoinThreshold — forcing one
+    // on an unbounded, data-dependent set (e.g. "every customer sharing a
+    // seed product") OOMs at scale the moment the data skews. Bounded
+    // scalars (1-row aggs, limits) and dimension-sized tables may hint;
+    // anything containing a Distinct with no row bound must not.
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Distinct, Join, LogicalPlan}
+    def unboundedDistinct(p: LogicalPlan): Boolean =
+      p.maxRows.isEmpty && p.collectFirst { case d: Distinct => d }.nonEmpty
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+        case j: Join
+            if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+              unboundedDistinct(j.left)) ||
+              (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+                unboundedDistinct(j.right)) => j
+      }
+      assert(bad.isEmpty,
+        s"$name forces a broadcast of an unbounded data-dependent relation")
+    }
+  }
+
   test("no declared query plans an unpartitioned Window (single-partition scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     SparkEntry.queries.foreach { case (name, fn) =>
