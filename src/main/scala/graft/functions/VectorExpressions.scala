@@ -96,11 +96,17 @@ object VectorExpressions {
   }
 
   /** Idempotent session registration; afterwards `expr("graft_dot(a,b)")`
-    * and `expr("graft_norm2(a)")` resolve in any DataFrame/SQL plan. */
+    * and `expr("graft_norm2(a)")` resolve in any DataFrame/SQL plan.
+    * Guarded on a registry lookup so per-query callers don't re-register
+    * (`createOrReplaceTempFunction` logs a replacement warning per call). */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_norm2", exprs => L2NormSq(exprs.head), "built-in")
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(FunctionIdentifier("graft_dot"))) {
+      reg.createOrReplaceTempFunction(
+        "graft_dot", exprs => DotProduct(exprs(0), exprs(1)), "built-in")
+      reg.createOrReplaceTempFunction(
+        "graft_norm2", exprs => L2NormSq(exprs.head), "built-in")
+    }
   }
 }

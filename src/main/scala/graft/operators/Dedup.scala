@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.model.Tables
+import graft.model.{BuilderCache, Tables}
 import graft.operators.TextOps.h32
 
 /** Document deduplication for training-data pipelines (extension surface,
@@ -46,13 +46,18 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_count"))
       .orderBy("text_hash")
 
-  /** Distinct 3-word shingles per document: (doc_id, sh). */
+  /** Distinct 3-word shingles per document: (doc_id, sh). Registered in
+    * [[BuilderCache]] — the same relation feeds the MinHash signatures
+    * AND both scans of [[ngramJaccard]] (sizes + inverted index), so one
+    * session materializes the document scan + shingling exactly once. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(split(text, ' ')) - 3),
-          |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
-          .stripMargin))).as("sh"))
+    BuilderCache.memo(spark, s"shingles:$dir") {
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(array_distinct(expr(
+          """transform(sequence(0, size(split(text, ' ')) - 3),
+            |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
+            .stripMargin))).as("sh"))
+    }
 
   /** MinHash parameters: k affine permutations of the 32-bit shingle hash
     * modulo a prime. Multipliers must be LARGE (≈p) so aᵢ·h wraps the
@@ -102,36 +107,69 @@ object Dedup {
     rows.join(broadcast(hot), keys, "left_anti")
   }
 
+  /** In-bucket pair expansion shared by the LSH-style candidate
+    * generators: expand a guarded bucket's SORTED member array `ds` into
+    * its unordered pairs (i < j) inside the row — an array lambda, no
+    * self-join. Combined with a preceding `groupBy(bucket).collect_list`,
+    * this turns candidate generation from
+    * `self-join + distinct + payload re-joins` (4 shuffles) into
+    * `one groupBy + explode` (1 shuffle): the payload (signature /
+    * fingerprint) rides inside the collected struct, so scoring needs no
+    * join back. Safe ONLY after the hot-bucket guard — the guard bounds
+    * `size(ds)` (and so the per-row pair fan-out) by `maxBucket` BEFORE
+    * anything is collected; a degenerate bucket never materializes an
+    * array at all. `mk` renders the output pair struct from the lambda
+    * variables (x, y), with x < y in array-sort order. */
+  private def bucketPairs(mk: (String, String) => String): Column =
+    explode(expr(
+      s"""flatten(transform(ds, (x, i) ->
+         |  transform(slice(ds, i + 2, size(ds)), y -> ${mk("x", "y")})))"""
+        .stripMargin))
+
+  /** Banded signature relation (doc_id, sig, band, v1, v2) — one
+    * posexplode over the signature table (a single scan, vs a k/2-way
+    * union of selects), registered in [[BuilderCache]] because the
+    * hot-bucket guard aggregates it and the candidate groupBy reads it
+    * again. */
+  private def minhashBands(spark: SparkSession, dir: String): DataFrame =
+    BuilderCache.memo(spark, s"minhashBands:$dir") {
+      minhashSignatures(spark, dir)
+        .select(col("doc_id"),
+          struct((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"),
+          posexplode(array((0 until MinhashK / 2).map { j =>
+            struct(col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
+          }: _*)).as(Seq("band", "bv")))
+        .select(col("doc_id"), col("sig"), col("band"),
+          col("bv.v1").as("v1"), col("bv.v2").as("v2"))
+    }
+
   /** `dedup_minhash`: LSH candidate pairs — band the k-wide signature into
-    * k/2 bands of 2 rows, bucket-join on (band, v1, v2), then score each
-    * candidate pair by the fraction of agreeing minhashes (the unbiased
-    * Jaccard estimate). est = int/16 is dyadic → engine-exact.
+    * k/2 bands of 2 rows, bucket the bands on (band, v1, v2), then score
+    * each in-bucket pair by the fraction of agreeing minhashes (the
+    * unbiased Jaccard estimate). est = int/16 is dyadic → engine-exact.
     * `maxBucket` bounds the in-bucket pairwise work (see
-    * [[dropHotBuckets]]); the sf0.1 maximum bucket is 12, so the default
-    * never fires on oracle-checked data. */
+    * [[dropHotBuckets]] — applied BEFORE the collect, so a degenerate
+    * bucket is never materialized); the sf0.1 maximum bucket is 12, so
+    * the default never fires on oracle-checked data. */
   def dedupMinhash(spark: SparkSession, dir: String, limit: Int = 500,
       maxBucket: Int = 1000): DataFrame = {
-    val sig = minhashSignatures(spark, dir).cache()
-    val allBands = (0 until MinhashK / 2).map { j =>
-      sig.select(col("doc_id"), lit(j).as("band"),
-        col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
-    }.reduce(_ unionAll _)
-    // cached: the pruned bands feed both sides of the bucket self-join
-    val bands =
-      dropHotBuckets(allBands, Seq("band", "v1", "v2"), maxBucket).cache()
-    val cand = bands.as("a").join(bands.as("b"),
-        col("a.band") === col("b.band") && col("a.v1") === col("b.v1") &&
-          col("a.v2") === col("b.v2") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("p1"), col("b.doc_id").as("p2"))
-      .distinct()
+    val bands = minhashBands(spark, dir)
+    val buckets =
+      dropHotBuckets(bands, Seq("band", "v1", "v2"), maxBucket)
+        .groupBy("band", "v1", "v2")
+        .agg(array_sort(collect_list(struct(col("doc_id"), col("sig"))))
+          .as("ds"))
+        .filter(size(col("ds")) >= 2)
+    val pairs = buckets.select(bucketPairs((x, y) =>
+      s"struct($x.doc_id AS p1, $y.doc_id AS p2, " +
+        s"$x.sig AS s1, $y.sig AS s2)").as("pr"))
     val agree = (0 until MinhashK)
-      .map(i => when(col(s"x.m$i") === col(s"y.m$i"), 1).otherwise(0))
+      .map(i => when(col(s"pr.s1.m$i") === col(s"pr.s2.m$i"), 1).otherwise(0))
       .reduce(_ + _)
-    cand
-      .join(sig.as("x"), col("p1") === col("x.doc_id"))
-      .join(sig.as("y"), col("p2") === col("y.doc_id"))
-      .select(col("p1"), col("p2"),
+    pairs
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"),
         (agree.cast("long") / lit(MinhashK.toDouble)).as("est_jaccard"))
+      .distinct() // the same pair collides in several bands
       .orderBy(desc("est_jaccard"), asc("p1"), asc("p2"))
       .limit(limit)
   }

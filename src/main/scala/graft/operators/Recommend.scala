@@ -79,27 +79,27 @@ object Recommend {
 
   /** Same computation over any (customer_id, product_id) incidence —
     * shared with [[graft.rec.Engine]], whose incidence may also include
-    * event-derived interactions (`graph.py:55-66`). Cached at the builder:
-    * the customer self-join is the expensive part and the SAME plan
-    * serves jaccard_topk, both blends (which scan it twice via the
-    * symmetrized union), and the strategy breakdown — Spark's cache
-    * manager matches by canonicalized plan, so every caller in a session
-    * shares one materialization. */
-  def jaccardPairsFrom(b: DataFrame): DataFrame = {
-    val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
-    val common = b.as("x").join(b.as("y"),
-        col("x.customer_id") === col("y.customer_id") &&
-          col("x.product_id") < col("y.product_id"))
-      .groupBy(col("x.product_id").as("p1"), col("y.product_id").as("p2"))
-      .agg(count(lit(1)).as("common"))
-    common
-      .join(broadcast(sizes).as("s1"), col("p1") === col("s1.product_id"))
-      .join(broadcast(sizes).as("s2"), col("p2") === col("s2.product_id"))
-      .select(col("p1"), col("p2"),
-        (col("common") / (col("s1.sz") + col("s2.sz") - col("common")))
-          .as("jaccard"))
-      .cache()
-  }
+    * event-derived interactions (`graph.py:55-66`). Registered in
+    * [[graft.model.BuilderCache]] keyed by the incidence plan: the
+    * customer self-join is the expensive part and the SAME frame serves
+    * jaccard_topk, both blends (which scan it twice via the symmetrized
+    * union), and the strategy breakdown — one materialization per
+    * session per distinct incidence. */
+  def jaccardPairsFrom(b: DataFrame): DataFrame =
+    graft.model.BuilderCache.memoByPlan(b.sparkSession, "jaccardPairs", b) {
+      val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
+      val common = b.as("x").join(b.as("y"),
+          col("x.customer_id") === col("y.customer_id") &&
+            col("x.product_id") < col("y.product_id"))
+        .groupBy(col("x.product_id").as("p1"), col("y.product_id").as("p2"))
+        .agg(count(lit(1)).as("common"))
+      common
+        .join(broadcast(sizes).as("s1"), col("p1") === col("s1.product_id"))
+        .join(broadcast(sizes).as("s2"), col("p2") === col("s2.product_id"))
+        .select(col("p1"), col("p2"),
+          (col("common") / (col("s1.sz") + col("s2.sz") - col("common")))
+            .as("jaccard"))
+    }
 
   /** `jaccard_topk`: top-k most-similar product pairs, deterministic
     * tie-break (score desc, then pair ids asc — T2 precedent,

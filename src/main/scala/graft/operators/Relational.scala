@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.model.Tables
+import graft.model.{BuilderCache, Tables}
 
 /** Deterministic-arithmetic helpers shared by the oracle-checked queries.
   *
@@ -54,32 +54,32 @@ object Relational {
 
   /** Unordered directed co-occurrence counts (src, dst, cnt) — shared
     * builder for cooc_topk / cooc_pairs / adjacency_norm / rec_blend /
-    * the PageRank adjacency. Cached: Spark's CacheManager matches
-    * identical analyzed plans, so within one session (Verify/Bench run
-    * all queries in one) the self-join materializes once and every
-    * cooc-derived query reads the cached counts (|parts|·avg-degree rows
-    * — MBs, not the lineitem scan). */
-  def coocCounts(spark: SparkSession, dir: String): DataFrame = {
-    val oi = orderItems(spark, dir)
-    oi.as("a").join(oi.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_partkey") =!= col("b.l_partkey"))
-      .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
-      .agg(count(lit(1)).as("cnt"))
-      .cache()
-  }
+    * the PageRank adjacency. Registered in [[BuilderCache]]: within one
+    * session (Verify/Bench run all queries in one) the self-join
+    * materializes once and every cooc-derived query reads the cached
+    * counts (|parts|·avg-degree rows — MBs, not the lineitem scan). */
+  def coocCounts(spark: SparkSession, dir: String): DataFrame =
+    BuilderCache.memo(spark, s"coocCounts:$dir") {
+      val oi = orderItems(spark, dir)
+      oi.as("a").join(oi.as("b"),
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+            col("a.l_partkey") =!= col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+        .agg(count(lit(1)).as("cnt"))
+    }
 
   /** Unordered distinct customer↔product incidence — shared input of the
     * whole similarity tier (`tp1/knoledge_graphs/graph.py:25-26`).
-    * Cached across queries like [[coocCounts]]. */
+    * Registered in [[BuilderCache]] like [[coocCounts]]. */
   def bipartite(spark: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("customer_id"),
-        col("l_partkey").as("product_id"))
-      .distinct()
-      .cache()
+    BuilderCache.memo(spark, s"bipartite:$dir") {
+      Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
+        .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("customer_id"),
+          col("l_partkey").as("product_id"))
+        .distinct()
+    }
 
   /** J1+A1+T1 `cooc_topk`: "frequently bought together" — 2-hop self-join
     * on the order key, directed pair counts, global top-k

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.algo.PageRank
+import graft.model.BuilderCache
 import graft.operators.{Recommend, Relational}
 
 /** The tp1 `RecommendationEngine` re-expressed over DataFrames
@@ -96,9 +97,12 @@ object Engine {
     ensureKnown(gRaw, customerId)
     // cooc feeds both the co-occurrence scores and the PPR adjacency, and
     // the incidence feeds seeds + jaccard sizes + jaccard pairs — cache
-    // the shared inputs so the blend evaluates each subplan once
-    val g = gRaw.copy(incidence = gRaw.incidence.cache(),
-      cooc = gRaw.cooc.cache())
+    // the shared inputs so the blend evaluates each subplan once; via the
+    // registry so repeated requests over the same graph never re-mark
+    val g = gRaw.copy(
+      incidence = BuilderCache.ensureCached(spark, "engine.incidence",
+        gRaw.incidence),
+      cooc = BuilderCache.ensureCached(spark, "engine.cooc", gRaw.cooc))
     val seeds = g.incidence
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")).cache()
