@@ -36,7 +36,16 @@ object BuilderCache {
 
   private def mark(spark: SparkSession, df: DataFrame): DataFrame = {
     val h = (appId(spark), df.queryExecution.analyzed.semanticHash())
-    if (markedPlans.putIfAbsent(h, ()).isEmpty) df.cache()
+    if (markedPlans.putIfAbsent(h, ()).isEmpty) {
+      // cache AND materialize eagerly: a consumer plan that scans the
+      // builder from several independent leaf stages (sizes + guard +
+      // pairing all read the same relation) would otherwise race those
+      // concurrent stages into computing the un-populated cache's input
+      // subplan once EACH — observed 3× the builder cost on first touch.
+      // One count() populates every cached batch before any consumer runs.
+      df.cache()
+      df.count()
+    }
     df
   }
 

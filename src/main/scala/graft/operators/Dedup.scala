@@ -120,7 +120,7 @@ object Dedup {
     * anything is collected; a degenerate bucket never materializes an
     * array at all. `mk` renders the output pair struct from the lambda
     * variables (x, y), with x < y in array-sort order. */
-  private def bucketPairs(mk: (String, String) => String): Column =
+  private[operators] def bucketPairs(mk: (String, String) => String): Column =
     explode(expr(
       s"""flatten(transform(ds, (x, i) ->
          |  transform(slice(ds, i + 2, size(ds)), y -> ${mk("x", "y")})))"""

@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   * size). Data-dependent sets — the customers sharing a seed product —
   * join unhinted on their natural equi-keys and AQE picks broadcast
   * only when the runtime size fits.
-  * The all-pairs Jaccard self-join is the one quadratic-risk operator:
-  * it is bounded per-customer by basket size (AQE skew-join splits hot
-  * customers; at 100 TB a basket-size cap or minhash pre-filter —
-  * see graft.operators.Dedup — is the documented mitigation).
+  * The all-pairs Jaccard expansion is the one quadratic-risk operator:
+  * it is bounded per-customer by basket size, and the hot-customer
+  * guard in [[jaccardPairsFrom]] (maxBasket, broadcast anti-join before
+  * the basket collect) caps the corner AQE cannot split.
   */
 object Recommend {
 
@@ -48,11 +48,13 @@ object Recommend {
   private def collabFrom(b: DataFrame, seed: DataFrame, k: Int): DataFrame = {
     val p1s = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
       .select(col("product_id").as("p1"))
+    // distinct by construction: b is a distinct incidence and p1s a
+    // distinct product list, so b ⋈ p1s never duplicates a (c2, p1) pair
+    // — no Distinct shuffle needed.
     val c2s = b.crossJoin(broadcast(seed))
       .join(broadcast(p1s), col("product_id") === col("p1"))
       .filter(col("customer_id") =!= col("seed_cid"))
       .select(col("customer_id").as("c2"), col("p1"))
-      .distinct()
     // c2s (customers sharing any seed product) is DATA-DEPENDENT and
     // unbounded — one popular seed product makes it a large fraction of
     // the customer base, so a forced broadcast would OOM at scale. The
@@ -80,18 +82,37 @@ object Recommend {
   /** Same computation over any (customer_id, product_id) incidence —
     * shared with [[graft.rec.Engine]], whose incidence may also include
     * event-derived interactions (`graph.py:55-66`). Registered in
-    * [[graft.model.BuilderCache]] keyed by the incidence plan: the
-    * customer self-join is the expensive part and the SAME frame serves
-    * jaccard_topk, both blends (which scan it twice via the symmetrized
-    * union), and the strategy breakdown — one materialization per
-    * session per distinct incidence. */
-  def jaccardPairsFrom(b: DataFrame): DataFrame =
-    graft.model.BuilderCache.memoByPlan(b.sparkSession, "jaccardPairs", b) {
+    * [[graft.model.BuilderCache]] keyed by the incidence plan: the basket
+    * pairing is the expensive part and the SAME frame serves jaccard_topk,
+    * both blends (which scan it twice via the symmetrized union), and the
+    * strategy breakdown — one materialization per session per distinct
+    * incidence.
+    *
+    * Shape: per-customer baskets (groupBy + collect_set) expanded to
+    * unordered pairs IN-ROW ([[Dedup.bucketPairs]]) — one shuffle, vs the
+    * old customer self-join's sort-merge of the incidence against itself.
+    * The hot-customer guard ([[Dedup.dropHotBuckets]], broadcast
+    * anti-join) excludes customers with more than `maxBasket` products
+    * BEFORE anything is collected, so one degenerate customer can never
+    * pin an executor on a |basket|² pair expansion (the 100 TB skew
+    * corner AQE cannot split — a single groupBy key). When the guard
+    * fires, `common` (and so jaccard) is a LOWER BOUND for pairs
+    * involving hot customers while `sizes` stays exact — the same
+    * honesty contract as [[Dedup.ngramJaccard]]'s maxDf. The sf0.1
+    * maximum basket is 105, so the default never fires on oracle-checked
+    * data (GuardSpec exercises the degenerate corner). */
+  def jaccardPairsFrom(b: DataFrame, maxBasket: Int = 1000): DataFrame =
+    graft.model.BuilderCache.memoByPlan(b.sparkSession,
+        s"jaccardPairs:$maxBasket", b) {
       val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
-      val common = b.as("x").join(b.as("y"),
-          col("x.customer_id") === col("y.customer_id") &&
-            col("x.product_id") < col("y.product_id"))
-        .groupBy(col("x.product_id").as("p1"), col("y.product_id").as("p2"))
+      val baskets = Dedup.dropHotBuckets(b, Seq("customer_id"), maxBasket)
+        .groupBy("customer_id")
+        .agg(sort_array(collect_set(col("product_id"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val common = baskets
+        .select(Dedup.bucketPairs((x, y) =>
+          s"struct($x AS p1, $y AS p2)").as("pr"))
+        .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("common"))
       common
         .join(broadcast(sizes).as("s1"), col("p1") === col("s1.product_id"))

@@ -68,18 +68,31 @@ object Relational {
         .agg(count(lit(1)).as("cnt"))
     }
 
-  /** Unordered distinct customer↔product incidence — shared input of the
-    * whole similarity tier (`tp1/knoledge_graphs/graph.py:25-26`).
-    * Registered in [[BuilderCache]] like [[coocCounts]]. */
-  def bipartite(spark: SparkSession, dir: String): DataFrame =
-    BuilderCache.memo(spark, s"bipartite:$dir") {
+  /** Per-customer sorted distinct product baskets (customer_id, ds) — the
+    * cached form of the customer↔product incidence, partitioned by
+    * customer_id. One groupBy(customer) shuffle replaces the old
+    * distinct-on-both-columns shuffle, and every downstream consumer that
+    * groups or joins on customer_id ([[bipartite]]-derived joins,
+    * [[Recommend.jaccardPairsFrom]]'s basket pairing) inherits the
+    * customer partitioning from the cache — no re-shuffle. Basket arrays
+    * are bounded by catalog size per customer (sf0.1 max 105). */
+  def baskets(spark: SparkSession, dir: String): DataFrame =
+    BuilderCache.memo(spark, s"baskets:$dir") {
       Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
         .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
           col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("customer_id"),
-          col("l_partkey").as("product_id"))
-        .distinct()
+        .groupBy(col("o_custkey").as("customer_id"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ds"))
     }
+
+  /** Unordered distinct customer↔product incidence — shared input of the
+    * whole similarity tier (`tp1/knoledge_graphs/graph.py:25-26`).
+    * A narrow explode over the cached [[baskets]] (distinct by
+    * construction: collect_set), so it needs no cache of its own and
+    * stays hash-partitioned by customer_id. */
+  def bipartite(spark: SparkSession, dir: String): DataFrame =
+    baskets(spark, dir)
+      .select(col("customer_id"), explode(col("ds")).as("product_id"))
 
   /** J1+A1+T1 `cooc_topk`: "frequently bought together" — 2-hop self-join
     * on the order key, directed pair counts, global top-k

@@ -54,6 +54,29 @@ class GuardSpec extends SparkSpec {
     assert(out.forall { case (a, b, _) => a > 10000L && b > 10000L })
   }
 
+  test("jaccard hot-customer guard: a 5k-product customer is excluded, exact pairs kept") {
+    // one degenerate customer holding 5000 products would expand to
+    // ~12.5M pairs from a single groupBy key (unsplittable by AQE skew
+    // handling); the guard drops it from pair generation while sizes
+    // stay exact — the surviving pair's jaccard uses the TRUE product
+    // sizes, so guarded values are exact for pairs of cold customers
+    // that share no hot customer (lower-bound semantics otherwise)
+    val hot = (1L to 5000L).map(p => (999L, p))
+    val cold = Seq((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 2L))
+    val b = (hot ++ cold).toDF("customer_id", "product_id")
+    val out = graft.operators.Recommend
+      .jaccardPairsFrom(b, maxBasket = 100)
+      .as[(Long, Long, Double)].collect().toList
+    // customers 1,2 share {P1,P2}; 999 is guarded out of PAIRING only,
+    // so common(P1,P2)=2 while sizes stay exact (999 still counts):
+    // sz(P1)={1,2,999}→3, sz(P2)={1,2,3,999}→4 → 2/(3+4-2) = 0.4
+    val p12 = out.find(r => r._1 == 1L && r._2 == 2L)
+    assert(p12.exists(r => math.abs(r._3 - 0.4) < 1e-9), out.take(5).toString)
+    // no pair involves two products ONLY the hot customer shares
+    assert(out.forall { case (a, bb, _) => a <= 2L && bb <= 2L },
+      out.take(5).toString)
+  }
+
   test("embedding hot-bucket guard: identical-vector mass dropped, near pair kept") {
     val d = Files.createTempDirectory("graft-guard-emb").toString
     val mass = (1L to 5000L).map(i => (i, Array.fill(8)(1.0f)))
