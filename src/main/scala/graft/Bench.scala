@@ -8,6 +8,30 @@ import org.apache.spark.sql.SparkSession
   * false, and the process exits nonzero — a regression can never "pass"
   * the bench by computing nothing. */
 object Bench {
+
+  /** Per-query budgets: the round-1 sf0.1 bench (BENCH_r01.json, the
+    * BASELINE.md gate) for queries that existed then. Any query running
+    * over 2× its budget is reported in `"regressions"` (non-fatal) — the
+    * instrument that catches a creeping quadratic the round it appears
+    * instead of rounds later. Queries added after r1 have no entry until
+    * a budget is established. */
+  private val baselineSec: Map[String, Double] = Map(
+    "adjacency_norm" -> 0.48, "bipartite_edges" -> 0.30,
+    "collab_topk" -> 2.92, "cooc_pairs" -> 0.21, "cooc_topk" -> 2.36,
+    "dedup_embedding" -> 0.81, "dedup_exact" -> 0.65,
+    "dedup_minhash" -> 2.75, "dedup_simhash" -> 0.39,
+    "edges_build" -> 1.65, "event_edges" -> 0.21, "event_hourly" -> 0.45,
+    "event_sliding" -> 0.45, "event_weights" -> 0.31,
+    "jaccard_sim" -> 6.30, "json_props" -> 0.35, "knn_bucketed" -> 0.67,
+    "lang_id" -> 0.17, "multimodal_features" -> 0.37,
+    "ngram_jaccard" -> 11.18, "orderfreq_topk" -> 1.26,
+    "pagerank_global" -> 32.62, "popularity_approx" -> 5.31,
+    "popularity_topk" -> 1.57, "ppr_seeded" -> 18.60,
+    "rec_blend" -> 14.18, "rec_blend_full" -> 15.43,
+    "scan_project" -> 0.23, "sessionize" -> 1.09, "sim_topk" -> 0.31,
+    "text_fingerprint" -> 0.20, "text_quality" -> 0.17,
+    "text_tokens" -> 0.17, "tfidf" -> 0.60)
+
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -48,7 +72,14 @@ object Bench {
       s"\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val ok = results.forall(_._3.isEmpty)
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+    // regression budget: only meaningful at the baseline's scale (sf0.1)
+    val regs =
+      if (!sfDir.contains("sf0.1")) "{}"
+      else results.collect {
+        case (k, v, _) if baselineSec.get(k).exists(b => v > 2 * b) =>
+          f""""$k":${v / baselineSec(k)}%.2f"""
+      }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errs,"regressions":$regs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -3,10 +3,11 @@ package graft.model
 import scala.collection.concurrent.TrieMap
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 
 /** Session-level registry for the shared cached builders (co-occurrence
   * counts, bipartite incidence, jaccard pairs, shingles, simhash
-  * fingerprints, ...). One memoized entry per (application, key):
+  * fingerprints, ...). One memoized entry per (session, key):
   *
   *   - idempotent — repeated builder calls return the SAME DataFrame
   *     instance, so Spark's CacheManager is asked to cache each plan
@@ -20,10 +21,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * scattered as per-call `.cache()` marks inside the builders (round-2
   * VERDICT "What's missing" #3): the builders declare WHAT is shared,
   * this object owns WHEN it occupies executor storage.
+  *
+  * Entries are keyed by the SparkSession INSTANCE (identity, not
+  * applicationId): two sessions of one application (`spark.newSession()`)
+  * have separate session state, so a frame built under one must never be
+  * handed to callers of the other.
   */
 object BuilderCache {
 
-  /** (applicationId, builderKey) → the shared cached DataFrame. */
+  /** (sessionKey, builderKey) → the shared cached DataFrame. */
   private val entries = TrieMap.empty[(String, String), DataFrame]
 
   /** Semantic hashes of every plan this registry has marked cached, so
@@ -31,11 +37,19 @@ object BuilderCache {
     * (Spark tolerates re-marking but logs a warning per call). */
   private val markedPlans = TrieMap.empty[(String, Int), Unit]
 
-  private def appId(spark: SparkSession): String =
-    spark.sparkContext.applicationId
+  /** For each [[memoByPlan]] key: the canonicalized input plan it was
+    * registered under. `semanticHash()` is a 32-bit digest — on the
+    * (astronomically rare but possible) collision between two genuinely
+    * different input plans, lookup must NOT hand back the other plan's
+    * cached frame; Spark's own CacheManager confirms hits with full
+    * plan equality for the same reason. */
+  private val planKeys = TrieMap.empty[(String, String), LogicalPlan]
+
+  private def sessionKey(spark: SparkSession): String =
+    s"${spark.sparkContext.applicationId}#${System.identityHashCode(spark).toHexString}"
 
   private def mark(spark: SparkSession, df: DataFrame): DataFrame = {
-    val h = (appId(spark), df.queryExecution.analyzed.semanticHash())
+    val h = (sessionKey(spark), df.queryExecution.analyzed.semanticHash())
     if (markedPlans.putIfAbsent(h, ()).isEmpty) {
       // cache AND materialize eagerly: a consumer plan that scans the
       // builder from several independent leaf stages (sizes + guard +
@@ -49,19 +63,31 @@ object BuilderCache {
     df
   }
 
-  /** Memoize + cache a named builder for this Spark application. The
-    * builder body runs at most once per (application, key); every later
+  /** Memoize + cache a named builder for this Spark session. The
+    * builder body runs at most once per (session, key); every later
     * call returns the same cached DataFrame. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    entries.getOrElseUpdate((appId(spark), key), mark(spark, build))
+    entries.getOrElseUpdate((sessionKey(spark), key), mark(spark, build))
 
   /** Memoize keyed by an input plan's semantic hash — for builders
     * parameterized by a caller-supplied DataFrame rather than a table
-    * directory (e.g. jaccard pairs over an arbitrary incidence). */
+    * directory (e.g. jaccard pairs over an arbitrary incidence). A
+    * hash collision between different input plans falls back to an
+    * identity-disambiguated key (verified via `sameResult`), never to
+    * the wrong cached frame. */
   def memoByPlan(spark: SparkSession, name: String, input: DataFrame)
-      (build: => DataFrame): DataFrame =
-    memo(spark,
-      s"$name:${input.queryExecution.analyzed.semanticHash()}")(build)
+      (build: => DataFrame): DataFrame = {
+    val analyzed = input.queryExecution.analyzed
+    val base = s"$name:${analyzed.semanticHash()}"
+    val sid = sessionKey(spark)
+    val registered = planKeys.putIfAbsent((sid, base), analyzed.canonicalized)
+    val key = registered match {
+      case Some(prior) if !prior.sameResult(analyzed) =>
+        s"$base:${System.identityHashCode(analyzed.canonicalized).toHexString}"
+      case _ => base
+    }
+    memo(spark, key)(build)
+  }
 
   /** Cache a caller-owned DataFrame exactly once per semantic plan —
     * shared-input marking for request paths that receive arbitrary
@@ -71,19 +97,20 @@ object BuilderCache {
       : DataFrame =
     memoByPlan(spark, name, df)(df)
 
-  /** Builder keys currently registered for this application. */
+  /** Builder keys currently registered for this session. */
   def list(spark: SparkSession): Seq[String] =
-    entries.keys.collect { case (app, k) if app == appId(spark) => k }.toSeq
+    entries.keys.collect { case (s, k) if s == sessionKey(spark) => k }.toSeq
       .sorted
 
   /** Unpersist and forget every builder this registry marked for the
-    * application — after this, the next builder call rebuilds and
+    * session — after this, the next builder call rebuilds and
     * re-caches from scratch. */
   def release(spark: SparkSession): Unit = {
-    val app = appId(spark)
-    entries.keys.filter(_._1 == app).foreach { k =>
+    val sid = sessionKey(spark)
+    entries.keys.filter(_._1 == sid).foreach { k =>
       entries.remove(k).foreach(_.unpersist(blocking = false))
     }
-    markedPlans.keys.filter(_._1 == app).foreach(markedPlans.remove)
+    markedPlans.keys.filter(_._1 == sid).foreach(markedPlans.remove)
+    planKeys.keys.filter(_._1 == sid).foreach(planKeys.remove)
   }
 }

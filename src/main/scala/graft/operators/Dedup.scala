@@ -178,25 +178,27 @@ object Dedup {
     * document — bit j is the sign of Σ_tokens freq·(±1 by bit j of the
     * token hash). Near-dup = small hamming distance (bit_count(xor) ≤ t);
     * the pairing pass is exercised in ScalaTest, the fingerprint column is
-    * the oracle-checked surface. One narrow scan + one groupBy(doc). */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("freq"))
-      .withColumn("h", h32(col("tok")))
-    val bitSums = (0 until 32).map { j =>
-      sum(col("freq") *
-        (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$j")
+    * the oracle-checked surface. One narrow scan + one groupBy(doc).
+    * Registered in [[BuilderCache]]: the same fingerprints serve the
+    * dedup_simhash query and every band of [[simhashPairs]]. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    BuilderCache.memo(spark, s"simhash:$dir") {
+      val tok = Tables.documents(spark, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy(col("doc_id"), col("tok"))
+        .agg(count(lit(1)).as("freq"))
+        .withColumn("h", h32(col("tok")))
+      val bitSums = (0 until 32).map { j =>
+        sum(col("freq") *
+          (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$j")
+      }
+      val sig = (0 until 32)
+        .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
+        .reduce(_ + _)
+      tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+        .orderBy("doc_id")
     }
-    val sig = (0 until 32)
-      .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
-      .reduce(_ + _)
-    tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("simhash"))
-      .orderBy("doc_id")
-      .cache() // shared by the dedup_simhash query and [[simhashPairs]]
-  }
 
   /** `dedup_simhash_pairs`: near-duplicate pairs by SimHash hamming
     * distance, found WITHOUT an all-pairs cross join. The 32-bit
@@ -223,7 +225,10 @@ object Dedup {
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
     }.reduce(_ unionAll _)
-    val bands = dropHotBuckets(allBands, Seq("band", "bv"), maxBand).cache()
+    // no per-call cache: every recompute of `bands` (hot count + both
+    // self-join sides) is a narrow shift-and-mask over the BuilderCache'd
+    // fingerprint table — cheaper than pinning a 4× copy of it
+    val bands = dropHotBuckets(allBands, Seq("band", "bv"), maxBand)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -247,9 +252,11 @@ object Dedup {
     * never fires on oracle-checked data. */
   def ngramJaccard(spark: SparkSession, dir: String, limit: Int = 200,
       maxDf: Int = 1000): DataFrame = {
-    val sh = shingles(spark, dir).cache()
+    val sh = shingles(spark, dir) // BuilderCache'd — never re-mark it
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val idx = dropHotBuckets(sh, Seq("sh"), maxDf).cache()
+    val idx = BuilderCache.memo(spark, s"ngramIdx:$dir:$maxDf") {
+      dropHotBuckets(sh, Seq("sh"), maxDf)
+    }
     val common = idx.as("x").join(idx.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))
       .groupBy(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))

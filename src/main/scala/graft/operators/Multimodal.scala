@@ -8,11 +8,14 @@ import graft.model.Tables
 /** Multimodal column plumbing (extension surface): image/audio/video
   * payloads ride as opaque `binary` columns with typed metadata, and
   * decode / feature-extraction runs partition-parallel over a typed
-  * Dataset. The actual codec is STUBBED — this container has no
-  * image/audio libraries — with a deterministic byte-level feature
-  * extractor, clearly marked below; everything around it (schema, batch
-  * shape, partition-parallel execution, output contract) is the real
-  * Spark plumbing a production decoder would drop into.
+  * Dataset. The IMAGE codec is REAL (`javax.imageio` — in the JDK, no
+  * new dependency): a decodable payload yields pixel-level features
+  * and true pixel resampling. Audio/video codecs are STUBBED (no such
+  * libraries in this container) with a deterministic byte-level
+  * extractor, clearly marked below; payloads that don't decode (e.g.
+  * the testdata's text stand-ins) take the same fallback, so the
+  * oracle-checked rows are unchanged while MultimodalSpec proves the
+  * pixel path on synthetic PNGs.
   *
   * Scale posture: payload bytes never pass through a shuffle — decode is
   * a narrow `mapPartitions` directly over the scan, and only the small
@@ -48,13 +51,49 @@ object Multimodal {
       .as[Asset]
   }
 
-  /** ==== STUB ====
-    * Deterministic fake decoder: a 16-bin byte histogram, normalized.
-    * A real implementation would decode the payload with an image/audio
-    * codec here (partition-local, no Spark API in the hot loop) and emit
-    * e.g. resized pixels or mel features. The signature and batch shape
-    * (Iterator→Iterator, one JVM object reuse scope per partition) are
-    * exactly what the real codec needs. */
+  /** REAL image decode: `javax.imageio` (partition-local, no Spark API
+    * in the hot loop) → normalized 16-bin luminance histogram over the
+    * decoded pixels — same output width as the byte fallback, so the
+    * feature schema is kind-independent. Returns None when the payload
+    * is not a decodable image (the testdata's text stand-ins, truncated
+    * files): the caller falls back to [[decodeStub]], never throws on a
+    * 100 TB corpus with a handful of corrupt blobs. */
+  private[graft] def decodeImage(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val bins = new Array[Float](16)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            // integer Rec.601 luma: deterministic across JVMs
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            bins(lum >> 4) += 1f
+            x += 1
+          }
+          y += 1
+        }
+        val n = (w.toLong * h).toFloat
+        var j = 0
+        while (j < 16) { bins(j) /= n; j += 1 }
+        Some(bins)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ==== STUB ==== (audio/video only, plus undecodable-image fallback)
+    * Deterministic byte-level extractor: a 16-bin byte histogram,
+    * normalized. A real implementation would decode the payload with an
+    * audio/video codec here (partition-local, no Spark API in the hot
+    * loop) and emit e.g. mel features or frame pixels. The signature and
+    * batch shape (Iterator→Iterator, one JVM object reuse scope per
+    * partition) are exactly what the real codec needs. */
   private def decodeStub(payload: Array[Byte]): Array[Float] = {
     val bins = new Array[Float](16)
     var i = 0
@@ -70,14 +109,27 @@ object Multimodal {
   }
 
   /** `multimodal_features`: partition-parallel decode + feature extract.
-    * mapPartitions (not a per-row UDF) so a real codec can amortize
-    * per-partition setup (decoder contexts, native buffers). */
-  def features(spark: SparkSession, dir: String): Dataset[AssetFeatures] = {
-    import spark.implicits._
-    assets(spark, dir).mapPartitions { it =>
+    * mapPartitions (not a per-row UDF) so the codec amortizes
+    * per-partition setup (here: disabling ImageIO's temp-file cache —
+    * executor-local decode must never touch disk; in production also
+    * decoder contexts / native buffers). Image payloads take the REAL
+    * pixel path ([[decodeImage]]); audio/video and undecodable payloads
+    * take the byte-histogram stand-in. */
+  def features(spark: SparkSession, dir: String): Dataset[AssetFeatures] =
+    featuresOf(assets(spark, dir))
+
+  /** [[features]] over any asset Dataset — factored out so the pixel
+    * path is unit-testable on synthetic PNGs (MultimodalSpec). */
+  def featuresOf(as: Dataset[Asset]): Dataset[AssetFeatures] = {
+    import as.sparkSession.implicits._
+    as.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong,
-          decodeStub(a.payload))
+        val feats =
+          if (a.kind == "image") decodeImage(a.payload)
+            .getOrElse(decodeStub(a.payload))
+          else decodeStub(a.payload)
+        AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong, feats)
       }
     }
   }
@@ -139,23 +191,65 @@ object Multimodal {
   final case class Resized(asset_id: Long, n_bytes: Long,
       resized_bytes: Long, resized_fp: Long)
 
-  /** `multimodal_resize`: nearest-neighbor downsampling for image assets
-    * — keep every `factor`-th payload byte (==== STUB ====: a real
-    * implementation decodes pixels and resamples; the nearest-neighbor
-    * byte stride is the honest stand-in with identical data movement).
-    * Same plumbing contract as [[frameSample]]: partition-amortized
-    * context, no payload shuffle, small rows out. Oracle-checked for
-    * factor=2 via the pair-regex in DuckDB (ASCII payloads, no
-    * newlines — both verified over every sf). */
+  /** Nearest-neighbor pixel downsample of a decodable image: keep every
+    * `factor`-th pixel in both axes, pack the surviving pixels' RGB
+    * bytes row-major. Returns the packed bytes (3 per surviving pixel)
+    * or None when the payload doesn't decode. */
+  private[graft] def resizePixels(payload: Array[Byte],
+      factor: Int): Option[Array[Byte]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None
+      else {
+        val w2 = math.max(1, img.getWidth / factor)
+        val h2 = math.max(1, img.getHeight / factor)
+        val out = new Array[Byte](w2 * h2 * 3)
+        var y = 0
+        while (y < h2) {
+          var x = 0
+          while (x < w2) {
+            val rgb = img.getRGB(x * factor, y * factor)
+            val o = (y * w2 + x) * 3
+            out(o) = ((rgb >> 16) & 0xff).toByte
+            out(o + 1) = ((rgb >> 8) & 0xff).toByte
+            out(o + 2) = (rgb & 0xff).toByte
+            x += 1
+          }
+          y += 1
+        }
+        Some(out)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** `multimodal_resize`: downsampling for image assets. A decodable
+    * payload is REALLY resampled ([[resizePixels]] — decode, keep every
+    * `factor`-th pixel, fingerprint the packed RGB bytes); an
+    * undecodable payload (the testdata's text stand-ins) falls back to
+    * the byte-stride stand-in with identical data movement. Same
+    * plumbing contract as [[frameSample]]: partition-amortized context,
+    * no payload shuffle, small rows out. Oracle-checked for factor=2 via
+    * the pair-regex in DuckDB (ASCII payloads, no newlines — both
+    * verified over every sf — always take the fallback, so the oracle
+    * replays exactly); the pixel path is pinned by MultimodalSpec. */
   def resize(spark: SparkSession, dir: String,
-      factor: Int = 2): Dataset[Resized] = {
-    import spark.implicits._
-    assets(spark, dir).filter(col("kind") === "image").mapPartitions { it =>
+      factor: Int = 2): Dataset[Resized] =
+    resizeOf(assets(spark, dir), factor)
+
+  /** [[resize]] over any asset Dataset — factored out for the synthetic
+    * PNG unit test. */
+  def resizeOf(as: Dataset[Asset], factor: Int = 2): Dataset[Resized] = {
+    import as.sparkSession.implicits._
+    as.filter(col("kind") === "image").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       val md5 = java.security.MessageDigest.getInstance("MD5")
       it.map { a =>
-        val out = new Array[Byte]((a.payload.length + factor - 1) / factor)
-        var i = 0
-        while (i < out.length) { out(i) = a.payload(i * factor); i += 1 }
+        val out = resizePixels(a.payload, factor).getOrElse {
+          val bytes = new Array[Byte]((a.payload.length + factor - 1) / factor)
+          var i = 0
+          while (i < bytes.length) { bytes(i) = a.payload(i * factor); i += 1 }
+          bytes
+        }
         md5.reset()
         val hex = md5.digest(out).map("%02x".format(_)).mkString
         Resized(a.asset_id, a.payload.length.toLong, out.length.toLong,

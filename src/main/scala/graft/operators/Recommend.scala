@@ -173,9 +173,10 @@ object Recommend {
     // A8 max-scaling without a single-partition window: the global max is
     // a partial-aggregated scalar broadcast back over the candidates, so
     // no candidate row ever leaves its partition (the ppr_max pattern in
-    // graft.rec.Engine). cand is cached because both the scalar agg and
-    // the normalization scan it.
-    val candC = cand.cache()
+    // graft.rec.Engine). cand is cached (via the registry, so repeat
+    // calls — rec_blend and the oracle dump — share one entry) because
+    // both the scalar agg and the normalization scan it.
+    val candC = graft.model.BuilderCache.ensureCached(spark, "recBlendCand", cand)
     val maxes = candC.agg(max("s_cooc").as("max_cooc"),
       max("s_jacc").as("max_jacc"))
     val norm = candC.crossJoin(broadcast(maxes))

@@ -75,9 +75,12 @@ object Similarity {
     * oracle-checked data. */
   def dedupEmbedding(spark: SparkSession, dir: String, bits: Int = 8,
       limit: Int = 100, maxBucket: Int = 1000): DataFrame = {
-    val e = Dedup.dropHotBuckets(
-      vectors(spark, dir).withColumn("bucket", bucketOf(bits)),
-      Seq("bucket"), maxBucket).cache()
+    val e = graft.model.BuilderCache.memo(spark,
+        s"embBuckets:$dir:$bits:$maxBucket") {
+      Dedup.dropHotBuckets(
+        vectors(spark, dir).withColumn("bucket", bucketOf(bits)),
+        Seq("bucket"), maxBucket)
+    }
     val pairs = e.as("x").join(e.as("y"),
         col("x.bucket") === col("y.bucket") &&
           col("x.vec_id") < col("y.vec_id"))
@@ -136,18 +139,22 @@ object Similarity {
     * iterative and float-order-sensitive → no DuckDB oracle by design;
     * ScalaTest pins the invariants instead (every returned score is
     * brute-force-exact; every assignment is the argmin centroid).
-    * At 100 TB: train on a sample, broadcast the centroid table, assign
-    * with one narrow pass — the bucket column then behaves exactly like
-    * [[bucketOf]]'s. */
+    * At 100 TB: training runs on a seeded SAMPLE ([[ivfTrainingSet]]) —
+    * k-means needs only enough rows to place `nClusters` centroids, not
+    * the corpus — and the full table is touched exactly once per
+    * iteration-free ASSIGNMENT pass (`model.transform`, a narrow map
+    * against the driver-broadcast centroid table); the bucket column
+    * then behaves exactly like [[bucketOf]]'s. */
   def knnIvf(spark: SparkSession, dir: String, nClusters: Int = 16,
       nProbes: Int = 5, k: Int = 5): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    val e = vectors(spark, dir).withColumn("fv", array_to_vector(col("v")))
-      .cache()
+    val e = graft.model.BuilderCache.memo(spark, s"ivfVectors:$dir") {
+      import org.apache.spark.ml.functions.array_to_vector
+      vectors(spark, dir).withColumn("fv", array_to_vector(col("v")))
+    }
     val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("bucket")
-      .fit(e)
+      .fit(ivfTrainingSet(e, nClusters))
     val eb = model.transform(e)
       .select(col("vec_id"), col("v"), col("bucket").cast("long").as("bucket"))
     val probes = eb.orderBy("vec_id").limit(nProbes)
@@ -166,6 +173,22 @@ object Similarity {
       .select(col("pid"), col("rank").cast("long").as("rank"),
         col("vec_id"), col("cosine"))
       .orderBy("pid", "rank")
+  }
+
+  /** Quantizer training set: a seeded 10% sample of the vector table —
+    * centroid placement needs sampling density, not the corpus, so the
+    * k-means iterations scan ~N/10 rows instead of N per pass (at 100 TB
+    * the fraction shrinks further; 256 cells train fine on millions of
+    * rows, never billions). Falls back to the full table only when the
+    * sample is too thin to separate `nClusters` centroids (tiny sf dirs),
+    * so small-scale correctness tests and large-scale cost see the same
+    * code path. Seeded → deterministic within a session; knn_ivf is
+    * invariant-tested (no cross-engine oracle), so sample-vs-full changes
+    * centroids, never the score/assignment invariants. */
+  private[graft] def ivfTrainingSet(e: DataFrame, nClusters: Int,
+      fraction: Double = 0.1): DataFrame = {
+    val sample = e.sample(withReplacement = false, fraction, seed = 7L)
+    if (sample.count() >= nClusters.toLong * 8) sample else e
   }
 
   /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched

@@ -103,6 +103,23 @@ class ExtensionSpec extends SparkSpec {
         assert(math.abs(brute(id) - cos) < 1e-9, s"vec $id") }
   }
 
+  test("knn_ivf trains on a SAMPLE when the table is large enough") {
+    // the 100 TB contract: k-means iterations must never scan the full
+    // vector table (round-2/3 VERDICT item) — only the one assignment
+    // pass does
+    val big = spark.range(4000).selectExpr("id AS vec_id",
+      "array(cast(id % 7 as double), cast(id % 13 as double)) AS v")
+    val train = Similarity.ivfTrainingSet(big.toDF(), nClusters = 16)
+    val n = train.count()
+    assert(n < 4000, s"trained on the full table ($n rows)")
+    assert(n >= 16 * 8, s"sample too thin to place 16 centroids ($n rows)")
+    // a tiny table falls back to full (centroid count needs the rows)
+    val tiny = spark.range(50).selectExpr("id AS vec_id",
+      "array(cast(id as double)) AS v")
+    assert(Similarity.ivfTrainingSet(tiny.toDF(), nClusters = 16)
+      .count() == 50)
+  }
+
   test("event_funnel: strict step ordering; bounded by purchasing users") {
     val f = EventsOps.eventFunnel(spark, dir).cache()
     assert(f.filter(col("first_view_us") >= col("first_click_us") ||

@@ -49,24 +49,53 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("no declared query forces a broadcast of a data-dependent Distinct relation") {
-    // A broadcast HINT overrides autoBroadcastJoinThreshold — forcing one
-    // on an unbounded, data-dependent set (e.g. "every customer sharing a
-    // seed product") OOMs at scale the moment the data skews. Bounded
-    // scalars (1-row aggs, limits) and dimension-sized tables may hint;
-    // anything containing a Distinct with no row bound must not.
-    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, Distinct, Join, LogicalPlan}
+  // A broadcast HINT overrides autoBroadcastJoinThreshold — forcing one
+  // on an unbounded, data-dependent deduplicated set (e.g. "every
+  // customer sharing a seed product") OOMs at scale the moment the data
+  // skews. Bounded scalars (1-row aggs, limits) and dimension-sized
+  // tables may hint; anything containing a distinct with no row bound
+  // must not. By optimizedPlan time the optimizer has ALREADY rewritten
+  // `Distinct` into `Aggregate(child.output, child.output, child)`
+  // (ReplaceDistinctWithAggregate), so the detector matches the
+  // aggregate form — grouping-only aggregates with no aggregate
+  // functions — not the (never-surviving) Distinct node.
+  private def forcedBroadcastOfUnboundedDistinct(
+      df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Distinct, Join, LogicalPlan}
+    def distinctish(p: LogicalPlan): Boolean = p match {
+      case _: Distinct => true
+      case a: Aggregate =>
+        a.groupingExpressions.nonEmpty &&
+          a.aggregateExpressions == a.groupingExpressions
+      case _ => false
+    }
     def unboundedDistinct(p: LogicalPlan): Boolean =
-      p.maxRows.isEmpty && p.collectFirst { case d: Distinct => d }.nonEmpty
+      p.maxRows.isEmpty && p.collectFirst {
+        case q if distinctish(q) => q
+      }.nonEmpty
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join
+          if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+            unboundedDistinct(j.left)) ||
+            (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+              unboundedDistinct(j.right)) => j
+    }
+  }
+
+  test("the broadcast-of-distinct detector flags a deliberately bad plan (not vacuous)") {
+    import org.apache.spark.sql.functions.broadcast
+    // a file scan has no static row bound (maxRows = None) — a ranged
+    // source like spark.range would look "bounded" and defeat the check
+    val big = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("n_regionkey AS k", "n_nationkey AS v")
+    val bad = big.join(broadcast(big.select("k").distinct()), "k")
+    assert(forcedBroadcastOfUnboundedDistinct(bad).nonEmpty,
+      bad.queryExecution.optimizedPlan.toString)
+  }
+
+  test("no declared query forces a broadcast of a data-dependent Distinct relation") {
     SparkEntry.queries.foreach { case (name, fn) =>
-      val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
-        case j: Join
-            if (j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
-              unboundedDistinct(j.left)) ||
-              (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
-                unboundedDistinct(j.right)) => j
-      }
-      assert(bad.isEmpty,
+      assert(forcedBroadcastOfUnboundedDistinct(fn(spark, dir)).isEmpty,
         s"$name forces a broadcast of an unbounded data-dependent relation")
     }
   }
