@@ -225,9 +225,17 @@ object Dedup {
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
         shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
     }.reduce(_ unionAll _)
-    // no per-call cache: every recompute of `bands` (hot count + both
+    // no per-call cache: every recompute of `allBands` (hot count + both
     // self-join sides) is a narrow shift-and-mask over the BuilderCache'd
-    // fingerprint table — cheaper than pinning a 4× copy of it
+    // fingerprint table — cheaper than pinning a 4× copy of it.
+    // Deliberately a SELF-JOIN, not the [[bucketPairs]] in-row expansion
+    // [[dedupMinhash]] uses: simhash's `maxBand` guard is permissive
+    // (100k — dropping a band byte loses completeness, unlike dropping a
+    // degenerate minhash bucket), so a hot band must stay SPLITTABLE —
+    // AQE's skew-join splits one join key's pair expansion across tasks,
+    // while a collect_list row pins it on one core. The hamming filter
+    // sits before the cross-band distinct (only near-dups reach it, not
+    // every bucket-sharing candidate).
     val bands = dropHotBuckets(allBands, Seq("band", "bv"), maxBand)
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -235,8 +243,8 @@ object Dedup {
       .select(col("a.doc_id").as("p1"), col("b.doc_id").as("p2"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
           .cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= t)
+      .distinct() // the same pair collides in several bands
       .orderBy(asc("hamming"), asc("p1"), asc("p2"))
   }
 
