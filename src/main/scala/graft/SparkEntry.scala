@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.algo.PageRank
-import graft.operators.{Dedup, EventsOps, Multimodal, Recommend, Relational, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, EventsOps, Multimodal, Recommend, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -78,10 +78,14 @@ object SparkEntry {
     // oracle (same justification as the pagerank tier); invariant-tested
     "knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
-    // multimodal plumbing (decode/demux stubbed — see Multimodal scaladoc)
+    // multimodal plumbing (image decode real, audio/video stubbed —
+    // see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames"   -> ((s, d) => Multimodal.framesQuery(s, d)),
     "multimodal_resize"   -> ((s, d) => Multimodal.resizeQuery(s, d)),
+    // corpus assembly tier
+    "split_assign"      -> ((s, d) => Corpus.splitAssign(s, d)),
+    "sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -678,5 +682,31 @@ object SparkEntry {
         |       CAST(length(rz) AS BIGINT) AS resized_bytes,
         |       CAST(('0x' || substr(md5(rz), 1, 8)) AS BIGINT) AS resized_fp
         |FROM r ORDER BY asset_id""".stripMargin,
+
+    "split_assign" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+        |          1, 8)) AS BIGINT) % 100 AS bucket
+        |  FROM documents)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 80 THEN 'train'
+        |            WHEN bucket < 90 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    // the oracle runs the NAIVE full-stratum window; the Spark plan's
+    // threshold prefilter + short-stratum fallback must reproduce it
+    // exactly (see Corpus.sampleStratified scaladoc)
+    "sample_stratified" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('strat:' || CAST(doc_id AS VARCHAR)),
+        |          1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |        row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)
+        |          AS rk
+        |      FROM d)
+        |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
   )
 }

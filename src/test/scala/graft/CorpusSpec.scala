@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Corpus
+
+/** Corpus assembly: split determinism/stability and the stratified
+  * sampler's core contract — the scale-safe plan (threshold prefilter +
+  * bounded window + short-stratum fallback) returns EXACTLY what the
+  * naive full-stratum window would. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("split_assign: full coverage, plausible fractions, stable assignment") {
+    val s = Corpus.splitAssign(spark, dir).cache()
+    val total = s.count()
+    val byvSplit = s.groupBy("split").count().as[(String, Long)]
+      .collect().toMap
+    assert(byvSplit.keySet == Set("train", "val", "test"), byvSplit)
+    assert(byvSplit.values.sum == total)
+    // hash mod 100 over >=100 docs: train must dominate, test/val small
+    assert(byvSplit("train") > byvSplit("val") &&
+      byvSplit("train") > byvSplit("test"), byvSplit)
+    // stability: same doc → same split on recompute (pure hash, no RNG)
+    val again = Corpus.splitAssign(spark, dir)
+    assert(s.select("doc_id", "split").except(
+      again.select("doc_id", "split")).count() == 0)
+    s.unpersist()
+  }
+
+  test("sample_stratified equals the naive full-stratum window exactly") {
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        graft.operators.TextOps.h32(
+          concat(lit("strat:"), col("doc_id"))).as("h"))
+    val w = Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))
+    val naive = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 50)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+    val fast = Corpus.sampleStratified(spark, dir)
+    assert(fast.count() == naive.count())
+    assert(fast.except(naive).count() == 0 &&
+      naive.except(fast).count() == 0)
+  }
+
+  test("sample_stratified short-stratum fallback: quota above stratum size") {
+    // quota larger than any stratum → every doc of every lang returned,
+    // via the fallback path (prefilter keeps ~4x quota, but short strata
+    // re-rank unfiltered)
+    val total = graft.model.Tables.documents(spark, dir).count()
+    val out = Corpus.sampleStratified(spark, dir, quota = 1000000)
+    assert(out.count() == total)
+    // ranks are dense 1..n per stratum
+    val maxRk = out.groupBy("lang").agg(max("rk").as("mx"),
+      count(lit(1)).as("n"))
+    assert(maxRk.filter(col("mx") =!= col("n")).count() == 0)
+  }
+
+  test("sample_stratified: per-stratum quota respected and ranks dense") {
+    val out = Corpus.sampleStratified(spark, dir, quota = 5).cache()
+    val per = out.groupBy("lang").count().as[(String, Long)].collect()
+    assert(per.nonEmpty && per.forall(_._2 <= 5), per.toList)
+    assert(out.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
+    out.unpersist()
+  }
+}
