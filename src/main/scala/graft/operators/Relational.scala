@@ -60,12 +60,29 @@ object Relational {
     * counts (|parts|·avg-degree rows — MBs, not the lineitem scan). */
   def coocCounts(spark: SparkSession, dir: String): DataFrame =
     BuilderCache.memo(spark, s"coocCounts:$dir") {
-      val oi = orderItems(spark, dir)
-      oi.as("a").join(oi.as("b"),
-          col("a.l_orderkey") === col("b.l_orderkey") &&
-            col("a.l_partkey") =!= col("b.l_partkey"))
-        .groupBy(col("a.l_partkey").as("src"), col("b.l_partkey").as("dst"))
+      // one-shuffle shape (same trick as the jaccard basket pairing):
+      // per-order product sets collected in-row, expanded to unordered
+      // pairs by [[Dedup.bucketPairs]] — order size is physically
+      // bounded (a cart has tens of items, never millions), so the
+      // in-row fan-out is safe without a guard, unlike per-customer or
+      // per-bucket groups. The directed relation is the unordered
+      // counts emitted in both orientations by an in-row explode:
+      // cnt(a→b) = cnt{a,b} = cnt(b→a), no second aggregation pass.
+      val perOrder = Tables.lineitem(spark, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+      val und = perOrder
+        .select(graft.operators.Dedup.bucketPairs((x, y) =>
+          s"struct($x AS src, $y AS dst)").as("pr"))
+        .groupBy(col("pr.src").as("src"), col("pr.dst").as("dst"))
         .agg(count(lit(1)).as("cnt"))
+      und.select(explode(array(
+          struct(col("src"), col("dst")),
+          struct(col("dst").as("src"), col("src").as("dst")))).as("e"),
+        col("cnt"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"), col("cnt"))
     }
 
   /** Per-customer sorted distinct product baskets (customer_id, ds) — the
