@@ -113,4 +113,24 @@ object BuilderCache {
     markedPlans.keys.filter(_._1 == sid).foreach(markedPlans.remove)
     planKeys.keys.filter(_._1 == sid).foreach(planKeys.remove)
   }
+
+  /** Release only the entries whose key starts with `prefix` — for
+    * long-lived serving sessions that pin one entry per distinct
+    * request graph (e.g. `engine.incidence:*`): evict a retired graph's
+    * builders without dropping the table-dir builders every request
+    * shares. The released frames' plan hashes leave [[markedPlans]] too,
+    * so a later rebuild under the same key re-caches instead of being
+    * skipped as already-marked. */
+  def release(spark: SparkSession, prefix: String): Unit = {
+    val sid = sessionKey(spark)
+    entries.keys.filter(k => k._1 == sid && k._2.startsWith(prefix))
+      .foreach { k =>
+        entries.remove(k).foreach { df =>
+          markedPlans.remove((sid, df.queryExecution.analyzed.semanticHash()))
+          df.unpersist(blocking = false)
+        }
+      }
+    planKeys.keys.filter(k => k._1 == sid && k._2.startsWith(prefix))
+      .foreach(planKeys.remove)
+  }
 }

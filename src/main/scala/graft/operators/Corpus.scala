@@ -29,16 +29,26 @@ object Corpus {
     * is computable inside any other pipeline stage for free. At 100 TB
     * the split is stable under corpus growth (a new document's bucket
     * depends only on its own id), unlike sampling by position or RNG. */
-  def splitAssign(spark: SparkSession, dir: String, trainPct: Int = 80,
-      valPct: Int = 10): DataFrame = {
-    val bucket = h32(concat(lit("split:"), col("doc_id"))) % 100
-    Tables.documents(spark, dir)
-      .select(col("doc_id"), bucket.as("bucket"),
-        when(bucket < trainPct, "train")
-          .when(bucket < trainPct + valPct, "val")
-          .otherwise("test").as("split"))
-      .orderBy("doc_id")
+  /** The split-assignment COLUMNS, composable into any pipeline stage
+    * for free (the shuffle-free property PlanSpec asserts): bucket =
+    * h32("split:" + id) mod 100, split by cumulative percentage. */
+  def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    h32(concat(lit("split:"), id)) % 100
+
+  def splitOf(id: org.apache.spark.sql.Column, trainPct: Int = 80,
+      valPct: Int = 10): org.apache.spark.sql.Column = {
+    val bucket = splitBucket(id)
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  def splitAssign(spark: SparkSession, dir: String, trainPct: Int = 80,
+      valPct: Int = 10): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), splitBucket(col("doc_id")).as("bucket"),
+        splitOf(col("doc_id"), trainPct, valPct).as("split"))
+      .orderBy("doc_id")
 
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked

@@ -152,11 +152,16 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       vectors(spark, dir).withColumn("fv", array_to_vector(col("v")))
     }
-    val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
-      .setFeaturesCol("fv").setPredictionCol("bucket")
-      .fit(ivfTrainingSet(e, nClusters))
-    val eb = model.transform(e)
-      .select(col("vec_id"), col("v"), col("bucket").cast("long").as("bucket"))
+    // the fitted assignment is itself a builder: one k-means fit + one
+    // assignment pass per (session, dir, k), however many probes ask
+    val eb = graft.model.BuilderCache.memo(spark,
+        s"ivfAssigned:$dir:$nClusters") {
+      val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
+        .setFeaturesCol("fv").setPredictionCol("bucket")
+        .fit(ivfTrainingSet(e, nClusters))
+      model.transform(e)
+        .select(col("vec_id"), col("v"), col("bucket").cast("long").as("bucket"))
+    }
     val probes = eb.orderBy("vec_id").limit(nProbes)
       .select(col("vec_id").as("pid"), col("v").as("pv"),
         col("bucket").as("pbucket"))

@@ -38,6 +38,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), p)
   }
 
+  test("split assignment columns are shuffle-free (no Exchange)") {
+    import org.apache.spark.sql.functions.col
+    val p = plan(graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        graft.operators.Corpus.splitBucket(col("doc_id")).as("bucket"),
+        graft.operators.Corpus.splitOf(col("doc_id")).as("split")))
+    assert(!p.contains("Exchange"), p)
+  }
+
   test("hot-bucket guards exclude via broadcast anti-join (no big-side shuffle)") {
     // the guard's oversized-bucket list is a handful of rows — it must
     // broadcast, never shuffle the band/index relation a third time
