@@ -69,6 +69,7 @@ object SparkEntry {
     "dedup_minhash"     -> ((s, d) => Dedup.dedupMinhash(s, d)),
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // similarity search tier
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
@@ -90,6 +91,46 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The minhash-LSH candidate SQL, shared verbatim by the
+    * `dedup_minhash` oracle and (as the pair source subquery) by
+    * `dedup_clusters`' recursive-CTE closure. */
+  private val dedupMinhashSql: String =
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+        |         FROM toks)),
+        |h AS (SELECT doc_id,
+        |             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+        |      FROM sh),
+        |mh AS (SELECT doc_id, i, min((a * h + b) % 1000000007) AS v
+        |       FROM h, (VALUES (0, 654435747, 40503),
+        |         (1, 953445008, 640493002), (2, 666121539, 887878419),
+        |         (3, 916718432, 739353030), (4, 635055555, 15564468),
+        |         (5, 613703214, 407642994), (6, 478985632, 764070412),
+        |         (7, 685929885, 143680607), (8, 537319864, 495584588),
+        |         (9, 113289140, 662427260), (10, 443904346, 291123970),
+        |         (11, 237508372, 394074373), (12, 760536115, 194217892),
+        |         (13, 56448786, 407224614), (14, 174558421, 818425391),
+        |         (15, 842614604, 683379637)) AS perm(i, a, b)
+        |       GROUP BY 1, 2),
+        |bands AS (SELECT doc_id, i // 2 AS band,
+        |                 max(CASE WHEN i % 2 = 0 THEN v END) AS v1,
+        |                 max(CASE WHEN i % 2 = 1 THEN v END) AS v2
+        |          FROM mh GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
+        |         FROM bands a JOIN bands b
+        |           ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+        |          AND a.doc_id < b.doc_id)
+        |SELECT c.p1, c.p2,
+        |       CAST(sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS BIGINT)
+        |         / 16.0 AS est_jaccard
+        |FROM cand c JOIN mh x ON x.doc_id = c.p1
+        |            JOIN mh y ON y.doc_id = c.p2 AND y.i = x.i
+        |GROUP BY 1, 2
+        |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
       """SELECT event_id, user_id, event_type, value FROM events
@@ -433,42 +474,21 @@ object SparkEntry {
         |       CAST(count(*) AS BIGINT) AS dup_count
         |FROM documents GROUP BY 1 ORDER BY text_hash""".stripMargin,
 
-    "dedup_minhash" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
-        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
-        |         FROM toks)),
-        |h AS (SELECT doc_id,
-        |             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
-        |      FROM sh),
-        |mh AS (SELECT doc_id, i, min((a * h + b) % 1000000007) AS v
-        |       FROM h, (VALUES (0, 654435747, 40503),
-        |         (1, 953445008, 640493002), (2, 666121539, 887878419),
-        |         (3, 916718432, 739353030), (4, 635055555, 15564468),
-        |         (5, 613703214, 407642994), (6, 478985632, 764070412),
-        |         (7, 685929885, 143680607), (8, 537319864, 495584588),
-        |         (9, 113289140, 662427260), (10, 443904346, 291123970),
-        |         (11, 237508372, 394074373), (12, 760536115, 194217892),
-        |         (13, 56448786, 407224614), (14, 174558421, 818425391),
-        |         (15, 842614604, 683379637)) AS perm(i, a, b)
-        |       GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, i // 2 AS band,
-        |                 max(CASE WHEN i % 2 = 0 THEN v END) AS v1,
-        |                 max(CASE WHEN i % 2 = 1 THEN v END) AS v2
-        |          FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-        |          AND a.doc_id < b.doc_id)
-        |SELECT c.p1, c.p2,
-        |       CAST(sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS BIGINT)
-        |         / 16.0 AS est_jaccard
-        |FROM cand c JOIN mh x ON x.doc_id = c.p1
-        |            JOIN mh y ON y.doc_id = c.p2 AND y.i = x.i
-        |GROUP BY 1, 2
-        |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin,
+    "dedup_minhash" -> dedupMinhashSql,
+
+    // transitive closure of the minhash candidate pairs via DuckDB's
+    // recursive CTE — the oracle for the distributed connected
+    // components in Dedup.dupClusters (cluster id = min reachable id)
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE pairs AS (SELECT p1, p2 FROM ($dedupMinhashSql) q),
+        |e AS (SELECT p1 AS a, p2 AS b FROM pairs
+        |      UNION SELECT p2, p1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e2.b
+        |                      FROM reach r JOIN e e2 ON r.b = e2.a)
+        |SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
+        |       a = least(a, min(b)) AS is_survivor
+        |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,

@@ -248,6 +248,68 @@ object Dedup {
       .orderBy(asc("hamming"), asc("p1"), asc("p2"))
   }
 
+  /** Connected components over a near-duplicate pair relation — the
+    * dedup pipeline's last step: candidate pairs ([[dedupMinhash]],
+    * [[simhashPairs]], [[Similarity.dedupEmbedding]]) cluster into
+    * duplicate groups, and one survivor per cluster (the minimum doc_id
+    * — the same deterministic policy as [[dedupExact]]) is kept.
+    *
+    * Algorithm: min-label propagation with pointer SHORTCUTTING — each
+    * round a node takes the minimum of its own label, its neighbors'
+    * labels, and its label's label (the hash-to-min shortcut), so
+    * convergence is O(log n) rounds even on a path graph, not
+    * O(diameter). Each round is two equi-joins + an agg on the label
+    * table (one row per node appearing in a pair — bounded by 2×|pairs|,
+    * which the candidate generators' guards bound in turn; the full
+    * corpus never enters the loop). `localCheckpoint` truncates the
+    * iterative lineage exactly as [[graft.algo.PageRank]] does, and the
+    * loop stops the first round nothing changes (converged is proven,
+    * not assumed — `require` fails loudly rather than returning a
+    * half-merged clustering).
+    *
+    * Output: (doc_id, cluster_id, is_survivor), cluster_id = min doc_id
+    * of the component. Oracle-checked via DuckDB's recursive-CTE
+    * transitive closure — unusual for a distributed CC implementation. */
+  def dupClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("p1").as("a"), col("p2").as("b"))
+      .unionAll(pairs.select(col("p2").as("a"), col("p1").as("b")))
+      .localCheckpoint(true) // pairs may be a full query — run it ONCE
+    var labels = edges.select(col("a").as("v")).distinct()
+      .select(col("v"), col("v").as("lbl"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbr = edges.join(labels, col("b") === col("v"))
+        .groupBy(col("a")).agg(min("lbl").as("nmin"))
+      val hop = labels.as("x")
+        .join(labels.as("y"), col("x.lbl") === col("y.v"))
+        .select(col("x.v").as("a2"), col("y.lbl").as("hmin"))
+      val next = labels
+        .join(nbr, col("v") === col("a"), "left_outer")
+        .join(hop, col("v") === col("a2"), "left_outer")
+        .select(col("v"), least(col("lbl"),
+          coalesce(col("nmin"), col("lbl")),
+          coalesce(col("hmin"), col("lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      converged = next.as("n")
+        .join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxRounds rounds")
+    labels.select(col("v").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("v") === col("lbl")).as("is_survivor"))
+  }
+
+  /** `dedup_clusters`: duplicate groups + survivor selection over the
+    * declared [[dedupMinhash]] candidate pairs. */
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame =
+    dupClusters(dedupMinhash(spark, dir).select("p1", "p2"))
+      .orderBy("doc_id")
+
   /** `ngram_jaccard`: exact 3-gram-shingle Jaccard for every pair sharing
     * at least one shingle (inverted-index self-join + inclusion-exclusion
     * on exact set sizes — same shape as [[Recommend.jaccardPairs]]).

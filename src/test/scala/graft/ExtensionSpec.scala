@@ -120,6 +120,45 @@ class ExtensionSpec extends SparkSpec {
       .count() == 50)
   }
 
+  test("dupClusters equals driver-side union-find on a random pair graph") {
+    val rnd = new scala.util.Random(42)
+    val pairs = (1 to 300).map { _ =>
+      val a = rnd.nextInt(200).toLong; val b = rnd.nextInt(200).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    // driver union-find golden
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val golden = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(v => (v, find(v))).toMap
+    val out = graft.operators.Dedup
+      .dupClusters(pairs.toDF("p1", "p2"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == golden.size)
+    out.foreach { case (v, c, surv) =>
+      assert(c == golden(v), s"node $v: got $c want ${golden(v)}")
+      assert(surv == (v == c))
+    }
+  }
+
+  test("dupClusters converges on a 200-node path graph (shortcutting, not O(diameter))") {
+    // min-label propagation WITHOUT shortcutting needs 199 rounds here;
+    // the hash-to-min shortcut must finish within the 50-round bound
+    val chain = (0L until 199L).map(i => (i, i + 1))
+    val out = graft.operators.Dedup.dupClusters(chain.toDF("p1", "p2"))
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.length == 200)
+    assert(out.forall(_._2 == 0L), out.filter(_._2 != 0L).take(5).toList)
+    assert(out.count(_._3) == 1)
+  }
+
   test("event_funnel: strict step ordering; bounded by purchasing users") {
     val f = EventsOps.eventFunnel(spark, dir).cache()
     assert(f.filter(col("first_view_us") >= col("first_click_us") ||
