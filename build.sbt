@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g measured FASTER than 16g/48g for this workload (A/B under equal
+  // load: 99.7 / 120.4 / 136.2 s at sf0.1) — Dataset caches degrade
+  // gracefully to disk while big-heap G1 pauses hit every one of the
+  // many small local[32] tasks. Override via SPARK_DRIVER_MEM.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -286,17 +286,18 @@ object Dedup {
       val hop = labels.as("x")
         .join(labels.as("y"), col("x.lbl") === col("y.v"))
         .select(col("x.v").as("a2"), col("y.lbl").as("hmin"))
+      // prev rides along so convergence is a filter over the checkpoint,
+      // not another join against the previous round
       val next = labels
         .join(nbr, col("v") === col("a"), "left_outer")
         .join(hop, col("v") === col("a2"), "left_outer")
         .select(col("v"), least(col("lbl"),
           coalesce(col("nmin"), col("lbl")),
-          coalesce(col("hmin"), col("lbl"))).as("lbl"))
+          coalesce(col("hmin"), col("lbl"))).as("lbl"),
+          col("lbl").as("prev"))
         .localCheckpoint(true)
-      converged = next.as("n")
-        .join(labels.as("o"), col("n.v") === col("o.v"))
-        .filter(col("n.lbl") =!= col("o.lbl")).isEmpty
-      labels = next
+      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+      labels = next.select("v", "lbl")
       round += 1
     }
     require(converged, s"dupClusters did not converge in $maxRounds rounds")
