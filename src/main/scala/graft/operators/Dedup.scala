@@ -152,7 +152,13 @@ object Dedup {
     * bucket is never materialized); the sf0.1 maximum bucket is 12, so
     * the default never fires on oracle-checked data. */
   def dedupMinhash(spark: SparkSession, dir: String, limit: Int = 500,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    BuilderCache.memo(spark, s"minhashPairs:$dir:$limit:$maxBucket") {
+      dedupMinhashUncached(spark, dir, limit, maxBucket)
+    }
+
+  private def dedupMinhashUncached(spark: SparkSession, dir: String,
+      limit: Int, maxBucket: Int): DataFrame = {
     val bands = minhashBands(spark, dir)
     val buckets =
       dropHotBuckets(bands, Seq("band", "v1", "v2"), maxBucket)
