@@ -87,6 +87,8 @@ object SparkEntry {
     // corpus assembly tier
     "split_assign"      -> ((s, d) => Corpus.splitAssign(s, d)),
     "sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
+    "corpus_mix"        -> ((s, d) =>
+      Corpus.corpusMix(s, d, Corpus.defaultMixRates)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -728,5 +730,29 @@ object SparkEntry {
         |      FROM d)
         |SELECT lang, CAST(rk AS BIGINT) AS rk, doc_id
         |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin,
+
+    // the VALUES config is generated from the SAME rate map the Spark
+    // query uses (decomposed to whole copies + dyadic hash threshold),
+    // so the two surfaces cannot drift; hash + copy expansion are
+    // independently expressed per engine
+    "corpus_mix" -> {
+      val vals = graft.operators.Corpus.defaultMixRates.toSeq.sorted
+        .map { case (s, r) =>
+          val c = math.floor(r).toLong
+          s"('$s', $c, ${math.round((r - c) * (1L << 32).toDouble)})"
+        }.mkString(", ")
+      s"""WITH cfg(source, copies, thr) AS (VALUES $vals),
+        |d AS (SELECT doc_id, documents.source AS source, copies, thr,
+        |        CAST(('0x' || substr(md5('mix:' || CAST(doc_id AS VARCHAR)),
+        |              1, 8)) AS BIGINT) AS h
+        |      FROM documents JOIN cfg ON documents.source = cfg.source),
+        |k AS (SELECT doc_id, source,
+        |        CAST(copies + CASE WHEN h < thr THEN 1 ELSE 0 END AS BIGINT)
+        |          AS n
+        |      FROM d)
+        |SELECT doc_id, source,
+        |       CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
+        |FROM k WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
+    },
   )
 }

@@ -50,6 +50,47 @@ object Corpus {
         splitOf(col("doc_id"), trainPct, valPct).as("split"))
       .orderBy("doc_id")
 
+  /** `corpus_mix`: deterministic weighted source mixing — the data-
+    * mixture step of a pretraining pipeline, where each source gets a
+    * sampling RATE (0.25 = keep a quarter; 2.5 = two copies of every
+    * doc plus a third for half of them). Rates decompose into
+    * (whole copies, fractional-part hash threshold); a doc's extra copy
+    * is decided by its salted hash, so the mix is reproducible, stable
+    * under corpus growth, and exactly replayable by the oracle. Dyadic
+    * rates (k/2^n) make the threshold an exact long — the same
+    * engine-determinism contract as the blend weights.
+    *
+    * Scale posture: the rate config is a literal, provably bounded
+    * relation (one row per configured source) — the one kind of set a
+    * forced broadcast is right for — and the rest is a narrow
+    * scan→join→explode: no shuffle of the corpus, upsampled copies are
+    * generated in-row. */
+  def corpusMix(spark: SparkSession, dir: String,
+      rates: Map[String, Double]): DataFrame = {
+    import spark.implicits._
+    val cfg = rates.toSeq.sorted.map { case (src, r) =>
+      require(r >= 0, s"negative rate for $src")
+      val copies = math.floor(r).toLong
+      (src, copies, math.round((r - copies) * (1L << 32).toDouble))
+    }.toDF("source", "copies", "thr")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .join(broadcast(cfg), "source")
+      .withColumn("n_copies", col("copies") +
+        when(h32(concat(lit("mix:"), col("doc_id"))) < col("thr"), 1L)
+          .otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** Declared-query rates for the testdata's src0..src19: cycle
+    * 1.5 / 1.0 / 0.5 / 0.25 by source index — exercises upsampling,
+    * identity, and two downsampling rates, all dyadic. */
+  def defaultMixRates: Map[String, Double] =
+    (0 until 20).map(i => s"src$i" -> Seq(1.5, 1.0, 0.5, 0.25)(i % 4)).toMap
+
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked
     * deterministically (h, then doc_id). Equivalent to a seeded uniform

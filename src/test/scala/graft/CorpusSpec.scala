@@ -59,6 +59,30 @@ class CorpusSpec extends SparkSpec {
     assert(maxRk.filter(col("mx") =!= col("n")).count() == 0)
   }
 
+  test("corpus_mix: rate semantics — identity, down-sample bounds, up-sample copies") {
+    val docs = graft.model.Tables.documents(spark, dir)
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val out = Corpus.corpusMix(spark, dir, Corpus.defaultMixRates).cache()
+    // rate 1.0 sources (src1, src5, ...): every doc exactly once
+    val perDoc = out.filter(col("source") === "src1")
+      .groupBy("doc_id").count()
+    assert(perDoc.filter(col("count") =!= 1).count() == 0)
+    assert(perDoc.count() == docs("src1"))
+    // rate 1.5 sources: every doc 1 or 2 copies, total in (n, 2n)
+    val up = out.filter(col("source") === "src0").groupBy("doc_id").count()
+    assert(up.filter(col("count") < 1 || col("count") > 2).count() == 0)
+    assert(up.count() == docs("src0")) // floor(1.5)=1 → nothing dropped
+    // rate 0.25 sources: subset, single copies
+    val down = out.filter(col("source") === "src3")
+    assert(down.count() < docs("src3"))
+    assert(down.groupBy("doc_id").count()
+      .filter(col("count") =!= 1).count() == 0)
+    // deterministic: recompute equals
+    assert(out.except(Corpus.corpusMix(spark, dir, Corpus.defaultMixRates))
+      .count() == 0)
+    out.unpersist()
+  }
+
   test("sample_stratified: per-stratum quota respected and ranks dense") {
     val out = Corpus.sampleStratified(spark, dir, quota = 5).cache()
     val per = out.groupBy("lang").count().as[(String, Long)].collect()
