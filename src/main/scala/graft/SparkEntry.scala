@@ -89,6 +89,7 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
     "corpus_mix"        -> ((s, d) =>
       Corpus.corpusMix(s, d, Corpus.defaultMixRates)),
+    "pack_assign"       -> ((s, d) => Corpus.packAssign(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -754,5 +755,22 @@ object SparkEntry {
         |       CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
         |FROM k WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
     },
+
+    // the naive single-partition window form of the distributed
+    // two-pass prefix sum in Corpus.packAssign — value-identical by
+    // construction (the prefix sum is over the same total order)
+    "pack_assign" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)),
+        |          1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum
+        |      FROM t)
+        |SELECT doc_id, n_tokens, CAST(cum // 4096 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -91,6 +91,52 @@ object Corpus {
   def defaultMixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> Seq(1.5, 1.0, 0.5, 0.25)(i % 4)).toMap
 
+  /** `pack_assign`: token-budget sequence packing — documents are laid
+    * out in a deterministic global order (salted hash, then doc_id) and
+    * greedily assigned to fixed-budget packs: pack_id = floor(exclusive
+    * prefix-sum of token counts / budget). The batching step before
+    * training: every pack holds ~`budget` tokens, assignment is
+    * reproducible, and the oracle replays it with a plain window cumsum.
+    *
+    * Scale posture: a global cumulative sum is exactly what a naive
+    * `sum() OVER (ORDER BY ...)` window CANNOT do at 100 TB (one
+    * partition). This is the classic two-pass distributed prefix sum
+    * instead: range-partition + sort on the order key (a total global
+    * order), per-partition token totals — #partitions rows — come back
+    * to the driver once to build exclusive partition offsets
+    * (boundary-sized metadata, the same scale class as AQE statistics,
+    * NOT a data collect), then one narrow pass emits offset + running
+    * local sum. The RDD hop is deliberate: genuine per-partition
+    * imperative state (the running sum) is the one place mapPartitions
+    * beats any DataFrame expression. Partition boundary placement
+    * cannot change the VALUES (the prefix sum is over the total order,
+    * wherever it is cut). */
+  def packAssign(spark: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame = {
+    import spark.implicits._
+    val t = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h32(concat(lit("pack:"), col("doc_id"))).as("h"))
+      .repartitionByRange(col("h"), col("doc_id"))
+      .sortWithinPartitions("h", "doc_id")
+      .select("doc_id", "n_tokens").as[(Long, Long)]
+    val rdd = t.rdd
+    val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
+      Iterator.single(pid -> it.map(_._2).sum)
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = totals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = offsets(pid)
+      it.map { case (id, n) =>
+        val pack = cum / budget
+        cum += n
+        (id, n, pack)
+      }
+    }
+    packed.toDF("doc_id", "n_tokens", "pack_id").orderBy("doc_id")
+  }
+
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked
     * deterministically (h, then doc_id). Equivalent to a seeded uniform

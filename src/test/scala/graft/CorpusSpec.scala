@@ -83,6 +83,36 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("pack_assign equals the naive window cumsum; packs fill their budget") {
+    val budget = 500L
+    val out = Corpus.packAssign(spark, dir, budget).cache()
+    // naive single-partition form (fine at test scale)
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        graft.operators.TextOps.h32(
+          concat(lit("pack:"), col("doc_id"))).as("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(asc("h"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val naive = docs
+      .withColumn("cum", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        (col("cum") / budget).cast("long").as("pack_id"))
+    assert(out.except(naive).count() == 0 && naive.except(out).count() == 0)
+    // packs are dense 0..max and every non-final pack is filled: the
+    // cumulative tokens through pack p reach at least (p+1)*budget
+    val packs = out.groupBy("pack_id").agg(sum("n_tokens").as("tok"))
+      .orderBy("pack_id").as[(Long, Long)].collect()
+    assert(packs.map(_._1).toSeq == (0L until packs.length).toSeq)
+    var cum = 0L
+    packs.dropRight(1).zipWithIndex.foreach { case ((_, tok), p) =>
+      cum += tok
+      assert(cum >= (p + 1) * budget, s"pack $p underfilled: $cum")
+    }
+    out.unpersist()
+  }
+
   test("sample_stratified: per-stratum quota respected and ranks dense") {
     val out = Corpus.sampleStratified(spark, dir, quota = 5).cache()
     val per = out.groupBy("lang").count().as[(String, Long)].collect()
