@@ -133,9 +133,11 @@ object Similarity {
     * sign hyperplanes: this is actual IVF, where cells adapt to the data
     * distribution and occupancy stays balanced even when the corpus
     * doesn't straddle the axes. The query shape is unchanged — bucket =
-    * nearest centroid, probes equi-join their own cell, per-probe top-k
-    * window — so the multiprobe lever composes (probe the q nearest
-    * centroids instead of 1). Like PageRank, the k-means fixpoint is
+    * nearest centroid, probes equi-join candidate cells, per-probe
+    * top-k window — and the multiprobe lever is real: each probe
+    * searches its `nCells` nearest centroid cells (IVF nprobe), with
+    * nCells = nClusters provably equal to the exhaustive scan
+    * (ExtensionSpec). Like PageRank, the k-means fixpoint is
     * iterative and float-order-sensitive → no DuckDB oracle by design;
     * ScalaTest pins the invariants instead (every returned score is
     * brute-force-exact; every assignment is the argmin centroid).
@@ -145,28 +147,57 @@ object Similarity {
     * iteration-free ASSIGNMENT pass (`model.transform`, a narrow map
     * against the driver-broadcast centroid table); the bucket column
     * then behaves exactly like [[bucketOf]]'s. */
+  /** Memoized k-means quantizer per (application, dir, k): fixed seed +
+    * deterministic training set → refits would be identical, the memo
+    * just avoids paying them. */
+  private val models = scala.collection.concurrent.TrieMap
+    .empty[(String, String, Int), org.apache.spark.ml.clustering.KMeansModel]
+
+  private def ivfModel(spark: SparkSession, dir: String, nClusters: Int,
+      e: DataFrame) =
+    models.getOrElseUpdate(
+      (spark.sparkContext.applicationId, dir, nClusters), {
+        import org.apache.spark.ml.clustering.KMeans
+        new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
+          .setFeaturesCol("fv").setPredictionCol("bucket")
+          .fit(ivfTrainingSet(e, nClusters))
+      })
+
   def knnIvf(spark: SparkSession, dir: String, nClusters: Int = 16,
-      nProbes: Int = 5, k: Int = 5): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
+      nProbes: Int = 5, k: Int = 5, nCells: Int = 3): DataFrame = {
+    import spark.implicits._
     val e = graft.model.BuilderCache.memo(spark, s"ivfVectors:$dir") {
       import org.apache.spark.ml.functions.array_to_vector
       vectors(spark, dir).withColumn("fv", array_to_vector(col("v")))
     }
+    val model = ivfModel(spark, dir, nClusters, e)
     // the fitted assignment is itself a builder: one k-means fit + one
     // assignment pass per (session, dir, k), however many probes ask
     val eb = graft.model.BuilderCache.memo(spark,
         s"ivfAssigned:$dir:$nClusters") {
-      val model = new KMeans().setK(nClusters).setSeed(7L).setMaxIter(5)
-        .setFeaturesCol("fv").setPredictionCol("bucket")
-        .fit(ivfTrainingSet(e, nClusters))
       model.transform(e)
         .select(col("vec_id"), col("v"), col("bucket").cast("long").as("bucket"))
     }
     val probes = eb.orderBy("vec_id").limit(nProbes)
-      .select(col("vec_id").as("pid"), col("v").as("pv"),
-        col("bucket").as("pbucket"))
-    val scored = eb.join(broadcast(probes),
-        col("bucket") === col("pbucket") && col("vec_id") =!= col("pid"))
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    // IVF nprobe: each probe searches its `nCells` NEAREST centroid
+    // cells (the assigned cell is always among them — it is the argmin).
+    // The centroid table is a literal bounded relation (nClusters rows,
+    // driver-held by Spark ML itself), so the cross join + broadcast are
+    // provably bounded; |pv|² is constant per probe, so ranking cells by
+    // |c|² − 2·c·p ranks by true distance.
+    val cents = model.clusterCenters.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toArray) }.toSeq.toDF("cell", "cv")
+    val cellRank = Window.partitionBy("pid")
+      .orderBy(asc("d2"), asc("cell"))
+    val candBuckets = probes.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_norm2(cv)") - lit(2.0) * expr("graft_dot(cv, pv)"))
+      .withColumn("crk", row_number().over(cellRank))
+      .filter(col("crk") <= nCells)
+      .select(col("pid"), col("pv"), col("cell").as("cb"))
+    val scored = eb.join(broadcast(candBuckets),
+        col("bucket") === col("cb") && col("vec_id") =!= col("pid"))
       .select(col("pid"), col("vec_id"),
         round(expr(dot) /
           (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)

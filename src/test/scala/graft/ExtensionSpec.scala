@@ -103,6 +103,26 @@ class ExtensionSpec extends SparkSpec {
         assert(math.abs(brute(id) - cos) < 1e-9, s"vec $id") }
   }
 
+  test("knn_ivf: probing every cell IS brute force (nprobe completeness)") {
+    // with nCells = nClusters every vector is a candidate for every
+    // probe, so the per-probe ranking must equal the exhaustive scan
+    val probeId = spark.read.parquet(s"$dir/embeddings.parquet")
+      .agg(min("vec_id")).collect()(0).getLong(0)
+    val brute = Similarity.simTopk(spark, dir, k = 5)
+      .as[(Long, Double)].collect().toList
+    val exhaustive = Similarity
+      .knnIvf(spark, dir, nClusters = 16, k = 5, nCells = 16)
+      .filter(col("pid") === probeId)
+      .select("vec_id", "cosine").as[(Long, Double)].collect().toList
+    assert(exhaustive == brute, s"\nivf: $exhaustive\nbrute: $brute")
+    // and more cells never yields fewer candidates than one cell
+    val one = Similarity.knnIvf(spark, dir, k = 1000, nCells = 1)
+      .filter(col("pid") === probeId).count()
+    val three = Similarity.knnIvf(spark, dir, k = 1000, nCells = 3)
+      .filter(col("pid") === probeId).count()
+    assert(three >= one, s"nCells=3 candidates $three < nCells=1 $one")
+  }
+
   test("knn_ivf trains on a SAMPLE when the table is large enough") {
     // the 100 TB contract: k-means iterations must never scan the full
     // vector table (round-2/3 VERDICT item) — only the one assignment
