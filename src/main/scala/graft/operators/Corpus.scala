@@ -68,6 +68,10 @@ object Corpus {
   def corpusMix(spark: SparkSession, dir: String,
       rates: Map[String, Double]): DataFrame = {
     import spark.implicits._
+    require(rates.nonEmpty, "corpusMix needs at least one source rate")
+    // sources absent from `rates` are DROPPED (rate 0), not passed
+    // through — a mixture config is a whitelist; pass rate 1.0
+    // explicitly to keep a source untouched
     val cfg = rates.toSeq.sorted.map { case (src, r) =>
       require(r >= 0, s"negative rate for $src")
       val copies = math.floor(r).toLong
@@ -114,6 +118,7 @@ object Corpus {
   def packAssign(spark: SparkSession, dir: String,
       budget: Long = 4096L): DataFrame = {
     import spark.implicits._
+    require(budget > 0, s"pack budget must be positive, got $budget")
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),

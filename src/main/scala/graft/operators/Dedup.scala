@@ -281,8 +281,11 @@ object Dedup {
       .select(col("p1").as("a"), col("p2").as("b"))
       .unionAll(pairs.select(col("p2").as("a"), col("p1").as("b")))
       .localCheckpoint(true) // pairs may be a full query — run it ONCE
-    var labels = edges.select(col("a").as("v")).distinct()
-      .select(col("v"), col("v").as("lbl"))
+    // round 0 fused into initialization: label = min(self, neighbors) —
+    // the identity-label round's hop join is a no-op, so starting from
+    // the neighbor-min saves one full iteration
+    var labels = edges.groupBy("a").agg(min("b").as("nmin"))
+      .select(col("a").as("v"), least(col("a"), col("nmin")).as("lbl"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
