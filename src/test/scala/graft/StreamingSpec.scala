@@ -11,6 +11,33 @@ class StreamingSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("corpus split columns are stream-composable (stateless parity)") {
+    // splitBucket/splitOf are pure hash columns — the same expressions
+    // drop into a readStream pipeline unchanged, the practical payoff
+    // of assignment-as-column over assignment-as-query
+    val schema = graft.model.Tables.documents(spark, dir).schema
+    // the file streaming source wants a directory to watch
+    val watched = java.nio.file.Files.createTempDirectory("graft-split-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      watched.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(watched.toString)
+      .select(col("doc_id"),
+        graft.operators.Corpus.splitBucket(col("doc_id")).as("bucket"),
+        graft.operators.Corpus.splitOf(col("doc_id")).as("split"))
+    val q = stream.writeStream.outputMode("append").format("memory")
+      .queryName("split_stream").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("split_stream")
+        .as[(Long, Long, String)].collect().toSet
+      val batch = graft.operators.Corpus.splitAssign(spark, dir)
+        .as[(Long, Long, String)].collect().toSet
+      assert(streamed == batch && streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming hourly agg reconciles with the batch rollup") {
     val q = EventStream.runToMemory(
       EventStream.hourlyAgg(EventStream.readEvents(spark, dir)),
