@@ -70,6 +70,7 @@ object SparkEntry {
     "dedup_simhash"     -> ((s, d) => Dedup.simhash(s, d)),
     "dedup_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "dedup_clusters"    -> ((s, d) => Dedup.dedupClusters(s, d)),
+    "dedup_survivors"   -> ((s, d) => Dedup.dedupSurvivors(s, d)),
     "ngram_jaccard"     -> ((s, d) => Dedup.ngramJaccard(s, d)),
     // similarity search tier
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
@@ -492,6 +493,20 @@ object SparkEntry {
         |SELECT a AS doc_id, least(a, min(b)) AS cluster_id,
         |       a = least(a, min(b)) AS is_survivor
         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE pairs AS (SELECT p1, p2 FROM ($dedupMinhashSql) q),
+        |e AS (SELECT p1 AS a, p2 AS b FROM pairs
+        |      UNION SELECT p2, p1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e2.b
+        |                      FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a)
+        |SELECT d.doc_id, d.lang, d.source FROM documents d
+        |WHERE d.doc_id NOT IN
+        |      (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,

@@ -315,10 +315,27 @@ object Dedup {
   }
 
   /** `dedup_clusters`: duplicate groups + survivor selection over the
-    * declared [[dedupMinhash]] candidate pairs. */
+    * declared [[dedupMinhash]] candidate pairs. The converged label
+    * table is a registry builder — [[dedupSurvivors]] reads it without
+    * re-running the fixpoint. */
   def dedupClusters(spark: SparkSession, dir: String): DataFrame =
-    dupClusters(dedupMinhash(spark, dir).select("p1", "p2"))
+    BuilderCache.memo(spark, s"dupClusters:$dir") {
+      dupClusters(dedupMinhash(spark, dir).select("p1", "p2"))
+    }.orderBy("doc_id")
+
+  /** `dedup_survivors`: the pipeline's terminal output — the corpus
+    * with near-duplicates removed. A document survives when it is not
+    * a non-survivor member of any duplicate cluster (docs outside every
+    * cluster are untouched). Broadcast anti-join: the non-survivor list
+    * is bounded by the candidate pair count, never corpus-sized. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupClusters(spark, dir)
+      .filter(!col("is_survivor")).select("doc_id")
+    Tables.documents(spark, dir)
+      .select("doc_id", "lang", "source")
+      .join(broadcast(dropped), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
 
   /** `ngram_jaccard`: exact 3-gram-shingle Jaccard for every pair sharing
     * at least one shingle (inverted-index self-join + inclusion-exclusion

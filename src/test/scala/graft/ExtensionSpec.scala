@@ -179,6 +179,21 @@ class ExtensionSpec extends SparkSpec {
     assert(out.count(_._3) == 1)
   }
 
+  test("dedup_survivors keeps exactly one member per duplicate cluster") {
+    val clusters = graft.operators.Dedup.dedupClusters(spark, dir).cache()
+    val surv = graft.operators.Dedup.dedupSurvivors(spark, dir).cache()
+    val total = graft.model.Tables.documents(spark, dir).count()
+    val dropped = clusters.filter(!col("is_survivor")).count()
+    assert(surv.count() == total - dropped)
+    // per cluster: exactly one member survives, and it is the min id
+    val kept = clusters.join(surv, "doc_id")
+      .groupBy("cluster_id").agg(count(lit(1)).as("n"),
+        min("doc_id").as("m"))
+    assert(kept.filter(col("n") =!= 1).count() == 0)
+    assert(kept.filter(col("m") =!= col("cluster_id")).count() == 0)
+    clusters.unpersist(); surv.unpersist()
+  }
+
   test("event_funnel: strict step ordering; bounded by purchasing users") {
     val f = EventsOps.eventFunnel(spark, dir).cache()
     assert(f.filter(col("first_view_us") >= col("first_click_us") ||
