@@ -91,6 +91,7 @@ object SparkEntry {
     "corpus_mix"        -> ((s, d) =>
       Corpus.corpusMix(s, d, Corpus.defaultMixRates)),
     "pack_assign"       -> ((s, d) => Corpus.packAssign(s, d)),
+    "corpus_prepare"    -> ((s, d) => Corpus.corpusPrepare(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -786,6 +787,48 @@ object SparkEntry {
         |          AS cum
         |      FROM t)
         |SELECT doc_id, n_tokens, CAST(cum // 4096 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // the full preparation pipeline — quality gate + dedup-survivor
+    // filter + split assignment + per-split pack cumsum — composed in
+    // one SQL statement exactly as the Spark plan composes the
+    // operators
+    "corpus_prepare" ->
+      s"""WITH RECURSIVE pairs AS (SELECT p1, p2 FROM ($dedupMinhashSql) q),
+        |e AS (SELECT p1 AS a, p2 AS b FROM pairs
+        |      UNION SELECT p2, p1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e2.b
+        |                      FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |base AS (SELECT d.doc_id,
+        |           CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |           CAST(('0x' || substr(md5('pack:' ||
+        |                 CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        |           CASE WHEN d.bkt < 80 THEN 'train'
+        |                WHEN d.bkt < 90 THEN 'val'
+        |                ELSE 'test' END AS split
+        |         FROM (SELECT doc_id,
+        |                 CAST(('0x' || substr(md5('split:' ||
+        |                       CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                   % 100 AS bkt
+        |               FROM documents) d
+        |         JOIN tk t ON d.doc_id = t.doc_id
+        |         WHERE len(t.t) BETWEEN 20 AND 1000
+        |           AND len(list_filter(t.t,
+        |                 x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0
+        |           AND d.doc_id NOT IN
+        |               (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)),
+        |c AS (SELECT doc_id, split, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (PARTITION BY split
+        |          ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum
+        |      FROM base)
+        |SELECT doc_id, split, n_tokens, CAST(cum // 4096 AS BIGINT)
+        |         AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
   )
 }

@@ -117,29 +117,83 @@ object Corpus {
     * wherever it is cut). */
   def packAssign(spark: SparkSession, dir: String,
       budget: Long = 4096L): DataFrame = {
-    import spark.implicits._
-    require(budget > 0, s"pack budget must be positive, got $budget")
     val t = Tables.documents(spark, dir)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        h32(concat(lit("pack:"), col("doc_id"))).as("h"))
-      .repartitionByRange(col("h"), col("doc_id"))
-      .sortWithinPartitions("h", "doc_id")
-      .select("doc_id", "n_tokens").as[(Long, Long)]
+        h32(concat(lit("pack:"), col("doc_id"))).as("h"),
+        lit("all").as("grp"))
+    packedBy(t, budget).select("doc_id", "n_tokens", "pack_id")
+      .orderBy("doc_id")
+  }
+
+  /** Group-partitioned two-pass prefix-sum packing over any
+    * (doc_id, n_tokens, h, grp) relation: pack ids restart per group
+    * (train/val/test pack separately), order within a group is
+    * (h, doc_id). Range partitioning leads with the group, so each
+    * partition holds a contiguous slice of one-or-few groups; the
+    * driver sees only per-(partition, group) totals. */
+  private def packedBy(docs: DataFrame, budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    import docs.sparkSession.implicits._
+    val t = docs
+      .repartitionByRange(col("grp"), col("h"), col("doc_id"))
+      .sortWithinPartitions("grp", "h", "doc_id")
+      .select("doc_id", "n_tokens", "grp").as[(Long, Long, String)]
     val rdd = t.rdd
+    // pass 1: token totals per (partition, group) — partitions × groups
+    // rows of metadata, never data
     val totals = rdd.mapPartitionsWithIndex { (pid, it) =>
-      Iterator.single(pid -> it.map(_._2).sum)
-    }.collect().sortBy(_._1).map(_._2)
-    val offsets = totals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+      val sums = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (_, n, g) => sums.update(g, sums.getOrElse(g, 0L) + n) }
+      Iterator.single(pid -> sums.toMap)
+    }.collect().sortBy(_._1)
+    // exclusive offset for (pid, grp) = that group's tokens in earlier
+    // partitions (range partitioning makes "earlier" = before in the
+    // group's global order)
+    val offsets: Map[(Int, String), Long] = {
+      val running = scala.collection.mutable.Map.empty[String, Long]
+      totals.flatMap { case (pid, sums) =>
+        sums.map { case (g, n) =>
+          val off = running.getOrElse(g, 0L)
+          running.update(g, off + n)
+          (pid, g) -> off
+        }
+      }.toMap
+    }
     val packed = rdd.mapPartitionsWithIndex { (pid, it) =>
-      var cum = offsets(pid)
-      it.map { case (id, n) =>
-        val pack = cum / budget
-        cum += n
-        (id, n, pack)
+      val cums = scala.collection.mutable.Map.empty[String, Long]
+      it.map { case (id, n, g) =>
+        val cum = cums.getOrElse(g, offsets.getOrElse((pid, g), 0L))
+        cums.update(g, cum + n)
+        (id, n, g, cum / budget)
       }
     }
-    packed.toDF("doc_id", "n_tokens", "pack_id").orderBy("doc_id")
+    packed.toDF("doc_id", "n_tokens", "grp", "pack_id")
+  }
+
+  /** `corpus_prepare`: the preparation pipeline END-TO-END in one
+    * declared query — quality gate ([[TextOps.textQuality]]'s keep
+    * rule), near-duplicate removal ([[Dedup.dedupSurvivors]]), split
+    * assignment ([[splitOf]]), and per-split token-budget packing
+    * ([[packedBy]]). What a user actually runs before training; every
+    * stage is the already-verified operator, composed in one plan, and
+    * the whole composition is oracle-checked. */
+  def corpusPrepare(spark: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame = {
+    val keep = TextOps.textQuality(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val surv = Dedup.dedupSurvivors(spark, dir).select("doc_id")
+    val base = Tables.documents(spark, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(surv, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h32(concat(lit("pack:"), col("doc_id"))).as("h"),
+        splitOf(col("doc_id")).as("grp"))
+    packedBy(base, budget)
+      .select(col("doc_id"), col("grp").as("split"), col("n_tokens"),
+        col("pack_id"))
+      .orderBy("doc_id")
   }
 
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`

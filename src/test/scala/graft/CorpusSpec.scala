@@ -113,6 +113,26 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("corpus_prepare: gates compose and packs restart per split") {
+    val out = Corpus.corpusPrepare(spark, dir, budget = 300L).cache()
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    // every emitted doc passed BOTH gates
+    val keep = graft.operators.TextOps.textQuality(spark, dir)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val surv = graft.operators.Dedup.dedupSurvivors(spark, dir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids.subsetOf(keep) && ids.subsetOf(surv))
+    assert(ids == (keep intersect surv), "gates must compose exactly")
+    // pack ids are dense from 0 WITHIN each split independently
+    out.select("split").distinct().as[String].collect().foreach { s =>
+      val packs = out.filter(col("split") === s)
+        .select("pack_id").distinct().orderBy("pack_id")
+        .as[Long].collect().toSeq
+      assert(packs == (0L until packs.length), s"split $s packs: $packs")
+    }
+    out.unpersist()
+  }
+
   test("sample_stratified: per-stratum quota respected and ranks dense") {
     val out = Corpus.sampleStratified(spark, dir, quota = 5).cache()
     val per = out.groupBy("lang").count().as[(String, Long)].collect()
