@@ -19,19 +19,18 @@ import graft.operators.TextOps.h32
   */
 object Corpus {
 
-  /** `split_assign`: deterministic train/val/test assignment — bucket =
-    * h32("split:" + doc_id) mod 100, train < `trainPct` ≤ val <
-    * `trainPct + valPct` ≤ test. The salt prefix decorrelates the split
-    * from every other doc_id-hash use (fingerprints, sampling), the
-    * classic independent-hash-per-purpose rule.
+  /** `split_assign` building blocks: deterministic train/val/test
+    * assignment as plain COLUMNS — bucket = h32("split:" + id) mod 100,
+    * train < `trainPct` ≤ val < `trainPct + valPct` ≤ test. The salt
+    * prefix decorrelates the split from every other id-hash use
+    * (fingerprints, sampling, mixing), the classic independent-hash-
+    * per-purpose rule.
     *
-    * Scale posture: scan→project, shuffle-free — the assignment column
-    * is computable inside any other pipeline stage for free. At 100 TB
-    * the split is stable under corpus growth (a new document's bucket
-    * depends only on its own id), unlike sampling by position or RNG. */
-  /** The split-assignment COLUMNS, composable into any pipeline stage
-    * for free (the shuffle-free property PlanSpec asserts): bucket =
-    * h32("split:" + id) mod 100, split by cumulative percentage. */
+    * Scale posture: shuffle-free (PlanSpec asserts zero Exchange) and
+    * composable into any pipeline stage — batch or streaming — for
+    * free. At 100 TB the split is stable under corpus growth (a new
+    * document's bucket depends only on its own id), unlike sampling by
+    * position or RNG. */
   def splitBucket(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     h32(concat(lit("split:"), id)) % 100
 
@@ -132,7 +131,7 @@ object Corpus {
     * (h, doc_id). Range partitioning leads with the group, so each
     * partition holds a contiguous slice of one-or-few groups; the
     * driver sees only per-(partition, group) totals. */
-  private def packedBy(docs: DataFrame, budget: Long): DataFrame = {
+  private[graft] def packedBy(docs: DataFrame, budget: Long): DataFrame = {
     require(budget > 0, s"pack budget must be positive, got $budget")
     import docs.sparkSession.implicits._
     val t = docs

@@ -26,6 +26,35 @@ class PropertySpec extends SparkSpec {
     } yield (s, d))
   } yield (n, edges.filter(e => e._1 != e._2).distinct)
 
+  private val packInput: Gen[(List[(Long, Long, Long, String)], Long)] = for {
+    n <- Gen.choose(1, 60)
+    budget <- Gen.choose(1L, 50L)
+    rows <- Gen.listOfN(n, for {
+      id <- Gen.choose(0L, 200L)
+      tok <- Gen.choose(0L, 30L)
+      h <- Gen.choose(0L, 5L) // tiny range → forces doc_id tie-breaks
+      g <- Gen.oneOf("train", "val", "test")
+    } yield (id, tok, h, g))
+  } yield (rows.distinctBy(_._1), budget)
+
+  test("packedBy ≡ driver-side per-group prefix sum on random inputs") {
+    samples(packInput, 12).foreach { case (rows, budget) =>
+      val df = rows.toDF("doc_id", "n_tokens", "h", "grp")
+      val got = graft.operators.Corpus.packedBy(df, budget)
+        .as[(Long, Long, String, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+      val want = rows.groupBy(_._4).flatMap { case (g, rs) =>
+        var cum = 0L
+        rs.sortBy(r => (r._3, r._1)).map { case (id, tok, _, _) =>
+          val pack = cum / budget
+          cum += tok
+          id -> ((tok, g, pack))
+        }
+      }
+      assert(got == want, s"budget=$budget rows=$rows")
+    }
+  }
+
   test("PageRank conserves mass; fast path ≡ distributed loop on random graphs") {
     samples(smallGraph, 8).foreach { case (n, edges) =>
       val v = (0L until n.toLong).map((_, 1.0)).toDF("id", "pers")
