@@ -213,10 +213,19 @@ object Corpus {
     * the naive form), while no executor ever sorts more than
     * ~safety×quota rows per healthy stratum. */
   def sampleStratified(spark: SparkSession, dir: String, quota: Int = 50,
-      safety: Int = 4): DataFrame = {
-    val docs = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        h32(concat(lit("strat:"), col("doc_id"))).as("h"))
+      safety: Int = 4): DataFrame =
+    sampleStratifiedFrom(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          h32(concat(lit("strat:"), col("doc_id"))).as("h")),
+      quota, safety)
+
+  /** [[sampleStratified]] over any (doc_id, lang, h) relation —
+    * factored out so the threshold path is unit-testable on synthetic
+    * strata large enough to engage the prefilter (the sf0.001 corpus
+    * only exercises the short-stratum fallback). */
+  private[graft] def sampleStratifiedFrom(docs: DataFrame, quota: Int,
+      safety: Int): DataFrame = {
     // per-stratum thresholds: one row per language — tiny in practice
     // but DATA-DEPENDENT (a pathological corpus could carry millions of
     // distinct lang values), so like collab_topk's candidate set these

@@ -133,6 +133,24 @@ class CorpusSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("sample_stratified threshold path: big synthetic strata, exact equality") {
+    // 3000-doc strata engage the hash-threshold prefilter (quota*safety
+    // = 20 << 3000); equality with the naive window proves the
+    // prefilter never cuts a row that ranks inside the quota
+    val docs = spark.range(9000)
+      .selectExpr("id AS doc_id",
+        "CASE CAST(id % 3 AS INT) WHEN 0 THEN 'en' WHEN 1 THEN 'fr' ELSE 'de' END AS lang")
+      .withColumn("h", graft.operators.TextOps.h32(
+        concat(lit("strat:"), col("doc_id"))))
+    val fast = Corpus.sampleStratifiedFrom(docs, quota = 5, safety = 4)
+    val w = Window.partitionBy("lang").orderBy(asc("h"), asc("doc_id"))
+    val naive = docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
+    assert(fast.count() == 15)
+    assert(fast.except(naive).count() == 0 && naive.except(fast).count() == 0)
+  }
+
   test("sample_stratified: per-stratum quota respected and ranks dense") {
     val out = Corpus.sampleStratified(spark, dir, quota = 5).cache()
     val per = out.groupBy("lang").count().as[(String, Long)].collect()
