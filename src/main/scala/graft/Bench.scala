@@ -30,7 +30,19 @@ object Bench {
     "rec_blend" -> 14.18, "rec_blend_full" -> 15.43,
     "scan_project" -> 0.23, "sessionize" -> 1.09, "sim_topk" -> 0.31,
     "text_fingerprint" -> 0.20, "text_quality" -> 0.17,
-    "text_tokens" -> 0.17, "tfidf" -> 0.60)
+    "text_tokens" -> 0.17, "tfidf" -> 0.60,
+    // queries added after r1: budgets from their first green round's
+    // bench (r2 for the pairs/funnel tier, r4 for the corpus tier),
+    // with ~1.5x headroom for builder-attribution drift — the sorted-
+    // name run order means the alphabetically-first consumer of a
+    // shared builder absorbs its materialization
+    "dedup_simhash_pairs" -> 4.5, "knn_ivf" -> 4.0,
+    "knn_multiprobe" -> 1.0, "event_funnel" -> 0.8,
+    "event_retention" -> 1.2, "lang_id_ngram" -> 0.5,
+    "multimodal_frames" -> 0.8, "multimodal_resize" -> 0.7,
+    "dedup_clusters" -> 7.0, "dedup_survivors" -> 1.0,
+    "split_assign" -> 0.5, "sample_stratified" -> 1.5,
+    "corpus_mix" -> 1.0, "pack_assign" -> 1.0, "corpus_prepare" -> 9.0)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
