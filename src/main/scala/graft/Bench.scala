@@ -51,6 +51,22 @@ object Bench {
     case c => c.toString
   }
 
+  /** 1/5/15-minute load averages — the co-tenant-noise instrument: this
+    * box's totals swing ±50% with background load, so every bench line
+    * records the load it ran under (before and after) for the reader to
+    * discount outliers. */
+  private def loadavg: Seq[Double] =
+    scala.util.Try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).toSeq.map(_.toDouble)
+      finally src.close()
+    }.getOrElse(Seq.empty)
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.length / 2) // odd run counts; even → upper median, still robust
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -70,28 +86,49 @@ object Bench {
     // pays its materialization)
     spark.range(1000000L).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // median-of-N per query: run1 ("cold") absorbs shared-builder
+    // materialization and JIT/page-cache noise, the median is the
+    // steady-state cost the budgets actually guard. Both are reported —
+    // "queries"/"value" carry medians (sum of medians = total), "cold"/
+    // "cold_total" carry run1 — so builder first-touch attribution is in
+    // the artifact instead of re-litigated from SCALING runs each round.
+    val runsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val load0 = loadavg
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
-        val t0 = System.nanoTime()
-        val err =
-          try { fn(spark, sfDir).count(); None }
-          catch { case e: Throwable => Some(e.toString.take(300)) }
-        (name, (System.nanoTime() - t0) / 1e9, err)
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var err: Option[String] = None
+        var i = 0
+        while (i < runsN && err.isEmpty) { // a failing query fails fast
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count()
+          catch { case e: Throwable => err = Some(e.toString.take(300)) }
+          times += (System.nanoTime() - t0) / 1e9
+          i += 1
+        }
+        (name, median(times.toSeq), times.head, err)
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val load1 = loadavg
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val colds = results.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       s"\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
-    val ok = results.forall(_._3.isEmpty)
+    val ok = results.forall(_._4.isEmpty)
     val total = results.map(_._2).sum
-    // regression budget: only meaningful at the baseline's scale (sf0.1)
+    val coldTotal = results.map(_._3).sum
+    // regression budget: only meaningful at the baseline's scale (sf0.1);
+    // compares MEDIANS, so builder first-touch can no longer masquerade
+    // as a regression (nor co-tenant spikes, unless they last all N runs)
     val regs =
       if (!sfDir.contains("sf0.1")) "{}"
       else results.collect {
-        case (k, v, _) if baselineSec.get(k).exists(b => v > 2 * b) =>
+        case (k, v, _, _) if baselineSec.get(k).exists(b => v > 2 * b) =>
           f""""$k":${v / baselineSec(k)}%.2f"""
       }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"errors":$errs,"regressions":$regs,"queries":$qs,"sf":"$sfDir"}""")
+    val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

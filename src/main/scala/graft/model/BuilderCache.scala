@@ -97,6 +97,19 @@ object BuilderCache {
       : DataFrame =
     memoByPlan(spark, name, df)(df)
 
+  /** Cache a PER-REQUEST frame (one that its owner unpersists after use,
+    * so it must NOT live in the registry) without re-marking: if Spark's
+    * CacheManager already holds this plan — `storageLevel` is the public
+    * view of that lookup — a repeated request over the same inputs reuses
+    * the live entry instead of logging `Asked to cache already cached
+    * data`. The caller's unpersist stays correct either way (unpersisting
+    * the shared plan once is the intended release). */
+  def cacheOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    df
+  }
+
   /** Builder keys currently registered for this session. */
   def list(spark: SparkSession): Seq[String] =
     entries.keys.collect { case (s, k) if s == sessionKey(spark) => k }.toSeq

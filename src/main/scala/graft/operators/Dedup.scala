@@ -52,12 +52,17 @@ object Dedup {
     * session materializes the document scan + shingling exactly once. */
   private def shingles(spark: SparkSession, dir: String): DataFrame =
     BuilderCache.memo(spark, s"shingles:$dir") {
-      Tables.documents(spark, dir)
-        .select(col("doc_id"), explode(array_distinct(expr(
-          """transform(sequence(0, size(split(text, ' ')) - 3),
-            |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
-            .stripMargin))).as("sh"))
+      shinglesOf(Tables.documents(spark, dir))
     }
+
+  /** [[shingles]] over any (doc_id, text) relation — the un-cached form
+    * the per-micro-batch streaming path composes
+    * ([[graft.streaming.CorpusStream]]). */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(array_distinct(expr(
+      """transform(sequence(0, size(split(text, ' ')) - 3),
+        |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
+        .stripMargin))).as("sh"))
 
   /** MinHash parameters: k affine permutations of the 32-bit shingle hash
     * modulo a prime. Multipliers must be LARGE (≈p) so aᵢ·h wraps the
@@ -82,9 +87,11 @@ object Dedup {
     (lit(PermA(i)) * h + lit(PermB(i))) % lit(Prime)
 
   /** Per-document MinHash signature columns m0..m{k-1}. */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = shingles(spark, dir)
-      .select(col("doc_id"), h32(col("sh")).as("h"))
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    minhashSignaturesOf(shingles(spark, dir))
+
+  private[graft] def minhashSignaturesOf(sh: DataFrame): DataFrame = {
+    val hashed = sh.select(col("doc_id"), h32(col("sh")).as("h"))
     val aggs = (0 until MinhashK).map(i => min(perm(i, col("h"))).as(s"m$i"))
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -133,15 +140,18 @@ object Dedup {
     * again. */
   private def minhashBands(spark: SparkSession, dir: String): DataFrame =
     BuilderCache.memo(spark, s"minhashBands:$dir") {
-      minhashSignatures(spark, dir)
-        .select(col("doc_id"),
-          struct((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"),
-          posexplode(array((0 until MinhashK / 2).map { j =>
-            struct(col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
-          }: _*)).as(Seq("band", "bv")))
-        .select(col("doc_id"), col("sig"), col("band"),
-          col("bv.v1").as("v1"), col("bv.v2").as("v2"))
+      minhashBandsOf(minhashSignatures(spark, dir))
     }
+
+  private[graft] def minhashBandsOf(sig: DataFrame): DataFrame =
+    sig
+      .select(col("doc_id"),
+        struct((0 until MinhashK).map(i => col(s"m$i")): _*).as("sig"),
+        posexplode(array((0 until MinhashK / 2).map { j =>
+          struct(col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
+        }: _*)).as(Seq("band", "bv")))
+      .select(col("doc_id"), col("sig"), col("band"),
+        col("bv.v1").as("v1"), col("bv.v2").as("v2"))
 
   /** `dedup_minhash`: LSH candidate pairs — band the k-wide signature into
     * k/2 bands of 2 rows, bucket the bands on (band, v1, v2), then score
@@ -158,8 +168,11 @@ object Dedup {
     }
 
   private def dedupMinhashUncached(spark: SparkSession, dir: String,
-      limit: Int, maxBucket: Int): DataFrame = {
-    val bands = minhashBands(spark, dir)
+      limit: Int, maxBucket: Int): DataFrame =
+    minhashPairsOf(minhashBands(spark, dir), limit, maxBucket)
+
+  private[graft] def minhashPairsOf(bands: DataFrame, limit: Int,
+      maxBucket: Int): DataFrame = {
     val buckets =
       dropHotBuckets(bands, Seq("band", "v1", "v2"), maxBucket)
         .groupBy("band", "v1", "v2")
@@ -296,7 +309,11 @@ object Dedup {
         .join(labels.as("y"), col("x.lbl") === col("y.v"))
         .select(col("x.v").as("a2"), col("y.lbl").as("hmin"))
       // prev rides along so convergence is a filter over the checkpoint,
-      // not another join against the previous round
+      // not another join against the previous round. The checkpoint is
+      // LAZY and the convergence count is the action that materializes
+      // it: one job per round (the count's scan computes and persists
+      // every checkpoint partition on the way through), vs the old
+      // eager-checkpoint-then-isEmpty's two.
       val next = labels
         .join(nbr, col("v") === col("a"), "left_outer")
         .join(hop, col("v") === col("a2"), "left_outer")
@@ -304,8 +321,8 @@ object Dedup {
           coalesce(col("nmin"), col("lbl")),
           coalesce(col("hmin"), col("lbl"))).as("lbl"),
           col("lbl").as("prev"))
-        .localCheckpoint(true)
-      converged = next.filter(col("lbl") =!= col("prev")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("lbl") =!= col("prev")).count() == 0L
       labels = next.select("v", "lbl")
       round += 1
     }
@@ -335,6 +352,24 @@ object Dedup {
       .select("doc_id", "lang", "source")
       .join(broadcast(dropped), Seq("doc_id"), "left_anti")
       .orderBy("doc_id")
+  }
+
+  /** The whole near-dup pipeline (shingles → minhash → LSH pairs → CC →
+    * survivor anti-join) over ANY (doc_id, text, ...) relation, with the
+    * SAME parameters as the declared [[dedupMinhash]]/[[dedupSurvivors]]
+    * chain — the form [[graft.streaming.CorpusStream]] runs per
+    * micro-batch (foreachBatch hands it a batch DataFrame; batch
+    * semantics inside the batch, so a slice that arrives in one batch
+    * dedups exactly as the batch pipeline would). No BuilderCache
+    * entries: a micro-batch is consumed once. Returns the input rows
+    * minus non-surviving near-duplicates. */
+  private[graft] def dedupSurvivorsOf(docs: DataFrame, limit: Int = 500,
+      maxBucket: Int = 1000): DataFrame = {
+    val pairs = minhashPairsOf(minhashBandsOf(
+      minhashSignaturesOf(shinglesOf(docs))), limit, maxBucket)
+    val dropped = dupClusters(pairs.select("p1", "p2"))
+      .filter(!col("is_survivor")).select("doc_id")
+    docs.join(broadcast(dropped), Seq("doc_id"), "left_anti")
   }
 
   /** `ngram_jaccard`: exact 3-gram-shingle Jaccard for every pair sharing

@@ -10,12 +10,15 @@ import graft.model.Tables
   * decode / feature-extraction runs partition-parallel over a typed
   * Dataset. The IMAGE codec is REAL (`javax.imageio` — in the JDK, no
   * new dependency): a decodable payload yields pixel-level features
-  * and true pixel resampling. Audio/video codecs are STUBBED (no such
-  * libraries in this container) with a deterministic byte-level
-  * extractor, clearly marked below; payloads that don't decode (e.g.
-  * the testdata's text stand-ins) take the same fallback, so the
-  * oracle-checked rows are unchanged while MultimodalSpec proves the
-  * pixel path on synthetic PNGs.
+  * and true pixel resampling. The AUDIO codec is REAL too
+  * (`javax.sound.sampled` WAV/AU/AIFF PCM parsing — also pure JDK):
+  * decodable payloads yield duration/RMS/zero-crossing/envelope
+  * features. Only the VIDEO codec is STUBBED (no container demuxer in
+  * this container) with a deterministic byte-level extractor, clearly
+  * marked below; payloads that don't decode (e.g. the testdata's text
+  * stand-ins) take the same fallback, so the oracle-checked rows are
+  * unchanged while MultimodalSpec proves the pixel and PCM paths on
+  * synthetic PNGs/WAVs.
   *
   * Scale posture: payload bytes never pass through a shuffle — decode is
   * a narrow `mapPartitions` directly over the scan, and only the small
@@ -87,7 +90,93 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ==== STUB ==== (audio/video only, plus undecodable-image fallback)
+  /** REAL audio decode: `javax.sound.sampled` (in the JDK, no new
+    * dependency) parses WAV/AU/AIFF containers carrying 8/16-bit PCM. A
+    * decodable payload yields a 16-wide feature vector matching the
+    * schema of every other kind: [duration_sec, rms, zero_crossing_rate,
+    * peak, 12-slice RMS energy envelope] — the classic cheap audio
+    * fingerprint (envelope + ZCR separates speech/music/silence without
+    * any native codec). Frames are averaged to mono; all arithmetic is
+    * fixed-order primitive loops → deterministic across JVMs. Returns
+    * None for non-audio payloads (the testdata's text stand-ins — no
+    * RIFF/FORM/.snd magic), unsupported encodings (compressed/float
+    * PCM), or empty streams: the caller falls back to [[decodeStub]],
+    * never throws mid-corpus. */
+  private[graft] def decodeAudio(payload: Array[Byte]): Option[Array[Float]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        import javax.sound.sampled.AudioFormat.Encoding
+        val fmt = ais.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val signed = fmt.getEncoding == Encoding.PCM_SIGNED
+        val unsigned = fmt.getEncoding == Encoding.PCM_UNSIGNED
+        if (!(signed || unsigned) || (bits != 8 && bits != 16)) None
+        else {
+          val raw = ais.readAllBytes()
+          val ch = math.max(1, fmt.getChannels)
+          val bps = bits / 8
+          val frameBytes = bps * ch
+          val n = raw.length / frameBytes
+          if (n == 0 || fmt.getSampleRate <= 0) None
+          else {
+            val big = fmt.isBigEndian
+            val mono = new Array[Double](n)
+            var i = 0
+            while (i < n) {
+              var c = 0
+              var acc = 0.0
+              while (c < ch) {
+                val o = i * frameBytes + c * bps
+                acc +=
+                  (if (bits == 8) {
+                    if (signed) raw(o).toDouble / 128.0
+                    else ((raw(o) & 0xff) - 128).toDouble / 128.0
+                  } else {
+                    val lo = raw(o + (if (big) 1 else 0)) & 0xff
+                    val hi = raw(o + (if (big) 0 else 1)).toInt
+                    val v = (hi << 8) | lo // hi is a signed byte → signed 16
+                    (if (signed) v else ((v & 0xffff) - 32768)).toDouble / 32768.0
+                  })
+                c += 1
+              }
+              mono(i) = acc / ch
+              i += 1
+            }
+            val out = new Array[Float](16)
+            var sumSq = 0.0
+            var peak = 0.0
+            var zc = 0L
+            i = 0
+            while (i < n) {
+              val v = mono(i)
+              sumSq += v * v
+              if (math.abs(v) > peak) peak = math.abs(v)
+              if (i > 0 && (mono(i - 1) < 0) != (v < 0)) zc += 1
+              i += 1
+            }
+            out(0) = (n.toDouble / fmt.getSampleRate).toFloat
+            out(1) = math.sqrt(sumSq / n).toFloat
+            out(2) = if (n > 1) zc.toFloat / (n - 1) else 0f
+            out(3) = peak.toFloat
+            var j = 0
+            while (j < 12) { // RMS energy envelope over 12 equal slices
+              val lo = j * n / 12
+              val hi = math.max(lo + 1, (j + 1) * n / 12)
+              var s = 0.0
+              var t = lo
+              while (t < hi && t < n) { s += mono(t) * mono(t); t += 1 }
+              out(4 + j) = math.sqrt(s / math.max(1, math.min(hi, n) - lo)).toFloat
+              j += 1
+            }
+            Some(out)
+          }
+        }
+      } finally ais.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ==== STUB ==== (video only, plus undecodable audio/image fallback)
     * Deterministic byte-level extractor: a 16-bin byte histogram,
     * normalized. A real implementation would decode the payload with an
     * audio/video codec here (partition-local, no Spark API in the hot
@@ -113,8 +202,9 @@ object Multimodal {
     * per-partition setup (here: disabling ImageIO's temp-file cache —
     * executor-local decode must never touch disk; in production also
     * decoder contexts / native buffers). Image payloads take the REAL
-    * pixel path ([[decodeImage]]); audio/video and undecodable payloads
-    * take the byte-histogram stand-in. */
+    * pixel path ([[decodeImage]]), audio payloads the REAL PCM path
+    * ([[decodeAudio]]); video and undecodable payloads take the
+    * byte-histogram stand-in. */
   def features(spark: SparkSession, dir: String): Dataset[AssetFeatures] =
     featuresOf(assets(spark, dir))
 
@@ -125,10 +215,11 @@ object Multimodal {
     as.mapPartitions { it =>
       javax.imageio.ImageIO.setUseCache(false)
       it.map { a =>
-        val feats =
-          if (a.kind == "image") decodeImage(a.payload)
-            .getOrElse(decodeStub(a.payload))
-          else decodeStub(a.payload)
+        val feats = (a.kind match {
+          case "image" => decodeImage(a.payload)
+          case "audio" => decodeAudio(a.payload)
+          case _ => None
+        }).getOrElse(decodeStub(a.payload))
         AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong, feats)
       }
     }

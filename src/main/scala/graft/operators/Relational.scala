@@ -111,24 +111,28 @@ object Relational {
     baskets(spark, dir)
       .select(col("customer_id"), explode(col("ds")).as("product_id"))
 
-  /** J1+A1+T1 `cooc_topk`: "frequently bought together" — 2-hop self-join
-    * on the order key, directed pair counts, global top-k
+  /** J1+A1+T1 `cooc_topk`: "frequently bought together" — directed
+    * co-occurrence counts summed per destination product, global top-k
     * (ref: `tp2/app/main.py:98-105`).
     *
-    * Scale: the self-join shuffles both sides on `l_orderkey` (same key →
-    * one shuffle each, co-partitioned join); the per-order pair blow-up is
-    * bounded by order size (TPC-H-ish ≤ 7 items). The final top-k plans as
-    * `TakeOrderedAndProject` (per-partition heap + driver merge, no global
-    * sort). `part` is dimension-sized → broadcast join.
+    * Derived from the shared [[coocCounts]] builder rather than re-running
+    * the per-order self-join: `co_count(dst) = Σ_src cnt(src→dst)` — the
+    * directed pair relation already holds every (order-mate, product)
+    * incidence once, so the groupBy over the cached counts (|parts|·avg-
+    * degree rows, MBs) replaces a second lineitem scan + pair expansion.
+    * In a shared session (Verify/Bench) the builder is materialized once
+    * for the whole cooc tier; solo, the builder IS the old plan, so cost
+    * is never worse.
+    *
+    * Scale: the groupBy shuffles only the bounded pair-count relation;
+    * the final top-k plans as `TakeOrderedAndProject` (per-partition heap
+    * + driver merge, no global sort). `part` is dimension-sized →
+    * broadcast join.
     */
   def coocTopk(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
-    val oi = orderItems(spark, dir)
-    val pairs = oi.as("a").join(oi.as("b"),
-      col("a.l_orderkey") === col("b.l_orderkey") &&
-        col("a.l_partkey") =!= col("b.l_partkey"))
-    val counts = pairs
-      .groupBy(col("b.l_partkey").as("product_id"))
-      .agg(count(lit(1)).as("co_count"))
+    val counts = coocCounts(spark, dir)
+      .groupBy(col("dst").as("product_id"))
+      .agg(sum(col("cnt")).as("co_count"))
     counts
       .join(broadcast(Tables.part(spark, dir)),
         col("product_id") === col("p_partkey"))

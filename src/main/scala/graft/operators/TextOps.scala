@@ -37,6 +37,17 @@ object TextOps {
         h32(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** The `text_quality` keep-gate as a standalone boolean COLUMN over a
+    * `text` field — factored out so the streaming corpus pipeline
+    * ([[graft.streaming.CorpusStream]]) applies the exact rule the batch
+    * query declares (length bounds + stopword floor). */
+  private[graft] def keepGate: Column = {
+    val t = toks(col("text"))
+    val stopCnt = size(expr(
+      "filter(split(text, ' '), x -> x IN ('the', 'a', 'of', 'and', 'in'))"))
+    size(t) >= 20 && size(t) <= 1000 && stopCnt > 0
+  }
+
   /** `text_quality`: quality scoring — stopword ratio, type-token ratio,
     * and a boolean keep-gate, the standard pre-training corpus filters
     * (length bounds + stopword floor). */
@@ -51,7 +62,7 @@ object TextOps {
         round(stopCnt / size(t).cast("double"), 6).as("stop_ratio"),
         round(size(array_distinct(t)) / size(t).cast("double"), 6)
           .as("ttr"),
-        (size(t) >= 20 && size(t) <= 1000 && stopCnt > 0).as("keep"))
+        keepGate.as("keep"))
       .orderBy("doc_id")
   }
 

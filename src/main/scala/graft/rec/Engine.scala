@@ -103,9 +103,9 @@ object Engine {
       incidence = BuilderCache.ensureCached(spark, "engine.incidence",
         gRaw.incidence),
       cooc = BuilderCache.ensureCached(spark, "engine.cooc", gRaw.cooc))
-    val seeds = g.incidence
+    val seeds = BuilderCache.cacheOnce(g.incidence
       .filter(col("customer_id") === customerId)
-      .select(col("product_id").as("sp")).cache()
+      .select(col("product_id").as("sp")))
     if (seeds.isEmpty) return (globalFallback(spark, g, n), Seq(seeds))
 
     // strategy 1: co-occurrence — Σ over seeds of pair counts (A7)
@@ -143,15 +143,15 @@ object Engine {
       // candidates only would inflate c_ppr (golden C2: 0.136231, not 0.3)
       .crossJoin(broadcast(
         pScore.agg(max(col("s_ppr")).as("ppr_max"))))
-      .cache()
     // cooc/jaccard maxes as broadcast scalars too (same pattern as
     // ppr_max) — A8 max-scaling must not funnel the candidate set into a
     // single partition, which is what an empty Window.partitionBy() does
-    val maxes = cand.agg(max(col("s_cooc")).as("max_cooc"),
+    val candC = BuilderCache.cacheOnce(cand)
+    val maxes = candC.agg(max(col("s_cooc")).as("max_cooc"),
       max(col("s_jacc")).as("max_jacc"))
     def norm(c: String, m: String) =
       when(col(m) > 0, col(c) / col(m)).otherwise(0.0)
-    val out = cand.crossJoin(broadcast(maxes))
+    val out = candC.crossJoin(broadcast(maxes))
       .withColumn("nc", norm("s_cooc", "max_cooc"))
       .withColumn("nj", norm("s_jacc", "max_jacc"))
       .withColumn("np", when(col("ppr_max") > 0,
@@ -167,7 +167,7 @@ object Engine {
         lit(0.0).as("c_global"))
       .orderBy(desc("score"), asc("product_id"))
       .limit(n)
-    (out, Seq(seeds, cand))
+    (out, Seq(seeds, candC))
   }
 
   /** G2: seedless customers get the global PageRank top-N, labeled
@@ -204,9 +204,9 @@ object Engine {
   private def breakdownInternal(spark: SparkSession, g: ProductGraph,
       customerId: Long): (DataFrame, Seq[DataFrame]) = {
     ensureKnown(g, customerId)
-    val seeds = g.incidence
+    val seeds = BuilderCache.cacheOnce(g.incidence
       .filter(col("customer_id") === customerId)
-      .select(col("product_id").as("sp")).cache()
+      .select(col("product_id").as("sp")))
     if (seeds.isEmpty)
       return (PageRank.run(spark,
           g.products.withColumn("pers", lit(1.0)), adjacency(g))

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+import graft.operators.{Corpus, Dedup, TextOps}
+
+/** End-to-end STREAMING corpus ingestion (extension surface): the batch
+  * [[graft.operators.Corpus.corpusPrepare]] pipeline — quality gate,
+  * near-duplicate removal, split assignment — composed over a document
+  * stream, writing split-partitioned parquet exactly once.
+  *
+  * Topology: `readStream` (documents parquet dir; kafka at 100 TB/day —
+  * only the source line changes) → `foreachBatch` running the BATCH
+  * preparation operators on each micro-batch slice → idempotent
+  * split-partitioned parquet (each batch overwrites only its own
+  * `batch_id=N` directory on replay, the [[EventStream.toParquetIdempotent]]
+  * contract).
+  *
+  * Why foreachBatch rather than a fully incremental plan: the quality
+  * gate and split assignment are stateless per-row columns (they stream
+  * trivially — [[Corpus.splitOf]] composes unchanged, StreamingSpec
+  * proves it), but near-dup removal is a JOIN-over-the-slice semantics:
+  * MinHash banding + connected components need the whole slice visible
+  * at once. foreachBatch is Structured Streaming's sanctioned bridge for
+  * exactly that — full batch semantics (including the CC fixpoint's
+  * driver loop) per micro-batch, checkpoint-replay safe. Dedup scope is
+  * therefore PER BATCH: duplicates across batches are left to the
+  * warmup-free streaming guard ([[EventStream.dedupEvents]]'s
+  * watermarked exact-dedup pattern) or a periodic batch compaction —
+  * the honest boundary of streaming near-dup at scale (global LSH state
+  * would grow with the corpus, not the watermark horizon).
+  *
+  * Packing is deliberately EXCLUDED: pack ids are a global order over
+  * the finished corpus (exclusive prefix sum) — order-global by design,
+  * meaningless per micro-batch; a training run packs once, after
+  * ingestion closes.
+  */
+object CorpusStream {
+
+  /** documents schema as stored (TESTDATA.md). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming source over the documents parquet dir. */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+
+  /** One slice through the preparation pipeline — the batch operators
+    * verbatim ([[TextOps.keepGate]], [[Dedup.dedupSurvivorsOf]],
+    * [[Corpus.splitOf]]), so a slice that arrives in one batch produces
+    * exactly [[Corpus.corpusPrepare]]'s rows minus `pack_id`
+    * (StreamingSpec asserts the parity). Gate scopes mirror the batch
+    * composition: survivors are computed over the WHOLE slice, quality
+    * keeps independently, and the two intersect. */
+  def prepareSlice(docs: DataFrame): DataFrame = {
+    val keep = docs.filter(TextOps.keepGate).select("doc_id")
+    val surv = Dedup.dedupSurvivorsOf(docs).select("doc_id")
+    docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(surv, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        Corpus.splitOf(col("doc_id")).as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  }
+
+  /** Run the ingestion: each micro-batch is prepared and lands in
+    * split-partitioned parquet under its own `batch_id=N` directory with
+    * dynamic partition overwrite — a replayed batch (same epoch id from
+    * the checkpoint) overwrites itself instead of appending duplicates,
+    * so the sink is effectively-once. Readers prune on `split=train`
+    * directly (partition pruning — the reason the training-split column
+    * is a PARTITION, not a filter downstream). */
+  def ingest(docs: DataFrame, outDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        prepareSlice(batch).withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id", "split")
+          .parquet(outDir)
+      }
+      .start()
+}

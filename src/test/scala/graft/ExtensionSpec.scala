@@ -27,7 +27,7 @@ class ExtensionSpec extends SparkSpec {
   }
 
   test("simhash banded pairing is complete vs brute force (hamming ≤ 3)") {
-    val sig = Dedup.simhash(spark, dir).cache()
+    val sig = Dedup.simhash(spark, dir) // registry-cached — never re-mark
     val brute = sig.as("a").crossJoin(sig.as("b"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))

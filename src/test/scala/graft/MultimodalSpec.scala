@@ -62,6 +62,72 @@ class MultimodalSpec extends SparkSpec {
       math.abs(out(2).features.sum - 1f) < 1e-5f)
   }
 
+  /** Mono 16-bit little-endian PCM WAV from raw samples. */
+  private def wav(samples: Array[Short],
+      sampleRate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    for (i <- samples.indices) {
+      pcm(2 * i) = (samples(i) & 0xff).toByte
+      pcm(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+    }
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio: duration/RMS/ZCR/peak of a known square wave") {
+    // 1 s @ 8 kHz, alternating ±16384 (= ±0.5 full scale): every
+    // consecutive pair crosses zero, RMS = peak = 0.5 exactly
+    val sq = Array.tabulate(8000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val f = Multimodal.decodeAudio(wav(sq)).get
+    assert(f.length == 16)
+    assert(math.abs(f(0) - 1f) < 1e-6f, s"duration ${f(0)}")
+    assert(math.abs(f(1) - 0.5f) < 1e-6f, s"rms ${f(1)}")
+    assert(math.abs(f(2) - 1f) < 1e-6f, s"zcr ${f(2)}")
+    assert(math.abs(f(3) - 0.5f) < 1e-6f, s"peak ${f(3)}")
+    // flat signal → every envelope slice carries the global RMS
+    assert((4 until 16).forall(j => math.abs(f(j) - 0.5f) < 1e-6f),
+      f.toList)
+  }
+
+  test("decodeAudio: silence and a one-sided envelope are separable") {
+    // first half silent, second half ±0.25 square — the envelope is the
+    // feature that tells them apart
+    val n = 4800
+    val sig = Array.tabulate(n)(i =>
+      (if (i < n / 2) 0 else if (i % 2 == 0) 8192 else -8192).toShort)
+    val f = Multimodal.decodeAudio(wav(sig, 4800f)).get
+    assert(math.abs(f(0) - 1f) < 1e-6f)
+    assert((4 until 10).forall(j => f(j) == 0f), f.toList) // silent slices
+    assert((10 until 16).forall(j => math.abs(f(j) - 0.25f) < 1e-6f),
+      f.toList)
+  }
+
+  test("decodeAudio: non-audio payloads return None, never throw") {
+    assert(Multimodal.decodeAudio("not a wav".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.decodeAudio(Array.emptyByteArray).isEmpty)
+    assert(Multimodal.decodeAudio(wav(Array.tabulate(100)(_.toShort))
+      .take(30)).isEmpty) // truncated header
+  }
+
+  test("featuresOf routes real WAVs through the PCM decoder end-to-end") {
+    val sq = Array.tabulate(4000)(i =>
+      (if (i % 2 == 0) 16384 else -16384).toShort)
+    val as = Seq(Asset(11L, "audio", "wav", wav(sq))).toDS()
+    val out = Multimodal.featuresOf(as).collect()
+    // real path: f0 is 0.5 s duration — the byte-histogram stand-in
+    // would have produced a normalized histogram summing to 1
+    assert(math.abs(out(0).features(0) - 0.5f) < 1e-6f,
+      out(0).features.toList)
+    assert(math.abs(out(0).features(1) - 0.5f) < 1e-6f)
+  }
+
   test("resizeOf really resamples decodable pixels (factor 2, known RGB)") {
     // 4×2 image; factor 2 keeps pixels (0,0) and (2,0)
     val bytes = png(4, 2)((x, y) => if (x == 0 && y == 0) 0xff0000

@@ -166,6 +166,39 @@ class StreamingSpec extends SparkSpec {
       .groupBy("event_id").count().filter(col("count") > 1).count() == 0)
   }
 
+  test("streaming corpus ingestion matches corpus_prepare, idempotently") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-corpus-ing")
+    val out = s"$base/out"
+    def runOnce(ckpt: String): Unit = {
+      val q = CorpusStream.ingest(
+        CorpusStream.readDocuments(spark, dir), out, ckpt)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(s"$base/ckpt1")
+    // the whole sf0.001 corpus arrives as ONE batch → per-batch dedup
+    // scope == global scope → rows must equal the batch pipeline's
+    // (packing excluded: pack ids are order-global by design)
+    val streamed = spark.read.parquet(out)
+      .select("doc_id", "split", "n_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.operators.Corpus.corpusPrepare(spark, dir)
+      .select("doc_id", "split", "n_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // split is a physical PARTITION of the sink (readers prune on it)
+    val splitDirs = new java.io.File(s"$out/batch_id=0").listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(splitDirs == Set("split=train", "split=val", "split=test"))
+    // replay with a fresh checkpoint: same batch ids re-delivered — the
+    // batch_id dynamic-overwrite sink must absorb them, not append
+    runOnce(s"$base/ckpt2")
+    assert(spark.read.parquet(out)
+      .select("doc_id", "split", "n_tokens")
+      .as[(Long, String, Long)].collect().toSet == batch,
+      "replay duplicated rows")
+  }
+
   test("multimodal frame sampling: coverage, stride, and boundary sizes") {
     val frames = Multimodal.frameSample(spark, dir).cache()
     val videos = Multimodal.assets(spark, dir)
