@@ -42,7 +42,10 @@ object Bench {
     "multimodal_frames" -> 0.8, "multimodal_resize" -> 0.7,
     "dedup_clusters" -> 7.0, "dedup_survivors" -> 1.0,
     "split_assign" -> 0.5, "sample_stratified" -> 1.5,
-    "corpus_mix" -> 1.0, "pack_assign" -> 1.0, "corpus_prepare" -> 9.0)
+    "corpus_mix" -> 1.0, "pack_assign" -> 1.0, "corpus_prepare" -> 9.0,
+    // r5: first quiet-ish-box medians (decontaminate 0.6s median,
+    // 2.5s cold at load 2.5)
+    "decontaminate" -> 1.0)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

@@ -80,7 +80,7 @@ object SparkEntry {
     // oracle (same justification as the pagerank tier); invariant-tested
     "knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
     "dedup_embedding"   -> ((s, d) => Similarity.dedupEmbedding(s, d)),
-    // multimodal plumbing (image decode real, audio/video stubbed —
+    // multimodal plumbing (image + audio decode real, video stubbed —
     // see Multimodal scaladoc)
     "multimodal_features" -> ((s, d) => Multimodal.featuresQuery(s, d)),
     "multimodal_frames"   -> ((s, d) => Multimodal.framesQuery(s, d)),
@@ -92,6 +92,7 @@ object SparkEntry {
       Corpus.corpusMix(s, d, Corpus.defaultMixRates)),
     "pack_assign"       -> ((s, d) => Corpus.packAssign(s, d)),
     "corpus_prepare"    -> ((s, d) => Corpus.corpusPrepare(s, d)),
+    "decontaminate"     -> ((s, d) => Corpus.decontaminate(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -830,5 +831,36 @@ object SparkEntry {
         |SELECT doc_id, split, n_tokens, CAST(cum // 4096 AS BIGINT)
         |         AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin,
+
+    // 5-gram overlap against the test split (Corpus.decontaminate)
+    "decontaminate" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |         SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |                t[i+4] || ' ' || t[i+5])) AS sh
+        |         FROM toks)),
+        |spl AS (SELECT doc_id,
+        |          CASE WHEN bkt < 80 THEN 'train'
+        |               WHEN bkt < 90 THEN 'val'
+        |               ELSE 'test' END AS split
+        |        FROM (SELECT doc_id,
+        |                CAST(('0x' || substr(md5('split:' ||
+        |                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                  % 100 AS bkt
+        |              FROM documents)),
+        |ev AS (SELECT DISTINCT sh.sh FROM sh JOIN spl USING (doc_id)
+        |       WHERE spl.split = 'test'),
+        |hits AS (SELECT sh.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+        |         FROM sh JOIN spl USING (doc_id)
+        |              JOIN ev ON sh.sh = ev.sh
+        |         WHERE spl.split = 'train'
+        |         GROUP BY 1)
+        |SELECT s.doc_id,
+        |       CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared,
+        |       COALESCE(h.n_shared, 0) > 0 AS contaminated
+        |FROM spl s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |WHERE s.split = 'train' ORDER BY s.doc_id""".stripMargin,
   )
 }

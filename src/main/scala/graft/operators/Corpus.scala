@@ -195,6 +195,46 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** `decontaminate`: benchmark-overlap removal — flag every TRAIN-split
+    * document that shares at least one n-gram shingle (default 5) with
+    * any held-out (test-split) document. The standard pretraining
+    * decontamination step (published pipelines use 8-13-gram overlap
+    * against their eval suites): a training document that contains a
+    * benchmark passage verbatim leaks the benchmark, and n-gram overlap
+    * is the detector — wider windows than dedup's 3-gram shingles, since
+    * a single shared idiom is noise but a shared 5..13-gram is a quote.
+    * Output: (doc_id, n_shared, contaminated) per train doc, n_shared =
+    * count of distinct shingles also present in the eval side — exact
+    * integers, fully oracle-replayable.
+    *
+    * Scale posture: one shingle equi-join + one groupBy(doc) — the same
+    * inverted-index shape as [[Dedup.ngramJaccard]] but strictly
+    * cheaper (semi-join semantics against a DISTINCT eval shingle set,
+    * no pairwise expansion). In production the eval side is the
+    * benchmark suite — thousands of documents, bounded by construction
+    * — so its shingle set broadcasts and the train corpus streams past
+    * with no shuffle at all; here the eval side is data-derived (the
+    * corpus's own test split), so the join carries NO broadcast hint
+    * and AQE picks broadcast only when the runtime size fits (the
+    * repo's plan-guard rule for data-dependent sets). */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val sh = Dedup.shinglesOf(Tables.documents(spark, dir), n)
+    val trainSh = sh.filter(splitOf(col("doc_id")) === "train")
+    val evalSh = sh.filter(splitOf(col("doc_id")) === "test")
+      .select("sh").distinct()
+    // trainSh is distinct (doc, sh) and evalSh distinct sh → the join
+    // emits each shared shingle once → count(*) = distinct shared count
+    val hits = trainSh.join(evalSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+    Tables.documents(spark, dir).select("doc_id")
+      .filter(splitOf(col("doc_id")) === "train")
+      .join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked
     * deterministically (h, then doc_id). Equivalent to a seeded uniform

@@ -56,13 +56,21 @@ object Dedup {
     }
 
   /** [[shingles]] over any (doc_id, text) relation — the un-cached form
-    * the per-micro-batch streaming path composes
-    * ([[graft.streaming.CorpusStream]]). */
-  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    * the per-micro-batch streaming path ([[graft.streaming.CorpusStream]])
+    * and the wider-window consumers ([[Corpus.decontaminate]]'s 5-grams)
+    * compose. */
+  private[graft] def shinglesOf(docs: DataFrame, n: Int = 3): DataFrame =
+    // the >= n guard matters: Spark's sequence(0, negative) is a
+    // DESCENDING sequence (not empty like DuckDB's range), so an
+    // unguarded expression would fabricate shingles for docs shorter
+    // than the window; explode drops the guarded empty array (no row —
+    // both engines agree a short doc has no shingles)
     docs.select(col("doc_id"), explode(array_distinct(expr(
-      """transform(sequence(0, size(split(text, ' ')) - 3),
-        |          i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
-        .stripMargin))).as("sh"))
+      s"""CASE WHEN size(split(text, ' ')) >= $n
+         |  THEN transform(sequence(0, size(split(text, ' ')) - $n),
+         |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+         |  ELSE array()
+         |END""".stripMargin))).as("sh"))
 
   /** MinHash parameters: k affine permutations of the 32-bit shingle hash
     * modulo a prime. Multipliers must be LARGE (≈p) so aᵢ·h wraps the

@@ -158,4 +158,43 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(col("rk") < 1 || col("rk") > 5).count() == 0)
     out.unpersist()
   }
+
+  test("decontaminate matches a driver-side brute force on sf0.001") {
+    val out = Corpus.decontaminate(spark, dir).as[(Long, Long, Boolean)]
+      .collect().map { case (id, n, c) => id -> ((n, c)) }.toMap
+    // brute force: JVM-side 5-gram sets per doc, split via splitAssign
+    val splits = Corpus.splitAssign(spark, dir)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val grams = graft.model.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) =>
+        id -> t.split(" ").sliding(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val evalSh = grams.collect {
+      case (id, s) if splits(id) == "test" => s
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val trainIds = splits.collect { case (id, "train") => id }.toSet
+    assert(out.keySet == trainIds, "one row per train doc")
+    trainIds.foreach { id =>
+      val expect = (grams(id) & evalSh).size.toLong
+      assert(out(id) == ((expect, expect > 0)),
+        s"doc $id: got ${out(id)}, expected $expect shared 5-grams")
+    }
+    // the testdata embeds genuine cross-split near-dups — the operator
+    // must find at least one, or the test is vacuous
+    assert(out.values.exists(_._2), "no contamination found at sf0.001?")
+  }
+
+  test("shingles of docs shorter than the window are empty, not garbage") {
+    // Spark's sequence(0, negative) descends — the CASE guard in
+    // shinglesOf must keep short docs shingle-free (DuckDB range parity)
+    val docs = Seq((1L, "only four words here"), (2L, "a b c d e f"))
+      .toDF("doc_id", "text")
+    val sh = graft.operators.Dedup.shinglesOf(docs, 5)
+      .as[(Long, String)].collect().toSeq
+    assert(!sh.exists(_._1 == 1L), sh)
+    assert(sh.filter(_._1 == 2L).map(_._2).sorted ==
+      Seq("a b c d e", "b c d e f"), sh)
+  }
 }
