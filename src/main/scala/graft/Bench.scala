@@ -43,9 +43,10 @@ object Bench {
     "dedup_clusters" -> 7.0, "dedup_survivors" -> 1.0,
     "split_assign" -> 0.5, "sample_stratified" -> 1.5,
     "corpus_mix" -> 1.0, "pack_assign" -> 1.0, "corpus_prepare" -> 9.0,
-    // r5: first quiet-ish-box medians (decontaminate 0.6s median,
-    // 2.5s cold at load 2.5)
-    "decontaminate" -> 1.0)
+    // r5: first quiet-ish-box medians (decontaminate 0.6s median /
+    // 2.5s cold at load 2.5; ngram_counts 2.0s / 5.5s cold and
+    // vocab_build 0.5s / 1.1s cold at load 2.7)
+    "decontaminate" -> 1.0, "ngram_counts" -> 2.5, "vocab_build" -> 0.8)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

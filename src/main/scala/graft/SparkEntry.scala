@@ -93,6 +93,8 @@ object SparkEntry {
     "pack_assign"       -> ((s, d) => Corpus.packAssign(s, d)),
     "corpus_prepare"    -> ((s, d) => Corpus.corpusPrepare(s, d)),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(s, d)),
+    "ngram_counts"      -> ((s, d) => TextOps.ngramCounts(s, d)),
+    "vocab_build"       -> ((s, d) => TextOps.vocabBuild(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -862,5 +864,29 @@ object SparkEntry {
         |       COALESCE(h.n_shared, 0) > 0 AS contaminated
         |FROM spl s LEFT JOIN hits h ON s.doc_id = h.doc_id
         |WHERE s.split = 'train' ORDER BY s.doc_id""".stripMargin,
+
+    // corpus-level top-100 2-gram statistics (TextOps.ngramCounts)
+    "ngram_counts" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |        i -> t[i+1] || ' ' || t[i+2])) AS gram
+        |      FROM toks)
+        |SELECT gram, CAST(count(*) AS BIGINT) AS occurrences,
+        |       CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        |FROM g GROUP BY 1
+        |ORDER BY occurrences DESC, gram ASC LIMIT 100""".stripMargin,
+
+    // the naive single-partition rank form of the distributed
+    // range-partition + zipWithIndex in TextOps.vocabBuild —
+    // value-identical (the rank is over the same total order)
+    "vocab_build" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1 HAVING count(*) >= 5)
+        |SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
+        |         AS BIGINT) AS token_id, token, n
+        |FROM c ORDER BY token_id""".stripMargin,
   )
 }

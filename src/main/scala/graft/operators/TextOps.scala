@@ -112,6 +112,69 @@ object TextOps {
       .orderBy("doc_id", "term")
   }
 
+  /** `ngram_counts`: corpus-level top-k n-gram statistics (default
+    * 2-grams) — the corpus-statistics pass a tokenizer/data-audit
+    * pipeline runs first: which token sequences dominate the corpus,
+    * with document frequency alongside raw occurrence count.
+    * Occurrences count REPEATS within a doc (no array_distinct —
+    * unlike the dedup shingles, frequency is the signal here); df
+    * counts each doc once.
+    *
+    * Scale: explode → one partial-aggregated shuffle on the n-gram —
+    * the map-side combine collapses within-partition repeats, so the
+    * shuffle carries (distinct-ngram × partition) rows, not the token
+    * stream; top-k plans as TakeOrderedAndProject. */
+  def ngramCounts(spark: SparkSession, dir: String, n: Int = 2,
+      k: Int = 100): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(split(text, ' ')) >= $n
+           |  THEN transform(sequence(0, size(split(text, ' ')) - $n),
+           |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+           |  ELSE array()
+           |END""".stripMargin)).as("gram"))
+    grams.groupBy("gram")
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(desc("occurrences"), asc("gram"))
+      .limit(k)
+  }
+
+  /** `vocab_build`: tokenizer-vocabulary construction — the frequency
+    * table a WordLevel/BPE trainer seeds from: tokens with at least
+    * `minCount` occurrences, assigned DENSE deterministic ids by
+    * (-count, token) rank. Reproducible across runs and engines (rank
+    * over exact counts with a total tie-break), which is the property a
+    * training pipeline needs: re-running vocab construction must never
+    * renumber the embedding matrix.
+    *
+    * Scale: token-count aggregation is one partial-aggregated shuffle;
+    * the global dense rank is NOT a single-partition window (the
+    * oracle's naive form, and exactly what the repo's plan guard
+    * rejects) but the distributed two-pass shape: range-partition +
+    * sort on (-n, token) — a total global order — then
+    * `zipWithIndex`'s per-partition-count + offset pass assigns global
+    * ids without any executor seeing more than its slice. Same family
+    * as [[Corpus.packAssign]]'s prefix sum; partition boundaries
+    * cannot change the ids (the rank is over the total order wherever
+    * it is cut). */
+  def vocabBuild(spark: SparkSession, dir: String,
+      minCount: Long = 5L): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.documents(spark, dir)
+      .select(explode(toks(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    counts
+      .repartitionByRange(desc("n"), asc("token"))
+      .sortWithinPartitions(desc("n"), asc("token"))
+      .select("token", "n").as[(String, Long)]
+      .rdd.zipWithIndex()
+      .map { case ((t, n), i) => (i, t, n) }
+      .toDF("token_id", "token", "n")
+      .orderBy("token_id")
+  }
+
   /** `lang_id`: stopword-vote language identification — count function
     * words per language, argmax with a deterministic tie-break (en > fr >
     * de > es). A real corpus would use char n-gram profiles; the mechanism

@@ -260,6 +260,52 @@ class ExtensionSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("ngram_counts: repeats counted, df bounded, toy doc exact") {
+    val out = graft.operators.TextOps.ngramCounts(spark, dir).cache()
+    // occurrences ≥ df always (a doc contributing to df contributes ≥1)
+    assert(out.filter(col("occurrences") < col("df")).count() == 0)
+    assert(out.count() <= 100)
+    out.unpersist()
+    // toy corpus: "a b a b a" has bigrams [a b, b a, a b, b a] — repeats
+    // must count (no array_distinct), df counts the doc once
+    import spark.implicits._
+    val toy = Seq((1L, "a b a b a"), (2L, "a b c")).toDF("doc_id", "text")
+      .createOrReplaceTempView("toy_docs")
+    val grams = spark.sql(
+      """SELECT explode(transform(sequence(0, size(split(text,' ')) - 2),
+        |  i -> concat_ws(' ', slice(split(text,' '), i + 1, 2)))) AS gram,
+        |  doc_id FROM toy_docs""".stripMargin)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("occ"), countDistinct(col("doc_id")).as("df"))
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(grams("a b") == ((3L, 2L)), grams)
+    assert(grams("b a") == ((2L, 1L)), grams)
+  }
+
+  test("vocab_build: dense deterministic ids equal the naive rank form") {
+    val out = graft.operators.TextOps.vocabBuild(spark, dir).cache()
+    val n = out.count()
+    assert(n > 0)
+    // ids are dense 0..n-1
+    assert(out.agg(min("token_id"), max("token_id")).as[(Long, Long)]
+      .collect().head == ((0L, n - 1)))
+    // minCount respected
+    assert(out.filter(col("n") < 5).count() == 0)
+    // the distributed range-partition + zipWithIndex rank must equal the
+    // naive single-partition window rank (the oracle's form) exactly
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(desc("n"), asc("token"))
+    val naive = graft.model.Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 5)
+      .withColumn("token_id", (row_number().over(w) - 1).cast("long"))
+      .select("token_id", "token", "n")
+    assert(out.except(naive).count() == 0 && naive.except(out).count() == 0)
+    out.unpersist()
+  }
+
   test("text_stats consistent with documents.n_chars") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"))
