@@ -9,44 +9,41 @@ import org.apache.spark.sql.SparkSession
   * the bench by computing nothing. */
 object Bench {
 
-  /** Per-query budgets: the round-1 sf0.1 bench (BENCH_r01.json, the
-    * BASELINE.md gate) for queries that existed then. Any query running
-    * over 2× its budget is reported in `"regressions"` (non-fatal) — the
-    * instrument that catches a creeping quadratic the round it appears
-    * instead of rounds later. Queries added after r1 have no entry until
-    * a budget is established. */
+  /** Per-query budgets, RE-BASELINED in round 5: the round-1 budgets
+    * were single-run COLD times (builders included), but the regression
+    * instrument now compares warm MEDIANS — apples-to-oranges that left
+    * ~15× of dead headroom on queries like rec_blend (r1 cold 14.18 s,
+    * r5 median 0.64 s). These are the round-5 sf0.1 bench medians
+    * (PROFILE_r05.md §4, load 1.2 at start) × 1.5 headroom, floored at
+    * 0.3 s so sub-100 ms queries don't alarm on scheduler jitter. Any
+    * query whose MEDIAN exceeds 2× its budget lands in `"regressions"`
+    * (non-fatal) — i.e. the alarm now fires at ~3× today's steady
+    * state, the round a creeping quadratic appears. */
   private val baselineSec: Map[String, Double] = Map(
-    "adjacency_norm" -> 0.48, "bipartite_edges" -> 0.30,
-    "collab_topk" -> 2.92, "cooc_pairs" -> 0.21, "cooc_topk" -> 2.36,
-    "dedup_embedding" -> 0.81, "dedup_exact" -> 0.65,
-    "dedup_minhash" -> 2.75, "dedup_simhash" -> 0.39,
-    "edges_build" -> 1.65, "event_edges" -> 0.21, "event_hourly" -> 0.45,
-    "event_sliding" -> 0.45, "event_weights" -> 0.31,
-    "jaccard_sim" -> 6.30, "json_props" -> 0.35, "knn_bucketed" -> 0.67,
-    "lang_id" -> 0.17, "multimodal_features" -> 0.37,
-    "ngram_jaccard" -> 11.18, "orderfreq_topk" -> 1.26,
-    "pagerank_global" -> 32.62, "popularity_approx" -> 5.31,
-    "popularity_topk" -> 1.57, "ppr_seeded" -> 18.60,
-    "rec_blend" -> 14.18, "rec_blend_full" -> 15.43,
-    "scan_project" -> 0.23, "sessionize" -> 1.09, "sim_topk" -> 0.31,
-    "text_fingerprint" -> 0.20, "text_quality" -> 0.17,
-    "text_tokens" -> 0.17, "tfidf" -> 0.60,
-    // queries added after r1: budgets from their first green round's
-    // bench (r2 for the pairs/funnel tier, r4 for the corpus tier),
-    // with ~1.5x headroom for builder-attribution drift — the sorted-
-    // name run order means the alphabetically-first consumer of a
-    // shared builder absorbs its materialization
-    "dedup_simhash_pairs" -> 4.5, "knn_ivf" -> 4.0,
-    "knn_multiprobe" -> 1.0, "event_funnel" -> 0.8,
-    "event_retention" -> 1.2, "lang_id_ngram" -> 0.5,
-    "multimodal_frames" -> 0.8, "multimodal_resize" -> 0.7,
-    "dedup_clusters" -> 7.0, "dedup_survivors" -> 1.0,
-    "split_assign" -> 0.5, "sample_stratified" -> 1.5,
-    "corpus_mix" -> 1.0, "pack_assign" -> 1.0, "corpus_prepare" -> 9.0,
-    // r5: first quiet-ish-box medians (decontaminate 0.6s median /
-    // 2.5s cold at load 2.5; ngram_counts 2.0s / 5.5s cold and
-    // vocab_build 0.5s / 1.1s cold at load 2.7)
-    "decontaminate" -> 1.0, "ngram_counts" -> 2.5, "vocab_build" -> 0.8)
+    "adjacency_norm" -> 0.31, "bipartite_edges" -> 0.3,
+    "collab_topk" -> 1.14, "cooc_pairs" -> 0.3, "cooc_topk" -> 0.73,
+    "corpus_mix" -> 0.43, "corpus_prepare" -> 1.29,
+    "decontaminate" -> 0.48, "dedup_clusters" -> 0.3,
+    "dedup_embedding" -> 0.3, "dedup_exact" -> 0.36,
+    "dedup_minhash" -> 0.3, "dedup_simhash" -> 0.3,
+    "dedup_simhash_pairs" -> 3.83, "dedup_survivors" -> 0.3,
+    "edges_build" -> 1.91, "event_edges" -> 0.3, "event_funnel" -> 0.3,
+    "event_hourly" -> 0.32, "event_retention" -> 0.51,
+    "event_sliding" -> 0.39, "event_weights" -> 0.3, "jaccard_sim" -> 0.79,
+    "json_props" -> 0.3, "knn_bucketed" -> 0.47, "knn_ivf" -> 0.41,
+    "knn_multiprobe" -> 0.41, "lang_id" -> 0.3, "lang_id_ngram" -> 0.3,
+    "multimodal_features" -> 0.71, "multimodal_frames" -> 0.3,
+    "multimodal_resize" -> 0.33, "ngram_jaccard" -> 3.39,
+    "orderfreq_topk" -> 1.58, "pack_assign" -> 0.61,
+    "pagerank_global" -> 1.23, "popularity_approx" -> 3.53,
+    "popularity_topk" -> 1.77, "ppr_seeded" -> 1.15, "rec_blend" -> 0.96,
+    "rec_blend_full" -> 3.64, "sample_stratified" -> 0.81,
+    "scan_project" -> 0.3, "sessionize" -> 0.56, "sim_topk" -> 0.34,
+    "split_assign" -> 0.3, "text_fingerprint" -> 0.3,
+    "text_quality" -> 0.3, "text_tokens" -> 0.3, "tfidf" -> 0.67,
+    // ngram_counts/vocab_build postdate the §4 bench: QProfile medians
+    // (2.12 s / 0.51 s at load 2.7) × the same 1.5
+    "ngram_counts" -> 3.18, "vocab_build" -> 0.77)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
