@@ -43,7 +43,9 @@ object Bench {
     "text_quality" -> 0.3, "text_tokens" -> 0.3, "tfidf" -> 0.67,
     // ngram_counts/vocab_build postdate the §4 bench: QProfile medians
     // (2.12 s / 0.51 s at load 2.7) × the same 1.5
-    "ngram_counts" -> 3.18, "vocab_build" -> 0.77)
+    "ngram_counts" -> 3.18, "vocab_build" -> 0.77,
+    // embed_quantize: QProfile median 0.29 s at sf0.1
+    "embed_quantize" -> 0.44)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

@@ -95,6 +95,7 @@ object SparkEntry {
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(s, d)),
     "ngram_counts"      -> ((s, d) => TextOps.ngramCounts(s, d)),
     "vocab_build"       -> ((s, d) => TextOps.vocabBuild(s, d)),
+    "embed_quantize"    -> ((s, d) => Similarity.embedQuantize(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -888,5 +889,30 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
         |         AS BIGINT) AS token_id, token, n
         |FROM c ORDER BY token_id""".stripMargin,
+
+    // symmetric int8 quantization summary (Similarity.embedQuantize);
+    // bare decimals CAST to DOUBLE per the Det determinism contract
+    "embed_quantize" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |      FROM e),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN maxabs > 0
+        |             THEN CAST(127.0 AS DOUBLE) / maxabs
+        |             ELSE CAST(0.0 AS DOUBLE) END AS scale
+        |      FROM m),
+        |q AS (SELECT vec_id, scale,
+        |        list_transform(v, x ->
+        |          CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |          AS qs
+        |      FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |       CAST(list_min(qs) AS BIGINT) AS q_min,
+        |       CAST(list_max(qs) AS BIGINT) AS q_max,
+        |       CAST(list_sum(qs) AS BIGINT) AS q_sum
+        |FROM q ORDER BY vec_id""".stripMargin,
   )
 }

@@ -227,6 +227,54 @@ object Similarity {
     if (sample.count() >= nClusters.toLong * 8) sample else e
   }
 
+  /** `embed_quantize`: symmetric int8 quantization per embedding — the
+    * compression step a 100 TB ANN index applies before storage (4×
+    * smaller than float32, SIMD-friendly dot products): per vector,
+    * scale = 127/max|x| and q_i = floor(x_i·scale + 0.5), so values
+    * span [-127, 127] with the sign structure preserved. Declared
+    * output is the quantization SUMMARY (scale, q_min/q_max/q_sum) —
+    * exact integers plus one rounded double, chosen so DuckDB replays
+    * it bit-for-bit: max is order-insensitive, 127/maxabs is a single
+    * correctly-rounded division, each x·scale+0.5→floor chain is three
+    * exact-deterministic double ops, and the q-sums are integer
+    * arithmetic. The full q-vector stays internal (same contract as
+    * [[graft.operators.Multimodal]]'s float features).
+    *
+    * Scale posture: embarrassingly parallel — scan→project, zero
+    * shuffles except the deterministic output sort; the quantized
+    * array would be written columnar next to the bucket id, and the
+    * reconstruction bound (|x − q/scale| ≤ 1/(2·scale), ExtensionSpec)
+    * is the standard scalar-quantization recall argument. */
+  def embedQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = vectors(spark, dir)
+    e.select(col("vec_id"), col("v"),
+        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+          .as("maxabs"))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(0.0))
+      .withColumn("qs",
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))"))
+      .select(col("vec_id"), round(col("scale"), 6).as("scale"),
+        expr("CAST(array_min(qs) AS BIGINT)").as("q_min"),
+        expr("CAST(array_max(qs) AS BIGINT)").as("q_max"),
+        expr("aggregate(qs, CAST(0 AS BIGINT), (a, q) -> a + q)").as("q_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** The quantized vectors themselves (internal form for tests and
+    * downstream index builds): (vec_id, scale, qs). */
+  private[graft] def quantizedVectors(spark: SparkSession,
+      dir: String): DataFrame =
+    vectors(spark, dir)
+      .select(col("vec_id"), col("v"),
+        expr("aggregate(v, CAST(0 AS DOUBLE), (a, x) -> greatest(a, abs(x)))")
+          .as("maxabs"))
+      .withColumn("scale",
+        when(col("maxabs") > 0, lit(127.0) / col("maxabs")).otherwise(0.0))
+      .select(col("vec_id"), col("v"), col("scale"),
+        expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))")
+          .as("qs"))
+
   /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched
     * only against vectors in the same sign-bucket; per-probe top-k via a
     * rank window. The bucket equi-join replaces the all-pairs cross join:

@@ -260,6 +260,36 @@ class ExtensionSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("embed_quantize: range, reconstruction bound, zero-vector guard") {
+    import spark.implicits._
+    val q = graft.operators.Similarity.quantizedVectors(spark, dir)
+      .as[(Long, Seq[Double], Double, Seq[Long])].collect()
+    assert(q.nonEmpty)
+    q.foreach { case (id, v, scale, qs) =>
+      assert(qs.forall(x => x >= -127 && x <= 127), s"vec $id out of int8")
+      if (scale == 0.0) assert(v.forall(_ == 0.0), s"vec $id scale-0")
+      else {
+        // the scalar-quantization recall argument: dequantized error is
+        // at most half a step
+        v.zip(qs).foreach { case (x, qi) =>
+          assert(math.abs(x - qi / scale) <= 0.5 / scale + 1e-12,
+            s"vec $id: x=$x q=$qi scale=$scale")
+        }
+        // max-magnitude element hits full scale
+        assert(qs.map(math.abs).max == 127L, s"vec $id not full-scale")
+      }
+    }
+    // the declared summary agrees with the internal vectors
+    val summary = graft.operators.Similarity.embedQuantize(spark, dir)
+      .as[(Long, Double, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    q.foreach { case (id, _, scale, qs) =>
+      val (_, s6, qmin, qmax, qsum) = summary(id)
+      assert(s6 == math.rint(scale * 1e6) / 1e6 || math.abs(s6 - scale) < 1e-6)
+      assert(qmin == qs.min && qmax == qs.max && qsum == qs.sum, s"vec $id")
+    }
+  }
+
   test("ngram_counts: repeats counted, df bounded, toy doc exact") {
     val out = graft.operators.TextOps.ngramCounts(spark, dir).cache()
     // occurrences ≥ df always (a doc contributing to df contributes ≥1)
