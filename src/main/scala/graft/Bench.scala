@@ -44,8 +44,10 @@ object Bench {
     // ngram_counts/vocab_build postdate the §4 bench: QProfile medians
     // (2.12 s / 0.51 s at load 2.7) × the same 1.5
     "ngram_counts" -> 3.18, "vocab_build" -> 0.77,
-    // embed_quantize: QProfile median 0.29 s at sf0.1
-    "embed_quantize" -> 0.44)
+    // embed_quantize/corpus_stats/knn_quantized: QProfile medians
+    // 0.29 / 0.35 / 0.72 s at sf0.1
+    "embed_quantize" -> 0.44, "corpus_stats" -> 0.53,
+    "knn_quantized" -> 1.08)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

@@ -96,6 +96,10 @@ object SparkEntry {
     "ngram_counts"      -> ((s, d) => TextOps.ngramCounts(s, d)),
     "vocab_build"       -> ((s, d) => TextOps.vocabBuild(s, d)),
     "embed_quantize"    -> ((s, d) => Similarity.embedQuantize(s, d)),
+    "corpus_stats"      -> ((s, d) => Corpus.corpusStats(s, d)),
+    // quantized-ANN query path: approximation of exact cosine → no
+    // oracle (rows-only check), invariants + recall pinned in ScalaTest
+    "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -914,5 +918,18 @@ object SparkEntry {
         |       CAST(list_max(qs) AS BIGINT) AS q_max,
         |       CAST(list_sum(qs) AS BIGINT) AS q_sum
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // per-(source, lang) audit rollup (Corpus.corpusStats)
+    "corpus_stats" ->
+      """SELECT source, lang,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars,
+        |       CAST(min(len(string_split(text, ' '))) AS BIGINT)
+        |         AS min_tokens,
+        |       CAST(max(len(string_split(text, ' '))) AS BIGINT)
+        |         AS max_tokens
+        |FROM documents GROUP BY source, lang
+        |ORDER BY source, lang""".stripMargin,
   )
 }

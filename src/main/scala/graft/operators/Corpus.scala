@@ -235,6 +235,24 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  /** `corpus_stats`: the data-audit rollup a pipeline reports per
+    * (source, lang) cell — document count, token/char totals, and token
+    * bounds. All exact integers (one partial-aggregated shuffle on the
+    * tiny group key); the first thing anyone asks of a 100 TB corpus
+    * and the sanity check every mixing/sampling decision reads. */
+  def corpusStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("n_chars"))
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("docs"),
+        sum(col("n_tokens")).as("tokens"),
+        sum(col("n_chars")).as("chars"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("source", "lang")
+
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked
     * deterministically (h, then doc_id). Equivalent to a seeded uniform

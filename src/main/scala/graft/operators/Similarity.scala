@@ -275,6 +275,51 @@ object Similarity {
         expr("transform(v, x -> CAST(floor(x * scale + 0.5D) AS BIGINT))")
           .as("qs"))
 
+  /** `knn_quantized`: ANN over the int8-quantized vectors — the query
+    * path that justifies [[embedQuantize]] at 100 TB: candidates are
+    * scored by the INTEGER dot product alone, because in
+    * cos ≈ Σ(qa/sa)(qb/sb) / (|qa|/sa · |qb|/sb) the scales cancel —
+    * quantized cosine = Σqa·qb / (√Σqa² · √Σqb²), pure int64 folds plus
+    * two square roots. A production index stores only (bucket, qs):
+    * 4× smaller scans, SIMD integer dots, no float payload. Same
+    * bucket-equi-join + per-probe rank shape as [[knnBucketed]]; the
+    * sign bucket is computed FROM the quantized values (quantization
+    * preserves signs), so the float vector is never needed after the
+    * one-time quantization pass. Scores approximate exact cosine within
+    * the scalar-quantization error (ExtensionSpec pins the tolerance
+    * and top-k recall vs the exact scorer); approximation → no DuckDB
+    * oracle, rows-only check, same contract as knn_ivf. */
+  def knnQuantized(spark: SparkSession, dir: String, bits: Int = 8,
+      nProbes: Int = 5, k: Int = 5): DataFrame = {
+    val q = quantizedVectors(spark, dir)
+      .select(col("vec_id"), col("qs"),
+        (0 until bits)
+          .map(i => when(element_at(col("qs"), i + 1) > 0, lit(1L << i))
+            .otherwise(0L))
+          .reduce(_ + _).as("bucket"))
+    val probes = q.orderBy("vec_id").limit(nProbes)
+      .select(col("vec_id").as("pid"), col("qs").as("ps"),
+        col("bucket").as("pbucket"))
+    val scored = q.join(broadcast(probes),
+        col("bucket") === col("pbucket") && col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(
+          expr("aggregate(zip_with(qs, ps, (a, b) -> a * b), " +
+            "CAST(0 AS BIGINT), (acc, x) -> acc + x)").cast("double") /
+            (sqrt(expr("aggregate(qs, CAST(0 AS BIGINT), " +
+              "(acc, x) -> acc + x * x)").cast("double")) *
+             sqrt(expr("aggregate(ps, CAST(0 AS BIGINT), " +
+               "(acc, x) -> acc + x * x)").cast("double"))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("pid")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy("pid", "rank")
+  }
+
   /** `knn_bucketed`: ANN — probes (the `nProbes` lowest vec_ids) matched
     * only against vectors in the same sign-bucket; per-probe top-k via a
     * rank window. The bucket equi-join replaces the all-pairs cross join:

@@ -290,6 +290,35 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("knn_quantized: scores track exact cosine, top-k recall holds") {
+    import spark.implicits._
+    val quant = graft.operators.Similarity.knnQuantized(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    val exact = graft.operators.Similarity.knnBucketed(spark, dir)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(quant.nonEmpty)
+    // per (probe, candidate): quantized cosine within the scalar-
+    // quantization error of the exact score (int8 → ~1/127 per axis)
+    val exactByPair = exact.map(r => (r._1, r._3) -> r._4).toMap
+    // note: bucket sets may differ slightly (signs of near-zero dims
+    // flip under quantization) — compare only shared pairs
+    val shared = quant.filter(r => exactByPair.contains((r._1, r._3)))
+    assert(shared.nonEmpty)
+    shared.foreach { case (pid, _, vid, c) =>
+      assert(math.abs(c - exactByPair((pid, vid))) < 0.05,
+        s"probe $pid cand $vid: quantized $c vs exact ${exactByPair((pid, vid))}")
+    }
+    // top-k recall per probe: the int8 ranking must mostly agree
+    val qTop = quant.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    val eTop = exact.groupBy(_._1).view.mapValues(_.map(_._3).toSet)
+    qTop.foreach { case (pid, qs) =>
+      eTop.get(pid).foreach { es =>
+        val overlap = (qs & es).size.toDouble / es.size
+        assert(overlap >= 0.6, s"probe $pid recall $overlap: $qs vs $es")
+      }
+    }
+  }
+
   test("ngram_counts: repeats counted, df bounded, toy doc exact") {
     val out = graft.operators.TextOps.ngramCounts(spark, dir).cache()
     // occurrences ≥ df always (a doc contributing to df contributes ≥1)
