@@ -47,7 +47,9 @@ object Bench {
     // embed_quantize/corpus_stats/knn_quantized: QProfile medians
     // 0.29 / 0.35 / 0.72 s at sf0.1
     "embed_quantize" -> 0.44, "corpus_stats" -> 0.53,
-    "knn_quantized" -> 1.08)
+    "knn_quantized" -> 1.08,
+    // text_repetition: QProfile median 1.84 s at sf0.1
+    "text_repetition" -> 2.76)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

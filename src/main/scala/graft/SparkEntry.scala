@@ -97,6 +97,7 @@ object SparkEntry {
     "vocab_build"       -> ((s, d) => TextOps.vocabBuild(s, d)),
     "embed_quantize"    -> ((s, d) => Similarity.embedQuantize(s, d)),
     "corpus_stats"      -> ((s, d) => Corpus.corpusStats(s, d)),
+    "text_repetition"   -> ((s, d) => TextOps.textRepetition(s, d)),
     // quantized-ANN query path: approximation of exact cosine → no
     // oracle (rows-only check), invariants + recall pinned in ScalaTest
     "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
@@ -918,6 +919,27 @@ object SparkEntry {
         |       CAST(list_max(qs) AS BIGINT) AS q_max,
         |       CAST(list_sum(qs) AS BIGINT) AS q_sum
         |FROM q ORDER BY vec_id""".stripMargin,
+
+    // Gopher-style bigram repetition gate (TextOps.textRepetition);
+    // the 0.25 threshold is dyadic → the boolean is engine-exact
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |        i -> t[i+1] || ' ' || t[i+2])) AS gram
+        |      FROM toks),
+        |pc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2),
+        |agg AS (SELECT doc_id,
+        |          CAST(sum(c) AS BIGINT) AS n_bigrams,
+        |          CAST(max(c) AS BIGINT) AS top_rep,
+        |          CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |            AS rep_slots
+        |        FROM pc GROUP BY 1)
+        |SELECT doc_id, n_bigrams, top_rep, rep_slots,
+        |       round(rep_slots / n_bigrams, 6) AS rep_ratio,
+        |       rep_slots / n_bigrams < CAST(0.25 AS DOUBLE) AS keep_rep
+        |FROM agg ORDER BY doc_id""".stripMargin,
 
     // per-(source, lang) audit rollup (Corpus.corpusStats)
     "corpus_stats" ->

@@ -175,6 +175,42 @@ object TextOps {
       .orderBy("token_id")
   }
 
+  /** `text_repetition`: the repetition quality filter (the Gopher-family
+    * "fraction of tokens inside duplicated n-grams" gate) — boilerplate
+    * and degenerate generations repeat themselves, and excess bigram
+    * repetition is the standard detector. Per document: bigram total,
+    * the most-repeated bigram's count, the number of bigram slots
+    * occupied by duplicated bigrams (count ≥ 2, each occurrence
+    * counted), and their ratio; `keep_rep` flags documents under the
+    * 0.25 ratio (dyadic threshold — the comparison is engine-exact, the
+    * ratio itself one correctly-rounded division of exact longs).
+    *
+    * Scale: explode → groupBy(doc, gram) partial-agg → groupBy(doc) —
+    * two map-side-combined shuffles keyed by doc; no corpus-wide state
+    * (contrast [[ngramCounts]], which aggregates ACROSS docs). In-row
+    * alternative (aggregate over a sorted gram array) would avoid the
+    * shuffles but put an O(|doc|) sort per row inside a lambda — the
+    * groupBy form keeps codegen and AQE in charge. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 2
+          |  THEN transform(sequence(0, size(split(text, ' ')) - 2),
+          |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))
+          |  ELSE array()
+          |END""".stripMargin)).as("gram"))
+    grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_bigrams"),
+        max("c").as("top_rep"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("rep_slots"))
+      .select(col("doc_id"), col("n_bigrams"), col("top_rep"),
+        col("rep_slots"),
+        round(col("rep_slots") / col("n_bigrams"), 6).as("rep_ratio"),
+        (col("rep_slots") / col("n_bigrams") < 0.25).as("keep_rep"))
+      .orderBy("doc_id")
+  }
+
   /** `lang_id`: stopword-vote language identification — count function
     * words per language, argmax with a deterministic tie-break (en > fr >
     * de > es). A real corpus would use char n-gram profiles; the mechanism

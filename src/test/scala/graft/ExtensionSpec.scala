@@ -342,6 +342,35 @@ class ExtensionSpec extends SparkSpec {
     assert(grams("b a") == ((2L, 1L)), grams)
   }
 
+  test("text_repetition: toy docs exact, flags monotone in repetition") {
+    import spark.implicits._
+    val out = graft.operators.TextOps.textRepetition(spark, dir).cache()
+    // slots accounting: every duplicated slot is counted, top_rep
+    // bounded by n_bigrams, ratio in [0,1]
+    assert(out.filter(col("rep_slots") > col("n_bigrams")).count() == 0)
+    assert(out.filter(col("top_rep") > col("n_bigrams")).count() == 0)
+    assert(out.filter(col("rep_ratio") < 0 || col("rep_ratio") > 1)
+      .count() == 0)
+    assert(out.filter(col("keep_rep") =!=
+      (col("rep_slots") / col("n_bigrams") < 0.25)).count() == 0)
+    out.unpersist()
+    // toy: "a b a b a" bigrams [a b, b a, a b, b a] — all 4 duplicated
+    // (ratio 1.0, drop); "a b c d e" has no repeats (ratio 0, keep)
+    val docs = Seq((1L, "a b a b a"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val grams = docs.select(col("doc_id"), explode(expr(
+      """transform(sequence(0, size(split(text,' ')) - 2),
+        |  i -> concat_ws(' ', slice(split(text,' '), i + 1, 2)))"""
+        .stripMargin)).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), max("c").as("top"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("rep"))
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(grams(1L) == ((1L, 4L, 2L, 4L)), grams(1L))
+    assert(grams(2L) == ((2L, 4L, 1L, 0L)), grams(2L))
+  }
+
   test("vocab_build: dense deterministic ids equal the naive rank form") {
     val out = graft.operators.TextOps.vocabBuild(spark, dir).cache()
     val n = out.count()
