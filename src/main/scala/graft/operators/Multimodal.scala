@@ -13,12 +13,13 @@ import graft.model.Tables
   * and true pixel resampling. The AUDIO codec is REAL too
   * (`javax.sound.sampled` WAV/AU/AIFF PCM parsing — also pure JDK):
   * decodable payloads yield duration/RMS/zero-crossing/envelope
-  * features. Only the VIDEO codec is STUBBED (no container demuxer in
-  * this container) with a deterministic byte-level extractor, clearly
-  * marked below; payloads that don't decode (e.g. the testdata's text
-  * stand-ins) take the same fallback, so the oracle-checked rows are
-  * unchanged while MultimodalSpec proves the pixel and PCM paths on
-  * synthetic PNGs/WAVs.
+  * features. VIDEO is REAL for the one family the JDK covers end to
+  * end — MJPEG-in-AVI ([[aviFrames]]: RIFF demux + per-frame JPEG
+  * decode); every other codec takes the deterministic byte-level
+  * STUB extractor, clearly marked below. Payloads that don't decode
+  * (e.g. the testdata's text stand-ins) take the same fallback, so the
+  * oracle-checked rows are unchanged while MultimodalSpec proves the
+  * pixel, PCM and demux paths on synthetic PNGs/WAVs/AVIs.
   *
   * Scale posture: payload bytes never pass through a shuffle — decode is
   * a narrow `mapPartitions` directly over the scan, and only the small
@@ -176,7 +177,48 @@ object Multimodal {
       } finally ais.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ==== STUB ==== (video only, plus undecodable audio/image fallback)
+  /** REAL video demux for the one codec family the JDK can handle end
+    * to end: MJPEG-in-AVI. AVI is a RIFF container — fourcc + LE uint32
+    * size chunks, LISTs nesting — and each `NNdc`/`NNdb` stream chunk
+    * of an MJPEG file is a complete JPEG, which `javax.imageio`
+    * decodes. Returns the raw frame payloads in stream order, or None
+    * when the payload is not RIFF/AVI (the testdata's text stand-ins)
+    * or is malformed mid-stream — the caller falls back to the byte
+    * slicer, never throws. Pure-JDK parsing, no Spark API: runs inside
+    * the same mapPartitions loop as the other codecs. */
+  private[graft] def aviFrames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      def fourcc(o: Int): String =
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      def leInt(o: Int): Long =
+        (payload(o) & 0xffL) | ((payload(o + 1) & 0xffL) << 8) |
+          ((payload(o + 2) & 0xffL) << 16) | ((payload(o + 3) & 0xffL) << 24)
+      if (payload.length < 12 || fourcc(0) != "RIFF" || fourcc(8) != "AVI ")
+        None
+      else {
+        val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        def walk(start: Int, end: Int): Unit = {
+          var o = start
+          while (o + 8 <= end) {
+            val id = fourcc(o)
+            val size = math.min(leInt(o + 4), (end - o - 8).toLong).toInt
+            if (id == "LIST" || id == "RIFF") {
+              if (size >= 4) walk(o + 12, o + 8 + size)
+            } else if (size > 0 && id.length == 4 && id.charAt(2) == 'd' &&
+                (id.charAt(3) == 'c' || id.charAt(3) == 'b')) {
+              frames += java.util.Arrays.copyOfRange(payload, o + 8,
+                o + 8 + size)
+            }
+            o += 8 + size + (size & 1) // chunks are word-aligned
+          }
+        }
+        walk(12, payload.length)
+        Some(frames.toSeq)
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** ==== STUB ==== (fallback only: non-AVI video, plus undecodable
+    * audio/image payloads)
     * Deterministic byte-level extractor: a 16-bin byte histogram,
     * normalized. A real implementation would decode the payload with an
     * audio/video codec here (partition-local, no Spark API in the hot
@@ -218,6 +260,12 @@ object Multimodal {
         val feats = (a.kind match {
           case "image" => decodeImage(a.payload)
           case "audio" => decodeAudio(a.payload)
+          case "video" =>
+            // MJPEG-AVI: the first decodable frame's pixel histogram
+            // stands for the asset (a real pipeline would pool over
+            // sampled frames — same loop, more rows)
+            aviFrames(a.payload).flatMap(_.iterator.map(decodeImage)
+              .collectFirst { case Some(f) => f })
           case _ => None
         }).getOrElse(decodeStub(a.payload))
         AssetFeatures(a.asset_id, a.kind, a.payload.length.toLong, feats)
@@ -240,33 +288,53 @@ object Multimodal {
       frame_fp: Long)
 
   /** `multimodal_frames`: frame sampling for video assets — every
-    * `every`-th fixed-size byte window of the payload becomes one frame
-    * row. The "demuxer" here is a byte slicer (==== STUB ====: a real
-    * container demuxer slots into the same loop); the plumbing is the
-    * production shape — `mapPartitions` over the typed asset Dataset so
-    * the demuxer context (here the reused MessageDigest; in production a
-    * codec handle + native buffers) is allocated once per PARTITION, and
-    * payload bytes never shuffle: only (id, idx, size, fingerprint) rows
-    * flow downstream. Oracle-checkable because the testdata payloads are
-    * ASCII (byte windows == character windows, verified over every sf),
-    * so DuckDB replays the exact slicing + md5 fingerprint in SQL. */
+    * `every`-th frame becomes one row. An MJPEG-AVI payload is REALLY
+    * demuxed ([[aviFrames]]): frame rows are the actual JPEG stream
+    * chunks (true sizes, fingerprints of real frame bytes). Any other
+    * payload takes the byte-slicer stand-in (every `every`-th
+    * fixed-size byte window) with identical data movement. The plumbing
+    * is the production shape either way — `mapPartitions` over the
+    * typed asset Dataset so the demuxer context (the reused
+    * MessageDigest; in production a codec handle + native buffers) is
+    * allocated once per PARTITION, and payload bytes never shuffle:
+    * only (id, idx, size, fingerprint) rows flow downstream.
+    * Oracle-checkable because the testdata payloads are ASCII — never
+    * RIFF — so they all take the fallback and DuckDB replays the exact
+    * slicing + md5 fingerprint in SQL; the real demux path is pinned by
+    * MultimodalSpec on a synthetic MJPEG-AVI. */
   def frameSample(spark: SparkSession, dir: String, frameSize: Int = 256,
+      every: Int = 2): Dataset[Frame] =
+    frameSampleOf(assets(spark, dir), frameSize, every)
+
+  /** [[frameSample]] over any asset Dataset — factored out for the
+    * synthetic-AVI unit test. */
+  def frameSampleOf(as: Dataset[Asset], frameSize: Int = 256,
       every: Int = 2): Dataset[Frame] = {
-    import spark.implicits._
-    assets(spark, dir).filter(col("kind") === "video").mapPartitions { it =>
+    import as.sparkSession.implicits._
+    as.filter(col("kind") === "video").mapPartitions { it =>
       val md5 = java.security.MessageDigest.getInstance("MD5")
+      def fp(bytes: Array[Byte]): Long = {
+        md5.reset()
+        val hex = md5.digest(bytes).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 8), 16)
+      }
       it.flatMap { a =>
-        val n = a.payload.length
-        val nFrames = (n + frameSize - 1) / frameSize
-        Iterator.range(0, nFrames, every).map { i =>
-          val start = i * frameSize
-          val len = math.min(frameSize, n - start)
-          md5.reset()
-          val hex = md5
-            .digest(java.util.Arrays.copyOfRange(a.payload, start, start + len))
-            .map("%02x".format(_)).mkString
-          Frame(a.asset_id, i.toLong, len.toLong,
-            java.lang.Long.parseLong(hex.substring(0, 8), 16))
+        aviFrames(a.payload).filter(_.nonEmpty) match {
+          case Some(frames) => // real MJPEG demux
+            Iterator.range(0, frames.length, every).map { i =>
+              Frame(a.asset_id, i.toLong, frames(i).length.toLong,
+                fp(frames(i)))
+            }
+          case None => // byte-window stand-in
+            val n = a.payload.length
+            val nFrames = (n + frameSize - 1) / frameSize
+            Iterator.range(0, nFrames, every).map { i =>
+              val start = i * frameSize
+              val len = math.min(frameSize, n - start)
+              Frame(a.asset_id, i.toLong, len.toLong,
+                fp(java.util.Arrays.copyOfRange(a.payload, start,
+                  start + len)))
+            }
         }
       }
     }

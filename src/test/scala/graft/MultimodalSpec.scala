@@ -128,6 +128,74 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(out(0).features(1) - 0.5f) < 1e-6f)
   }
 
+  /** Minimal MJPEG-AVI: RIFF("AVI " LIST("movi" 00dc-chunks)). */
+  private def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def le(i: Int) = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    val movi = new ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    frames.foreach { f =>
+      movi.write("00dc".getBytes("US-ASCII")); movi.write(le(f.length))
+      movi.write(f)
+      if (f.length % 2 == 1) movi.write(0) // word alignment
+    }
+    val body = new ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII")); body.write(le(movi.size()))
+    body.write(movi.toByteArray)
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le(body.size()))
+    out.write(body.toByteArray)
+    out.toByteArray
+  }
+
+  test("aviFrames demuxes RIFF stream chunks exactly; rejects non-AVI") {
+    val f1 = Array[Byte](1, 2, 3, 4, 5) // odd length → padded chunk
+    val f2 = Array[Byte](9, 8, 7, 6)
+    val got = Multimodal.aviFrames(mjpegAvi(Seq(f1, f2))).get
+    assert(got.length == 2)
+    assert(got(0).toSeq == f1.toSeq && got(1).toSeq == f2.toSeq)
+    assert(Multimodal.aviFrames("plain text doc".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.aviFrames(Array.emptyByteArray).isEmpty)
+    // truncated mid-chunk: parser clamps, never throws
+    assert(Multimodal.aviFrames(mjpegAvi(Seq(f1, f2)).dropRight(3)) != null)
+  }
+
+  test("frameSampleOf emits real demuxed frames for an MJPEG-AVI") {
+    val frames = (0 until 5).map(i => Array.fill[Byte](10 + i)(i.toByte))
+    val avi = mjpegAvi(frames)
+    val out = Multimodal.frameSampleOf(
+      Seq(Asset(21L, "video", "mp4", avi)).toDS()).collect()
+      .sortBy(_.frame_idx)
+    // stride 2 over 5 real frames → indices 0, 2, 4 with TRUE sizes
+    assert(out.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L))
+    assert(out.map(_.n_bytes).toSeq == Seq(10L, 12L, 14L))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val expFp = java.lang.Long.parseLong(
+      md5.digest(frames(2)).map("%02x".format(_)).mkString.take(8), 16)
+    assert(out(1).frame_fp == expFp)
+  }
+
+  test("featuresOf decodes the first MJPEG frame's pixels for video") {
+    // JPEG-encode a synthetic image, wrap in AVI: the video features
+    // must equal decodeImage on that same JPEG (real pixel path), not
+    // the byte histogram of the container
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "jpg", bos)
+    val jpeg = bos.toByteArray
+    val avi = mjpegAvi(Seq(jpeg))
+    val out = Multimodal.featuresOf(
+      Seq(Asset(31L, "video", "mp4", avi)).toDS()).collect()
+    val expected = Multimodal.decodeImage(jpeg).get
+    assert(out(0).features.toSeq == expected.toSeq)
+    // and NOT the container's byte histogram (which sums to 1 over
+    // container bytes — the pixel histogram of a gray image is a
+    // single spike)
+    assert(expected.count(_ > 0.99f) == 1, expected.toList)
+  }
+
   test("resizeOf really resamples decodable pixels (factor 2, known RGB)") {
     // 4×2 image; factor 2 keeps pixels (0,0) and (2,0)
     val bytes = png(4, 2)((x, y) => if (x == 0 && y == 0) 0xff0000
