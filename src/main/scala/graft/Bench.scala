@@ -49,7 +49,11 @@ object Bench {
     "embed_quantize" -> 0.44, "corpus_stats" -> 0.53,
     "knn_quantized" -> 1.08,
     // text_repetition: QProfile median 1.84 s at sf0.1
-    "text_repetition" -> 2.76)
+    "text_repetition" -> 2.76,
+    // corpus_prepare_full: solo median 3.55 s at load 5.75 (pays the
+    // whole dedup+decon chain solo; in-bench it rides the shared
+    // builders corpus_prepare already fronts)
+    "corpus_prepare_full" -> 5.3)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

@@ -253,6 +253,44 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("source", "lang")
 
+  /** `corpus_prepare_full`: the COMPLETE preparation pipeline — every
+    * gate this engine implements, composed in one plan:
+    * [[TextOps.textQuality]]'s keep rule, [[TextOps.textRepetition]]'s
+    * duplicated-bigram gate, [[Dedup.dedupSurvivors]]'s near-dup
+    * removal, [[decontaminate]]'s eval-overlap removal (train-split
+    * docs sharing a 5-gram with the held-out split are dropped; the
+    * held-out split itself is untouched — that's the point of
+    * decontamination), then split assignment and per-split token
+    * packing ([[packedBy]]). The [[corpusPrepare]] flagship plus the
+    * round-5 gates; whole composition oracle-checked like its
+    * predecessor. Each stage is a semi/anti-join of bounded id lists
+    * against the corpus — the composition adds no new shuffle class,
+    * and the shared builders (shingles, minhash pairs, clusters) are
+    * materialized once per session for ALL consumers. */
+  def corpusPrepareFull(spark: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame = {
+    val keep = TextOps.textQuality(spark, dir)
+      .filter(col("keep")).select("doc_id")
+    val keepRep = TextOps.textRepetition(spark, dir)
+      .filter(col("keep_rep")).select("doc_id")
+    val surv = Dedup.dedupSurvivors(spark, dir).select("doc_id")
+    val cont = decontaminate(spark, dir)
+      .filter(col("contaminated")).select("doc_id")
+    val base = Tables.documents(spark, dir)
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(keepRep, Seq("doc_id"), "left_semi")
+      .join(surv, Seq("doc_id"), "left_semi")
+      .join(cont, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        h32(concat(lit("pack:"), col("doc_id"))).as("h"),
+        splitOf(col("doc_id")).as("grp"))
+    packedBy(base, budget)
+      .select(col("doc_id"), col("grp").as("split"), col("n_tokens"),
+        col("pack_id"))
+      .orderBy("doc_id")
+  }
+
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked
     * deterministically (h, then doc_id). Equivalent to a seeded uniform

@@ -186,6 +186,32 @@ class CorpusSpec extends SparkSpec {
     assert(out.values.exists(_._2), "no contamination found at sf0.001?")
   }
 
+  test("corpus_prepare_full = corpus_prepare minus rep-gate and decon drops") {
+    val fullQ = Corpus.corpusPrepareFull(spark, dir)
+      .select("doc_id", "split", "n_tokens").as[(Long, String, Long)]
+      .collect().toSet
+    val baseQ = Corpus.corpusPrepare(spark, dir)
+      .select("doc_id", "split", "n_tokens").as[(Long, String, Long)]
+      .collect().toSet
+    // the extra gates only remove documents, never add or relabel
+    assert(fullQ.subsetOf(baseQ), (fullQ -- baseQ).take(5))
+    // the removed set is exactly (repetition failures ∪ contaminated
+    // train docs) restricted to corpus_prepare's output
+    val repFail = graft.operators.TextOps.textRepetition(spark, dir)
+      .filter(!col("keep_rep")).select("doc_id").as[Long].collect().toSet
+    val cont = Corpus.decontaminate(spark, dir)
+      .filter(col("contaminated")).select("doc_id").as[Long]
+      .collect().toSet
+    val dropped = baseQ.map(_._1) -- fullQ.map(_._1)
+    assert(dropped == ((repFail ++ cont) & baseQ.map(_._1)),
+      dropped.take(5))
+    // pack ids restart per split and are dense from 0 in the full form
+    val packs = Corpus.corpusPrepareFull(spark, dir)
+      .groupBy("split").agg(min("pack_id"), max("pack_id"))
+      .as[(String, Long, Long)].collect()
+    assert(packs.nonEmpty && packs.forall(_._2 == 0L), packs.toList)
+  }
+
   test("shingles of docs shorter than the window are empty, not garbage") {
     // Spark's sequence(0, negative) descends — the CASE guard in
     // shinglesOf must keep short docs shingle-free (DuckDB range parity)
