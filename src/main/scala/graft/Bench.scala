@@ -50,10 +50,10 @@ object Bench {
     "knn_quantized" -> 1.08,
     // text_repetition: QProfile median 1.84 s at sf0.1
     "text_repetition" -> 2.76,
-    // corpus_prepare_full: solo median 3.55 s at load 5.75 (pays the
-    // whole dedup+decon chain solo; in-bench it rides the shared
-    // builders corpus_prepare already fronts)
-    "corpus_prepare_full" -> 5.3)
+    // corpus_prepare_full is a registered builder (warm 0.13 s; its
+    // cold chain is attributed to whatever query touches it first);
+    // pack_manifest reads it (0.32 s median)
+    "corpus_prepare_full" -> 5.3, "pack_manifest" -> 0.48)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

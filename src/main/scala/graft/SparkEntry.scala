@@ -99,6 +99,7 @@ object SparkEntry {
     "corpus_stats"      -> ((s, d) => Corpus.corpusStats(s, d)),
     "text_repetition"   -> ((s, d) => TextOps.textRepetition(s, d)),
     "corpus_prepare_full" -> ((s, d) => Corpus.corpusPrepareFull(s, d)),
+    "pack_manifest"     -> ((s, d) => Corpus.packManifest(s, d)),
     // quantized-ANN query path: approximation of exact cosine → no
     // oracle (rows-only check), invariants + recall pinned in ScalaTest
     "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
@@ -145,6 +146,69 @@ object SparkEntry {
         |            JOIN mh y ON y.doc_id = c.p2 AND y.i = x.i
         |GROUP BY 1, 2
         |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin
+
+  /** The corpus_prepare_full oracle, extracted so `pack_manifest`
+    * wraps it as a subquery. */
+  private lazy val corpusPrepareFullSql: String =
+      s"""WITH RECURSIVE pairs AS (SELECT p1, p2 FROM ($dedupMinhashSql) q),
+        |e AS (SELECT p1 AS a, p2 AS b FROM pairs
+        |      UNION SELECT p2, p1 FROM pairs),
+        |reach(a, b) AS (SELECT a, b FROM e
+        |                UNION SELECT r.a, e2.b
+        |                      FROM reach r JOIN e e2 ON r.b = e2.a),
+        |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+        |        FROM reach GROUP BY a),
+        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |spl AS (SELECT doc_id,
+        |          CASE WHEN bkt < 80 THEN 'train'
+        |               WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+        |        FROM (SELECT doc_id,
+        |                CAST(('0x' || substr(md5('split:' ||
+        |                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                  % 100 AS bkt FROM documents)),
+        |bg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM (
+        |         SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+        |           i -> t[i+1] || ' ' || t[i+2])) AS gram FROM tk)
+        |       GROUP BY 1, 2),
+        |rep AS (SELECT doc_id FROM (
+        |          SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+        |            CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
+        |              AS rs
+        |          FROM bg GROUP BY 1)
+        |        WHERE rs / nb < CAST(0.25 AS DOUBLE)),
+        |sh5 AS (SELECT DISTINCT doc_id, sh FROM (
+        |          SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+        |            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |                 t[i+4] || ' ' || t[i+5])) AS sh FROM tk)),
+        |ev AS (SELECT DISTINCT sh5.sh FROM sh5 JOIN spl USING (doc_id)
+        |       WHERE spl.split = 'test'),
+        |cont AS (SELECT DISTINCT sh5.doc_id FROM sh5
+        |         JOIN spl USING (doc_id) JOIN ev ON sh5.sh = ev.sh
+        |         WHERE spl.split = 'train'),
+        |base AS (SELECT d.doc_id,
+        |           CAST(len(t.t) AS BIGINT) AS n_tokens,
+        |           CAST(('0x' || substr(md5('pack:' ||
+        |                 CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        |           s.split
+        |         FROM documents d
+        |         JOIN tk t ON d.doc_id = t.doc_id
+        |         JOIN spl s ON d.doc_id = s.doc_id
+        |         WHERE len(t.t) BETWEEN 20 AND 1000
+        |           AND len(list_filter(t.t,
+        |                 x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0
+        |           AND d.doc_id IN (SELECT doc_id FROM rep)
+        |           AND d.doc_id NOT IN
+        |               (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
+        |           AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
+        |c AS (SELECT doc_id, split, n_tokens,
+        |        COALESCE(sum(n_tokens) OVER (PARTITION BY split
+        |          ORDER BY h, doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          AS cum
+        |      FROM base)
+        |SELECT doc_id, split, n_tokens, CAST(cum // 4096 AS BIGINT)
+        |         AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "scan_project" ->
@@ -843,66 +907,16 @@ object SparkEntry {
 
     // corpus_prepare + the round-5 gates (repetition, decontamination)
     // — the complete pipeline, replayed end-to-end in one statement
-    "corpus_prepare_full" ->
-      s"""WITH RECURSIVE pairs AS (SELECT p1, p2 FROM ($dedupMinhashSql) q),
-        |e AS (SELECT p1 AS a, p2 AS b FROM pairs
-        |      UNION SELECT p2, p1 FROM pairs),
-        |reach(a, b) AS (SELECT a, b FROM e
-        |                UNION SELECT r.a, e2.b
-        |                      FROM reach r JOIN e e2 ON r.b = e2.a),
-        |lbl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
-        |        FROM reach GROUP BY a),
-        |tk AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |spl AS (SELECT doc_id,
-        |          CASE WHEN bkt < 80 THEN 'train'
-        |               WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
-        |        FROM (SELECT doc_id,
-        |                CAST(('0x' || substr(md5('split:' ||
-        |                      CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-        |                  % 100 AS bkt FROM documents)),
-        |bg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM (
-        |         SELECT doc_id, unnest(list_transform(range(len(t) - 1),
-        |           i -> t[i+1] || ' ' || t[i+2])) AS gram FROM tk)
-        |       GROUP BY 1, 2),
-        |rep AS (SELECT doc_id FROM (
-        |          SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
-        |            CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT)
-        |              AS rs
-        |          FROM bg GROUP BY 1)
-        |        WHERE rs / nb < CAST(0.25 AS DOUBLE)),
-        |sh5 AS (SELECT DISTINCT doc_id, sh FROM (
-        |          SELECT doc_id, unnest(list_transform(range(len(t) - 4),
-        |            i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
-        |                 t[i+4] || ' ' || t[i+5])) AS sh FROM tk)),
-        |ev AS (SELECT DISTINCT sh5.sh FROM sh5 JOIN spl USING (doc_id)
-        |       WHERE spl.split = 'test'),
-        |cont AS (SELECT DISTINCT sh5.doc_id FROM sh5
-        |         JOIN spl USING (doc_id) JOIN ev ON sh5.sh = ev.sh
-        |         WHERE spl.split = 'train'),
-        |base AS (SELECT d.doc_id,
-        |           CAST(len(t.t) AS BIGINT) AS n_tokens,
-        |           CAST(('0x' || substr(md5('pack:' ||
-        |                 CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
-        |           s.split
-        |         FROM documents d
-        |         JOIN tk t ON d.doc_id = t.doc_id
-        |         JOIN spl s ON d.doc_id = s.doc_id
-        |         WHERE len(t.t) BETWEEN 20 AND 1000
-        |           AND len(list_filter(t.t,
-        |                 x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0
-        |           AND d.doc_id IN (SELECT doc_id FROM rep)
-        |           AND d.doc_id NOT IN
-        |               (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
-        |           AND d.doc_id NOT IN (SELECT doc_id FROM cont)),
-        |c AS (SELECT doc_id, split, n_tokens,
-        |        COALESCE(sum(n_tokens) OVER (PARTITION BY split
-        |          ORDER BY h, doc_id
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-        |          AS cum
-        |      FROM base)
-        |SELECT doc_id, split, n_tokens, CAST(cum // 4096 AS BIGINT)
-        |         AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin,
+    "corpus_prepare_full" -> corpusPrepareFullSql,
+
+    // the per-(split, pack) dataloader manifest (Corpus.packManifest)
+    "pack_manifest" ->
+      s"""SELECT split, pack_id,
+        |       CAST(count(*) AS BIGINT) AS docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |FROM ($corpusPrepareFullSql) q
+        |GROUP BY split, pack_id
+        |ORDER BY split, pack_id""".stripMargin,
 
     // 5-gram overlap against the test split (Corpus.decontaminate)
     "decontaminate" ->

@@ -217,8 +217,13 @@ object Corpus {
     * corpus's own test split), so the join carries NO broadcast hint
     * and AQE picks broadcast only when the runtime size fits (the
     * repo's plan-guard rule for data-dependent sets). */
-  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
-    val sh = Dedup.shinglesOf(Tables.documents(spark, dir), n)
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame =
+    decontaminateOf(Tables.documents(spark, dir), n).orderBy("doc_id")
+
+  /** [[decontaminate]] over any (doc_id, text, ...) relation — the
+    * form the streaming ingestion runs per micro-batch. */
+  private[graft] def decontaminateOf(docs: DataFrame, n: Int = 5): DataFrame = {
+    val sh = Dedup.shinglesOf(docs, n)
     val trainSh = sh.filter(splitOf(col("doc_id")) === "train")
     val evalSh = sh.filter(splitOf(col("doc_id")) === "test")
       .select("sh").distinct()
@@ -226,13 +231,12 @@ object Corpus {
     // emits each shared shingle once → count(*) = distinct shared count
     val hits = trainSh.join(evalSh, "sh")
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
-    Tables.documents(spark, dir).select("doc_id")
+    docs.select("doc_id")
       .filter(splitOf(col("doc_id")) === "train")
       .join(hits, Seq("doc_id"), "left_outer")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0L)) > 0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** `corpus_stats`: the data-audit rollup a pipeline reports per
@@ -268,28 +272,46 @@ object Corpus {
     * and the shared builders (shingles, minhash pairs, clusters) are
     * materialized once per session for ALL consumers. */
   def corpusPrepareFull(spark: SparkSession, dir: String,
-      budget: Long = 4096L): DataFrame = {
-    val keep = TextOps.textQuality(spark, dir)
-      .filter(col("keep")).select("doc_id")
-    val keepRep = TextOps.textRepetition(spark, dir)
-      .filter(col("keep_rep")).select("doc_id")
-    val surv = Dedup.dedupSurvivors(spark, dir).select("doc_id")
-    val cont = decontaminate(spark, dir)
-      .filter(col("contaminated")).select("doc_id")
-    val base = Tables.documents(spark, dir)
-      .join(keep, Seq("doc_id"), "left_semi")
-      .join(keepRep, Seq("doc_id"), "left_semi")
-      .join(surv, Seq("doc_id"), "left_semi")
-      .join(cont, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"),
-        size(split(col("text"), " ")).cast("long").as("n_tokens"),
-        h32(concat(lit("pack:"), col("doc_id"))).as("h"),
-        splitOf(col("doc_id")).as("grp"))
-    packedBy(base, budget)
-      .select(col("doc_id"), col("grp").as("split"), col("n_tokens"),
-        col("pack_id"))
-      .orderBy("doc_id")
-  }
+      budget: Long = 4096L): DataFrame =
+    // registered as a builder: the prepared corpus is itself an input —
+    // pack_manifest (and any future consumer) reads the cached result
+    // instead of re-running the gate chain + both packing passes
+    graft.model.BuilderCache.memo(spark, s"corpusPrepareFull:$dir:$budget") {
+      val keep = TextOps.textQuality(spark, dir)
+        .filter(col("keep")).select("doc_id")
+      val keepRep = TextOps.textRepetition(spark, dir)
+        .filter(col("keep_rep")).select("doc_id")
+      val surv = Dedup.dedupSurvivors(spark, dir).select("doc_id")
+      val cont = decontaminate(spark, dir)
+        .filter(col("contaminated")).select("doc_id")
+      val base = Tables.documents(spark, dir)
+        .join(keep, Seq("doc_id"), "left_semi")
+        .join(keepRep, Seq("doc_id"), "left_semi")
+        .join(surv, Seq("doc_id"), "left_semi")
+        .join(cont, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          h32(concat(lit("pack:"), col("doc_id"))).as("h"),
+          splitOf(col("doc_id")).as("grp"))
+      packedBy(base, budget)
+        .select(col("doc_id"), col("grp").as("split"), col("n_tokens"),
+          col("pack_id"))
+        .orderBy("doc_id")
+    }
+
+  /** `pack_manifest`: the per-pack rollup a training dataloader
+    * consumes — for each (split, pack_id) of [[corpusPrepareFull]]:
+    * document count and token total. The terminal artifact of the
+    * packing step (a batch manifest); derived, so it inherits the
+    * pipeline's determinism, and the token sums audit the budget
+    * (every non-final pack holds ≥ budget-boundary tokens; asserted in
+    * CorpusSpec). One tiny groupBy over the prepared corpus. */
+  def packManifest(spark: SparkSession, dir: String,
+      budget: Long = 4096L): DataFrame =
+    corpusPrepareFull(spark, dir, budget)
+      .groupBy("split", "pack_id")
+      .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
+      .orderBy("split", "pack_id")
 
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked

@@ -191,8 +191,13 @@ object TextOps {
     * alternative (aggregate over a sorted gram array) would avoid the
     * shuffles but put an O(|doc|) sort per row inside a lambda — the
     * groupBy form keeps codegen and AQE in charge. */
-  def textRepetition(spark: SparkSession, dir: String): DataFrame = {
-    val grams = Tables.documents(spark, dir)
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    textRepetitionOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[textRepetition]] over any (doc_id, text, ...) relation — the
+    * form the streaming ingestion runs per micro-batch. */
+  private[graft] def textRepetitionOf(docs: DataFrame): DataFrame = {
+    val grams = docs
       .select(col("doc_id"), explode(expr(
         """CASE WHEN size(split(text, ' ')) >= 2
           |  THEN transform(sequence(0, size(split(text, ' ')) - 2),
@@ -208,7 +213,6 @@ object TextOps {
         col("rep_slots"),
         round(col("rep_slots") / col("n_bigrams"), 6).as("rep_ratio"),
         (col("rep_slots") / col("n_bigrams") < 0.25).as("keep_rep"))
-      .orderBy("doc_id")
   }
 
   /** `lang_id`: stopword-vote language identification — count function

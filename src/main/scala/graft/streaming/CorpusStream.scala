@@ -73,6 +73,30 @@ object CorpusStream {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** [[prepareSlice]] plus the round-5 gates — the streaming twin of
+    * [[Corpus.corpusPrepareFull]] minus packing: repetition gate over
+    * the slice, decontamination of the slice's train split against its
+    * own held-out split. Same composition semantics as the batch form
+    * (gates computed over the WHOLE slice, then intersected), so a
+    * one-batch slice matches `corpus_prepare_full` rows exactly
+    * (StreamingSpec). */
+  def prepareSliceFull(docs: DataFrame): DataFrame = {
+    val keep = docs.filter(TextOps.keepGate).select("doc_id")
+    val keepRep = TextOps.textRepetitionOf(docs)
+      .filter(col("keep_rep")).select("doc_id")
+    val surv = Dedup.dedupSurvivorsOf(docs).select("doc_id")
+    val cont = Corpus.decontaminateOf(docs)
+      .filter(col("contaminated")).select("doc_id")
+    docs
+      .join(keep, Seq("doc_id"), "left_semi")
+      .join(keepRep, Seq("doc_id"), "left_semi")
+      .join(surv, Seq("doc_id"), "left_semi")
+      .join(cont, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        Corpus.splitOf(col("doc_id")).as("split"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+  }
+
   /** Run the ingestion: each micro-batch is prepared and lands in
     * split-partitioned parquet under its own `batch_id=N` directory with
     * dynamic partition overwrite — a replayed batch (same epoch id from

@@ -212,6 +212,33 @@ class CorpusSpec extends SparkSpec {
     assert(packs.nonEmpty && packs.forall(_._2 == 0L), packs.toList)
   }
 
+  test("pack_manifest: totals reconcile, packs dense, budget respected") {
+    val man = Corpus.packManifest(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+    val full = Corpus.corpusPrepareFull(spark, dir) // registry-cached
+    // per-split token totals reconcile with the prepared corpus
+    val manTotals = man.groupBy(_._1).view
+      .mapValues(_.map(_._4).sum).toMap
+    val corpusTotals = full.groupBy("split").agg(sum("n_tokens"))
+      .as[(String, Long)].collect().toMap
+    assert(manTotals == corpusTotals)
+    // pack ids dense 0..max per split
+    man.groupBy(_._1).foreach { case (split, rows) =>
+      val ids = rows.map(_._2).sorted
+      assert(ids.toSeq == (0L until ids.length).toSeq, s"$split: $ids")
+    }
+    // budget: every non-final pack closes past the 4096 boundary minus
+    // one document (greedy prefix-sum packing can overshoot by at most
+    // the doc that crosses the boundary)
+    val maxDoc = full.agg(max("n_tokens")).as[Long].collect().head
+    man.groupBy(_._1).foreach { case (split, rows) =>
+      val nonFinal = rows.sortBy(_._2).dropRight(1)
+      nonFinal.foreach { case (_, pid, _, toks) =>
+        assert(toks > 4096 - maxDoc, s"$split pack $pid: $toks tokens")
+      }
+    }
+  }
+
   test("shingles of docs shorter than the window are empty, not garbage") {
     // Spark's sequence(0, negative) descends — the CASE guard in
     // shinglesOf must keep short docs shingle-free (DuckDB range parity)

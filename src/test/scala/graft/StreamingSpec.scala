@@ -199,6 +199,17 @@ class StreamingSpec extends SparkSpec {
       "replay duplicated rows")
   }
 
+  test("prepareSliceFull matches corpus_prepare_full (packing excluded)") {
+    import graft.streaming.CorpusStream
+    val slice = CorpusStream.prepareSliceFull(
+        graft.model.Tables.documents(spark, dir))
+      .as[(Long, String, Long)].collect().toSet
+    val batch = graft.operators.Corpus.corpusPrepareFull(spark, dir)
+      .select("doc_id", "split", "n_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    assert(slice == batch && slice.nonEmpty)
+  }
+
   test("multimodal frame sampling: coverage, stride, and boundary sizes") {
     val frames = Multimodal.frameSample(spark, dir).cache()
     val videos = Multimodal.assets(spark, dir)
