@@ -161,6 +161,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.aviFrames(mjpegAvi(Seq(f1, f2)).dropRight(3)) != null)
   }
 
+  test("aviFrames skips non-stream chunks and nested headers (real AVI shape)") {
+    // a standards-shaped file carries LIST("hdrl") with codec headers
+    // before LIST("movi") — the walker must recurse past it and take
+    // only NNdc/NNdb stream chunks
+    def le(i: Int) = Array((i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    val frame = Array[Byte](42, 43, 44)
+    val hdrl = new ByteArrayOutputStream()
+    hdrl.write("hdrl".getBytes("US-ASCII"))
+    hdrl.write("avih".getBytes("US-ASCII")); hdrl.write(le(4))
+    hdrl.write(Array[Byte](1, 2, 3, 4)) // junk header payload
+    val movi = new ByteArrayOutputStream()
+    movi.write("movi".getBytes("US-ASCII"))
+    movi.write("00dc".getBytes("US-ASCII")); movi.write(le(frame.length))
+    movi.write(frame); movi.write(0) // odd → padded
+    val body = new ByteArrayOutputStream()
+    body.write("AVI ".getBytes("US-ASCII"))
+    body.write("LIST".getBytes("US-ASCII")); body.write(le(hdrl.size()))
+    body.write(hdrl.toByteArray)
+    body.write("LIST".getBytes("US-ASCII")); body.write(le(movi.size()))
+    body.write(movi.toByteArray)
+    val out = new ByteArrayOutputStream()
+    out.write("RIFF".getBytes("US-ASCII")); out.write(le(body.size()))
+    out.write(body.toByteArray)
+    val got = Multimodal.aviFrames(out.toByteArray).get
+    assert(got.length == 1 && got.head.toSeq == frame.toSeq,
+      got.map(_.toSeq).toList) // the avih header chunk must NOT leak in
+  }
+
   test("frameSampleOf emits real demuxed frames for an MJPEG-AVI") {
     val frames = (0 until 5).map(i => Array.fill[Byte](10 + i)(i.toByte))
     val avi = mjpegAvi(frames)

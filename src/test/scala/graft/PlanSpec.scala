@@ -109,6 +109,27 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-5 queries keep their scale-relevant plan shapes") {
+    // embed_quantize is embarrassingly parallel: the ONLY exchange in
+    // the plan is the deterministic output sort (range partitioning) —
+    // a second one would mean the quantization itself started shuffling
+    val pq = plan(graft.operators.Similarity.embedQuantize(spark, dir))
+    assert("Exchange".r.findAllIn(pq).size == 1, pq)
+    assert(pq.contains("rangepartitioning"), pq)
+    // ngram_counts: global top-k plans as TakeOrderedAndProject
+    // (per-partition heap + driver merge), never a full sort
+    val pn = plan(graft.operators.TextOps.ngramCounts(spark, dir))
+    assert(pn.contains("TakeOrderedAndProject"), pn)
+    // vocab_build's dense rank is the distributed two-pass — no Window
+    // operator may appear (a single-partition window is the rejected
+    // naive form)
+    val pv = plan(graft.operators.TextOps.vocabBuild(spark, dir))
+    assert(!pv.contains("Window"), pv)
+    // decontaminate joins only on equi-keys — no cartesian product ever
+    val pd = plan(graft.operators.Corpus.decontaminate(spark, dir))
+    assert(!pd.contains("Cartesian"), pd)
+  }
+
   test("no declared query plans an unpartitioned Window (single-partition scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     SparkEntry.queries.foreach { case (name, fn) =>
