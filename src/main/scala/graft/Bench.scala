@@ -53,7 +53,9 @@ object Bench {
     // corpus_prepare_full is a registered builder (warm 0.13 s; its
     // cold chain is attributed to whatever query touches it first);
     // pack_manifest reads it (0.32 s median)
-    "corpus_prepare_full" -> 5.3, "pack_manifest" -> 0.48)
+    "corpus_prepare_full" -> 5.3, "pack_manifest" -> 0.48,
+    // tokenize_ids: QProfile median 0.98 s at sf0.1
+    "tokenize_ids" -> 1.47)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

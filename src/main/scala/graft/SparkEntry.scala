@@ -100,6 +100,7 @@ object SparkEntry {
     "text_repetition"   -> ((s, d) => TextOps.textRepetition(s, d)),
     "corpus_prepare_full" -> ((s, d) => Corpus.corpusPrepareFull(s, d)),
     "pack_manifest"     -> ((s, d) => Corpus.packManifest(s, d)),
+    "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
     // quantized-ANN query path: approximation of exact cosine → no
     // oracle (rows-only check), invariants + recall pinned in ScalaTest
     "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
@@ -972,6 +973,25 @@ object SparkEntry {
         |SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC) - 1
         |         AS BIGINT) AS token_id, token, n
         |FROM c ORDER BY token_id""".stripMargin,
+
+    // vocabulary application (TextOps.tokenizeIds): OOV drops, pos
+    // keeps the original index
+    "tokenize_ids" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1 HAVING count(*) >= 5),
+        |v AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |         - 1 AS BIGINT) AS token_id, token FROM c),
+        |seq AS (SELECT doc_id,
+        |          unnest(list_transform(range(len(t)),
+        |            i -> {'pos': i, 'tok': t[i+1]})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents))
+        |SELECT s.doc_id, CAST(s.u.pos AS BIGINT) AS pos, v.token_id
+        |FROM seq s JOIN v ON s.u.tok = v.token
+        |WHERE v.token_id < 50000
+        |ORDER BY doc_id, pos""".stripMargin,
 
     // symmetric int8 quantization summary (Similarity.embedQuantize);
     // bare decimals CAST to DOUBLE per the Det determinism contract

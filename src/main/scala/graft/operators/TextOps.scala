@@ -133,9 +133,14 @@ object TextOps {
            |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
            |  ELSE array()
            |END""".stripMargin)).as("gram"))
-    grams.groupBy("gram")
-      .agg(count(lit(1)).as("occurrences"),
-        countDistinct(col("doc_id")).as("df"))
+    // two-level aggregation instead of count+countDistinct in one agg:
+    // the mixed form makes Catalyst Expand the gram stream (one copy
+    // per aggregate family — 2× rows through the shuffle), while
+    // (gram, doc) partial counts collapse in the map side and the
+    // second agg is over the already-distinct pairs
+    grams.groupBy("gram", "doc_id").agg(count(lit(1)).as("c"))
+      .groupBy("gram")
+      .agg(sum("c").as("occurrences"), count(lit(1)).as("df"))
       .orderBy(desc("occurrences"), asc("gram"))
       .limit(k)
   }
@@ -173,6 +178,35 @@ object TextOps {
       .map { case ((t, n), i) => (i, t, n) }
       .toDF("token_id", "token", "n")
       .orderBy("token_id")
+  }
+
+  /** `tokenize_ids`: apply the [[vocabBuild]] vocabulary to the corpus —
+    * the tokenization step between vocabulary construction and
+    * [[Corpus.packAssign]]: every in-vocabulary token occurrence becomes
+    * one (doc_id, pos, token_id) row, `pos` the token's ORIGINAL
+    * position (OOV tokens drop — the WordLevel-without-UNK convention —
+    * so position gaps mark where OOV stood; a real pipeline would map
+    * them to an UNK id with one coalesce).
+    *
+    * Scale posture: the vocabulary is capped at `vocabSize` (real
+    * tokenizers are fixed-size — 32-100k entries) via limit over the
+    * already-ranked ids, which gives the relation a STATIC row bound —
+    * exactly the "provably bounded" condition the repo's broadcast rule
+    * requires. The token stream therefore never shuffles: scan →
+    * posexplode → broadcast-hash-join, embarrassingly parallel at any
+    * corpus size (contrast tokenize-by-shuffle-join, which moves the
+    * whole token stream over the network). */
+  def tokenizeIds(spark: SparkSession, dir: String, minCount: Long = 5L,
+      vocabSize: Int = 50000): DataFrame = {
+    val vocab = vocabBuild(spark, dir, minCount).limit(vocabSize)
+      .select("token", "token_id")
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), "token")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("token_id"))
+      .orderBy("doc_id", "pos")
   }
 
   /** `text_repetition`: the repetition quality filter (the Gopher-family

@@ -342,6 +342,25 @@ class ExtensionSpec extends SparkSpec {
     assert(grams("b a") == ((2L, 1L)), grams)
   }
 
+  test("tokenize_ids: positions original, ids round-trip the vocabulary") {
+    import spark.implicits._
+    val vocab = graft.operators.TextOps.vocabBuild(spark, dir)
+      .select("token", "token_id").as[(String, Long)].collect().toMap
+    val ids = graft.operators.TextOps.tokenizeIds(spark, dir)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    assert(ids.nonEmpty)
+    docs.foreach { case (id, text) =>
+      val expected = text.split(" ").zipWithIndex.collect {
+        case (tok, i) if vocab.contains(tok) => (i.toLong, vocab(tok))
+      }.toSeq
+      val got = ids.getOrElse(id, Array.empty).sortBy(_._2)
+        .map(r => (r._2, r._3)).toSeq
+      assert(got == expected, s"doc $id: $got vs $expected")
+    }
+  }
+
   test("text_repetition: toy docs exact, flags monotone in repetition") {
     import spark.implicits._
     val out = graft.operators.TextOps.textRepetition(spark, dir).cache()
