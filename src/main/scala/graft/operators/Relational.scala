@@ -152,29 +152,36 @@ object Relational {
     coocCounts(spark, dir).orderBy("src", "dst")
 
   /** A2 `popularity_topk`: product popularity = distinct purchasing
-    * customers (ref: `tp2/app/main.py:134-140`). countDistinct plans as
-    * partial-agg → shuffle on product → final agg; exact (no HLL) to stay
-    * oracle-comparable — see `popularityApprox` for the 100 TB variant.
+    * customers (ref: `tp2/app/main.py:134-140`). Derived from the shared
+    * [[bipartite]] incidence — distinct by construction (collect_set in
+    * the [[baskets]] builder), so a plain count per product IS the
+    * distinct-customer count: no countDistinct machinery, no second
+    * lineitem+orders join in a shared session, and the explode inherits
+    * the builder's customer partitioning. Solo, the builder is the same
+    * join the old plan ran — cost is never worse.
     */
   def popularityTopk(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
-    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_partkey").as("product_id"))
-      .agg(countDistinct(col("o_custkey")).as("popularity"))
+    bipartite(spark, dir)
+      .groupBy(col("product_id"))
+      .agg(count(lit(1)).as("popularity"))
       .orderBy(desc("popularity"), asc("product_id"))
       .limit(k)
 
   /** A2 approximate variant: HLL-sketch popularity for the 100 TB path
-    * (single pass, mergeable partial aggregates, no exact-distinct shuffle
-    * of customer ids). Not oracle-checked (sketch impls differ across
-    * engines); covered by ScalaTest against the exact variant. */
+    * (single pass, mergeable partial aggregates, no exact-distinct
+    * shuffle of RAW customer ids — at full scale the sketch aggregates
+    * the event stream directly, skipping the distinct materialization
+    * entirely). Reads the same cached incidence here; over an
+    * already-distinct input the sketch measures the same multiset.
+    * rsd 0.02 sizes each per-product register array at ~4 KB — the
+    * sketch-width × group-cardinality product is the real cost knob of
+    * HLL aggregation (rsd 0.01 quadruples it for one extra point of
+    * precision). Not oracle-checked (sketch impls differ across
+    * engines); RelationalSpec bounds it against the exact variant. */
   def popularityApprox(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
-    Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey")
-      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
-        col("l_orderkey") === col("o_orderkey"))
-      .groupBy(col("l_partkey").as("product_id"))
-      .agg(approx_count_distinct(col("o_custkey"), 0.01).as("popularity"))
+    bipartite(spark, dir)
+      .groupBy(col("product_id"))
+      .agg(approx_count_distinct(col("customer_id"), 0.02).as("popularity"))
       .orderBy(desc("popularity"), asc("product_id"))
       .limit(k)
 

@@ -31,11 +31,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint>"), p)
   }
 
-  test("popularity_topk keeps the aggregation partial (no extra shuffle before join)") {
+  test("popularity_topk tops via TakeOrderedAndProject over the incidence") {
     val p = plan(Relational.popularityTopk(spark, dir))
     assert(p.contains("TakeOrderedAndProject"), p)
-    // orders side prunes to the two join/agg columns
-    assert(p.contains("ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>"), p)
+    // derived from the distinct incidence builder: a plain count, never
+    // the countDistinct expand machinery
+    assert(!p.contains("Expand"), p)
   }
 
   test("split assignment columns are shuffle-free (no Exchange)") {

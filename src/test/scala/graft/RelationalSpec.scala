@@ -76,4 +76,19 @@ class RelationalSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("popularity_approx tracks the exact variant within the HLL rsd") {
+    val sf = "/root/testdata/sf0.001"
+    val exact = Relational.popularityTopk(spark, sf, k = 10000)
+      .as[(Long, Long)].collect().toMap
+    val approx = Relational.popularityApprox(spark, sf, k = 10000)
+      .as[(Long, Long)].collect().toMap
+    assert(approx.keySet == exact.keySet)
+    // rsd 0.02 → ~3σ bound of 6% (plus integer rounding at tiny counts)
+    exact.foreach { case (pid, n) =>
+      val a = approx(pid)
+      assert(math.abs(a - n) <= math.max(1L, math.ceil(n * 0.06).toLong),
+        s"product $pid: approx $a vs exact $n")
+    }
+  }
 }
