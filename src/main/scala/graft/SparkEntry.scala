@@ -46,9 +46,14 @@ object SparkEntry {
       // full tp1 blend incl. the PPR strategy (Engine scaladoc); seed =
       // min purchasing customer, same convention as rec_blend
       val g = graft.rec.Engine.fromOrders(s, d)
-      val cid = g.incidence.agg(org.apache.spark.sql.functions
-        .min("customer_id")).collect()(0).getLong(0)
-      graft.rec.Engine.recommend(s, g, cid, topN = 10)
+      val row = g.incidence.agg(org.apache.spark.sql.functions
+        .min("customer_id")).collect()(0)
+      if (row.isNullAt(0)) // empty incidence → nobody to recommend for
+        s.range(0).selectExpr("id AS product_id",
+          "CAST(0.0 AS DOUBLE) AS score", "CAST(0.0 AS DOUBLE) AS c_cooc",
+          "CAST(0.0 AS DOUBLE) AS c_sim", "CAST(0.0 AS DOUBLE) AS c_ppr",
+          "CAST(0.0 AS DOUBLE) AS c_global")
+      else graft.rec.Engine.recommend(s, g, row.getLong(0), topN = 10)
     }),
     // events analytics tier
     "json_props"        -> ((s, d) => EventsOps.jsonProps(s, d)),

@@ -193,7 +193,12 @@ object PageRank {
       .select(col("id").cast("long"), col("pers").cast("double"))
       .as[(Long, Double)].rdd.cache()
     val n = vRaw.count()
-    require(n > 0, "PageRank needs at least one vertex")
+    if (n == 0) { // empty graph → empty ranks (nothing to rank); a
+      // require here would make every composed pipeline (rec blends,
+      // declared queries) blow up on a legitimately empty partition/dir
+      vRaw.unpersist(blocking = false)
+      return spark.range(0).selectExpr("id", "CAST(0.0 AS DOUBLE) AS rank")
+    }
     val persTotal = vRaw.map(_._2).sum()
 
     val (eBySrc, part, m) = groupedAdjacency(spark, edges, n)

@@ -170,6 +170,9 @@ object Similarity {
       import org.apache.spark.ml.functions.array_to_vector
       vectors(spark, dir).withColumn("fv", array_to_vector(col("v")))
     }
+    if (e.isEmpty) // no vectors → no quantizer to train, empty result
+      return e.select(col("vec_id").as("pid"), lit(0L).as("rank"),
+        col("vec_id"), lit(0.0).as("cosine")).limit(0)
     val model = ivfModel(spark, dir, nClusters, e)
     // the fitted assignment is itself a builder: one k-means fit + one
     // assignment pass per (session, dir, k), however many probes ask
