@@ -262,9 +262,26 @@ object PageRank {
     * precomputed eagerly at engine init `:42` — here computed on demand).
     * Not oracle-checked (iterative, float-order-sensitive); ScalaTest
     * verifies the golden 4-node fixture + Σrank/convergence invariants. */
+  /** Session-memoized fixpoint: a deterministic (fixed iteration order,
+    * fixed damping) PageRank over a given personalization is a DERIVED
+    * TABLE exactly like coocCounts — materialize the converged ranks
+    * once per session, every later consumer reads the cache instead of
+    * re-running the driver-side iteration (the one computation Catalyst
+    * cannot share across queries, because each round is its own job).
+    * Keyed by the VERTICES plan (memoByPlan) plus the edges plan's
+    * semantic hash, so distinct personalizations and graphs coexist;
+    * `name` prefixes the registry key so serving paths can release
+    * their entries by prefix ([[graft.model.BuilderCache.release]]). */
+  def runMemo(spark: SparkSession, name: String, vertices: DataFrame,
+      edges: DataFrame, params: Params = Params()): DataFrame =
+    graft.model.BuilderCache.memoByPlan(spark,
+      s"$name:${edges.queryExecution.analyzed.semanticHash()}", vertices) {
+      run(spark, vertices, edges, params)
+    }
+
   def pagerankGlobal(spark: SparkSession, dir: String): DataFrame = {
     val v = productVertices(spark, dir).withColumn("pers", lit(1.0))
-    run(spark, v, productEdges(spark, dir))
+    runMemo(spark, "pprRanks", v, productEdges(spark, dir))
       .select(col("id").as("product_id"), round(col("rank"), 6).as("rank"))
       .orderBy(desc("rank"), asc("product_id"))
   }
@@ -281,7 +298,7 @@ object PageRank {
       .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
       .select(col("id"),
         when(col("sp").isNotNull, 1.0).otherwise(0.0).as("pers"))
-    run(spark, v, productEdges(spark, dir))
+    runMemo(spark, "pprRanks", v, productEdges(spark, dir))
       .select(col("id").as("product_id"), round(col("rank"), 6).as("rank"))
       .orderBy(desc("rank"), asc("product_id"))
   }

@@ -80,10 +80,18 @@ object BuilderCache {
     val analyzed = input.queryExecution.analyzed
     val base = s"$name:${analyzed.semanticHash()}"
     val sid = sessionKey(spark)
-    val registered = planKeys.putIfAbsent((sid, base), analyzed.canonicalized)
+    // compare CANONICAL forms with plain equality — NOT
+    // prior.sameResult(analyzed): sameResult canonicalizes its receiver
+    // again, and canonicalization is not idempotent (a re-canonicalized
+    // plan differs from its first canonical form), so the stored plan
+    // would mismatch every later equivalent lookup and fork a fresh
+    // disambiguated key per call — one rebuilt (and cached) frame per
+    // request instead of a memo hit.
+    val canon = analyzed.canonicalized
+    val registered = planKeys.putIfAbsent((sid, base), canon)
     val key = registered match {
-      case Some(prior) if !prior.sameResult(analyzed) =>
-        s"$base:${System.identityHashCode(analyzed.canonicalized).toHexString}"
+      case Some(prior) if prior != canon =>
+        s"$base:${System.identityHashCode(canon).toHexString}"
       case _ => base
     }
     memo(spark, key)(build)

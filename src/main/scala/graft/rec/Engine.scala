@@ -86,7 +86,10 @@ object Engine {
       : Array[org.apache.spark.sql.Row] = {
     val (df, perRequest) = recommendInternal(spark, gRaw, customerId, topN)
     val rows = df.collect()
-    perRequest.foreach(_.unpersist(blocking = false))
+    // blocking: the release must be visible before the response returns
+    // (ServeSpec asserts zero steady-state cache growth); these are
+    // request-sized frames, the synchronous unpersist is microseconds
+    perRequest.foreach(_.unpersist(blocking = true))
     rows
   }
 
@@ -125,7 +128,8 @@ object Engine {
       .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
       .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
         .as("pers"))
-    val pScore = PageRank.run(spark, pers, adjacency(g))
+    val pScore = PageRank.runMemo(spark, "engine.pprRanks", pers,
+        adjacency(g))
       .select(col("id").as("product_id"), col("rank").as("s_ppr"))
 
     val cand = cScore
@@ -175,7 +179,7 @@ object Engine {
   private def globalFallback(spark: SparkSession, g: ProductGraph,
       topN: Int): DataFrame = {
     val v = g.products.withColumn("pers", lit(1.0))
-    PageRank.run(spark, v, adjacency(g))
+    PageRank.runMemo(spark, "engine.pprRanks", v, adjacency(g))
       .select(col("id").as("product_id"),
         round(col("rank"), 6).as("score"),
         lit(0.0).as("c_cooc"), lit(0.0).as("c_sim"), lit(0.0).as("c_ppr"),
@@ -197,7 +201,7 @@ object Engine {
       customerId: Long): Array[org.apache.spark.sql.Row] = {
     val (df, perRequest) = breakdownInternal(spark, g, customerId)
     val rows = df.collect()
-    perRequest.foreach(_.unpersist(blocking = false))
+    perRequest.foreach(_.unpersist(blocking = true))
     rows
   }
 
@@ -208,7 +212,7 @@ object Engine {
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")))
     if (seeds.isEmpty)
-      return (PageRank.run(spark,
+      return (PageRank.runMemo(spark, "engine.pprRanks",
           g.products.withColumn("pers", lit(1.0)), adjacency(g))
         .select(lit("global_pagerank").as("strategy"),
           col("id").as("product_id"), round(col("rank"), 6).as("score"))
@@ -236,7 +240,7 @@ object Engine {
       .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
         .as("pers"))
     val pScore = dropSeeds(
-      PageRank.run(spark, pers, adjacency(g))
+      PageRank.runMemo(spark, "engine.pprRanks", pers, adjacency(g))
         .select(col("id").as("product_id"), col("rank").as("score")))
       .select(lit("personalized_pagerank").as("strategy"), col("product_id"),
         round(col("score"), 6).as("score"))

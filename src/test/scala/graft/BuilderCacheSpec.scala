@@ -30,6 +30,33 @@ class BuilderCacheSpec extends SparkSpec {
     assert(a eq a2)
   }
 
+  test("memoByPlan hits across EQUIVALENT complex plans (no key forking)") {
+    // regression: the collision check once compared the STORED canonical
+    // plan via sameResult, which canonicalizes its receiver AGAIN —
+    // double canonicalization is not idempotent, so every equivalent
+    // lookup after the first forked a disambiguated key and re-ran the
+    // build (one fresh cached fixpoint per serving request). The check
+    // must compare canonical forms with plain equality. range() plans
+    // don't trigger it; a join+aggregate+explode over parquet does.
+    import org.apache.spark.sql.functions._
+    def incidence() = graft.model.Tables
+      .lineitem(spark, "/root/testdata/sf0.001")
+      .select("l_orderkey", "l_partkey")
+      .join(graft.model.Tables.orders(spark, "/root/testdata/sf0.001")
+        .select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_custkey").as("cid"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ds"))
+      .select(col("cid"), explode(col("ds")).as("pid"))
+    var builds = 0
+    def build() = { builds += 1; spark.range(7).toDF() }
+    val a = BuilderCache.memoByPlan(spark, "bcspec:canon", incidence())(build())
+    val b = BuilderCache.memoByPlan(spark, "bcspec:canon", incidence())(build())
+    val c = BuilderCache.memoByPlan(spark, "bcspec:canon", incidence())(build())
+    assert((a eq b) && (b eq c), "equivalent plans must share one entry")
+    assert(builds == 1, s"build ran $builds times for one semantic plan")
+  }
+
   test("release(prefix) evicts only matching entries and re-caching works") {
     val kept = BuilderCache.memo(spark, "bcspec:keep")(spark.range(3).toDF())
     var builds = 0

@@ -73,12 +73,16 @@ class ServeSpec extends SparkSpec with BeforeAndAfterAll {
   }
 
   test("per-request caches are released after serving (no cache leak)") {
+    // request 1 may materialize session builders (incidence, cooc,
+    // jaccard pairs, the memoized PPR ranks) — one-time by design; the
+    // leak property is STEADY STATE: repeated identical requests must
+    // add zero cache entries (per-request seeds/candidates released,
+    // memoized builders hit, nothing re-marked)
+    get("/customers/1/recommendations?top_n=3") // warm-up
     val before = spark.sparkContext.getPersistentRDDs.size
     (1 to 3).foreach(_ => get("/customers/1/recommendations?top_n=3"))
     val after = spark.sparkContext.getPersistentRDDs.size
-    // session-level builder caches may appear once; per-request seed and
-    // candidate caches must not accumulate per call
-    assert(after - before <= 4, s"cache entries grew $before -> $after")
+    assert(after == before, s"cache entries grew $before -> $after")
   }
 
   test("GET /customers/{id}/strategies returns the per-strategy breakdown") {
