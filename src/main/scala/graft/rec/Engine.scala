@@ -68,6 +68,20 @@ object Engine {
   private val BlendSim = 0.3
   private val BlendPpr = 0.3
 
+  /** Bound on memoized per-personalization PageRank entries
+    * (`engine.pprRanks:*`): each distinct customer pins one converged
+    * rank table (catalog-sized — small, but a long-serving session sees
+    * unbounded distinct customers). Beyond the cap the whole prefix is
+    * evicted — epoch eviction: crude, O(1), and bounded; an evicted
+    * customer's next request pays one fixpoint rebuild. */
+  private[graft] val MaxPprEntries = 64
+
+  private[graft] def boundPprCache(spark: SparkSession,
+      max: Int = MaxPprEntries): Unit =
+    if (BuilderCache.list(spark)
+        .count(_.startsWith("engine.pprRanks")) >= max)
+      BuilderCache.release(spark, "engine.pprRanks")
+
   /** `recommend_for_customer` (`recommendation.py:44-68`). Output:
     * (product_id, score, c_cooc, c_sim, c_ppr, c_global) — the per-
     * strategy contribution breakdown the reference's API returns. */
@@ -128,6 +142,7 @@ object Engine {
       .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
       .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
         .as("pers"))
+    boundPprCache(spark)
     val pScore = PageRank.runMemo(spark, "engine.pprRanks", pers,
         adjacency(g))
       .select(col("id").as("product_id"), col("rank").as("s_ppr"))
@@ -239,6 +254,7 @@ object Engine {
       .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
       .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
         .as("pers"))
+    boundPprCache(spark)
     val pScore = dropSeeds(
       PageRank.runMemo(spark, "engine.pprRanks", pers, adjacency(g))
         .select(col("id").as("product_id"), col("rank").as("score")))

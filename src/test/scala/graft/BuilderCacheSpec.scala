@@ -57,6 +57,22 @@ class BuilderCacheSpec extends SparkSpec {
     assert(builds == 1, s"build ran $builds times for one semantic plan")
   }
 
+  test("Engine.boundPprCache evicts the rank prefix past the cap") {
+    // other suites in the shared session may have left rank entries
+    BuilderCache.release(spark, "engine.pprRanks")
+    (1 to 3).foreach { i =>
+      BuilderCache.memoByPlan(spark, "engine.pprRanks",
+        spark.range(i * 11).toDF())(spark.range(i).toDF())
+    }
+    def live() = BuilderCache.list(spark)
+      .count(_.startsWith("engine.pprRanks"))
+    assert(live() == 3)
+    graft.rec.Engine.boundPprCache(spark, max = 5) // under cap: no-op
+    assert(live() == 3)
+    graft.rec.Engine.boundPprCache(spark, max = 3) // at cap: epoch evict
+    assert(live() == 0)
+  }
+
   test("release(prefix) evicts only matching entries and re-caching works") {
     val kept = BuilderCache.memo(spark, "bcspec:keep")(spark.range(3).toDF())
     var builds = 0
