@@ -91,11 +91,18 @@ object TextOps {
 
   /** `tfidf`: term frequency × inverse document frequency over the token
     * stream — the UDTF-shaped explode generator (SURVEY §7.4): explode →
-    * two hash aggregations → broadcast of the tiny df dimension back onto
-    * tf. idf uses the raw ln(N/df) form; tf·idf is a product of exact
-    * longs through libm ln, rounded to 6 dp. Scale: tf shuffles on
-    * (doc, term), df on term — both partial-aggregated map-side; df is
-    * vocabulary-sized → broadcast join. */
+    * two hash aggregations → join of the df dimension back onto tf. idf
+    * uses the raw ln(N/df) form; tf·idf is a product of exact longs
+    * through libm ln, rounded to 6 dp. Scale: tf shuffles on (doc, term),
+    * df on term — both partial-aggregated map-side. The df relation is
+    * the DISTINCT-TERM table of raw text — data-dependent and unbounded
+    * (billions of rows on web-scale corpora), so it carries NO broadcast
+    * hint ("only provably bounded relations carry a broadcast hint",
+    * [[graft.operators.Recommend]]): the df side reuses its own
+    * aggregation's term partitioning, tf pays one exchange on term, and
+    * AQE may still elect a broadcast at runtime when df MEASURES small —
+    * the decision belongs to the runtime, not a compile-time promise.
+    * Only the 1-row corpus count keeps its hint. */
   def tfidf(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
     val tok = docs.select(col("doc_id"),
@@ -104,7 +111,7 @@ object TextOps {
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq), "term")
+    tf.join(dfreq, "term")
       .crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)

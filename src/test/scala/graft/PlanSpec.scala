@@ -110,6 +110,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  // Wider form of the detector above (round-5 verdict): tfidf's df table
+  // is a grouped aggregate WITH an aggregate function (groupBy(term)
+  // .agg(count)), so the distinct-only matcher never saw it — yet its
+  // cardinality is exactly as unbounded as a distinct (one row per
+  // group). Flag ANY forced broadcast of an unbounded relation whose
+  // branch contains a grouped aggregate. Threshold-filtered guard lists
+  // (the hot-bucket anti-joins) are row-bounded by construction
+  // (≤ N/threshold buckets can exceed the threshold) and are exempted by
+  // their join type: the guards only ever broadcast into LeftAnti.
+  private def forcedBroadcastOfUnboundedGroupedAgg(
+      df: org.apache.spark.sql.DataFrame) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, BROADCAST, Join, LogicalPlan}
+    import org.apache.spark.sql.catalyst.plans.LeftAnti
+    def grouped(p: LogicalPlan): Boolean =
+      p.collectFirst {
+        case a: Aggregate if a.groupingExpressions.nonEmpty => a
+      }.nonEmpty
+    def unboundedGrouped(p: LogicalPlan): Boolean =
+      p.maxRows.isEmpty && grouped(p)
+    df.queryExecution.optimizedPlan.collect {
+      case j: Join
+          if j.joinType != LeftAnti &&
+            ((j.hint.leftHint.exists(_.strategy.contains(BROADCAST)) &&
+              unboundedGrouped(j.left)) ||
+              (j.hint.rightHint.exists(_.strategy.contains(BROADCAST)) &&
+                unboundedGrouped(j.right))) => j
+    }
+  }
+
+  test("the grouped-aggregate detector flags the round-5 tfidf shape (not vacuous)") {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    // reconstruct exactly the plan the round-5 verdict flagged: a forced
+    // broadcast of groupBy(term).agg(count) over a file scan
+    val tf = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("n_regionkey AS k", "n_nationkey AS v")
+    val bad = tf.join(
+      broadcast(tf.groupBy("k").agg(count(lit(1)).as("df"))), "k")
+    assert(forcedBroadcastOfUnboundedGroupedAgg(bad).nonEmpty,
+      bad.queryExecution.optimizedPlan.toString)
+  }
+
+  test("no declared query forces a broadcast of an unbounded grouped aggregate (tfidf guard)") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      assert(forcedBroadcastOfUnboundedGroupedAgg(fn(spark, dir)).isEmpty,
+        s"$name forces a broadcast of an unbounded grouped-aggregate relation")
+    }
+  }
+
   test("round-5 queries keep their scale-relevant plan shapes") {
     // embed_quantize is embarrassingly parallel: the ONLY exchange in
     // the plan is the deterministic output sort (range partitioning) —
