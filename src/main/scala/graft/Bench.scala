@@ -35,8 +35,8 @@ object Bench {
     "multimodal_features" -> 0.71, "multimodal_frames" -> 0.3,
     "multimodal_resize" -> 0.33, "ngram_jaccard" -> 3.39,
     "orderfreq_topk" -> 1.58, "pack_assign" -> 0.61,
-    "pagerank_global" -> 1.23, "popularity_approx" -> 3.53,
-    "popularity_topk" -> 1.77, "ppr_seeded" -> 1.15, "rec_blend" -> 0.96,
+    "popularity_approx" -> 3.53,
+    "popularity_topk" -> 1.77, "rec_blend" -> 0.96,
     "rec_blend_full" -> 3.64, "sample_stratified" -> 0.81,
     "scan_project" -> 0.3, "sessionize" -> 0.56, "sim_topk" -> 0.34,
     "split_assign" -> 0.3, "text_fingerprint" -> 0.3,
@@ -50,12 +50,24 @@ object Bench {
     "knn_quantized" -> 1.08,
     // text_repetition: QProfile median 1.84 s at sf0.1
     "text_repetition" -> 2.76,
-    // corpus_prepare_full is a registered builder (warm 0.13 s; its
-    // cold chain is attributed to whatever query touches it first);
-    // pack_manifest reads it (0.32 s median)
-    "corpus_prepare_full" -> 5.3, "pack_manifest" -> 0.48,
+    // pack_manifest reads the corpus_prepare_full builder (0.32 s median)
+    "pack_manifest" -> 0.48,
     // tokenize_ids: QProfile median 0.98 s at sf0.1
     "tokenize_ids" -> 1.47)
+
+  /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
+    * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so
+    * a warm median can never see a regression in the actual computation
+    * chain (round-5 advice). These gate on the COLD run-1 time instead,
+    * against round-5 sf0.1 cold times × 1.5 — the same headroom
+    * discipline as the median budgets. Cold times carry builder
+    * first-touch + co-tenant noise, which is exactly why everything ELSE
+    * gates on medians; for a memoized query the cold run is the only run
+    * that executes the chain at all. */
+  private val coldBaselineSec: Map[String, Double] = Map(
+    "corpus_prepare_full" -> 15.0, // r5 cold 10.0 s
+    "pagerank_global" -> 7.5,      // r5 cold 5.0 s
+    "ppr_seeded" -> 1.4)           // r5 cold 0.92 s (graph builder shared)
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -137,11 +149,22 @@ object Bench {
     val regs =
       if (!sfDir.contains("sf0.1")) "{}"
       else results.collect {
-        case (k, v, _, _) if baselineSec.get(k).exists(b => v > 2 * b) =>
-          f""""$k":${v / baselineSec(k)}%.2f"""
+        // memoized queries: compare the cold run (the only run that
+        // executes the chain); everything else: the median
+        case (k, v, c, _)
+            if coldBaselineSec.get(k).exists(b => c > 2 * b) ||
+              baselineSec.get(k).exists(b => v > 2 * b) =>
+          val ratio = coldBaselineSec.get(k).map(c / _)
+            .getOrElse(v / baselineSec(k))
+          f""""$k":$ratio%.2f"""
       }.mkString("{", ",", "}")
     val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    // The driver keeps only the LAST 2000 chars of stdout: the 59-query
+    // "queries"/"cold" maps above push the gate fields (value/ok/
+    // regressions) past that window (round-5 verdict). Repeat them in a
+    // compact FINAL line so truncation can never eat the gate.
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
