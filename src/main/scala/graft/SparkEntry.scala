@@ -41,6 +41,7 @@ object SparkEntry {
     // iterative graph tier — not SQL-expressible, so no oracleSql entry;
     // verified by golden-fixture + invariant ScalaTests (SURVEY §5.2)
     "pagerank_global"   -> ((s, d) => PageRank.pagerankGlobal(s, d)),
+    "pagerank_fixed"    -> ((s, d) => PageRank.pagerankFixed(s, d)),
     "ppr_seeded"        -> ((s, d) => PageRank.pprSeeded(s, d)),
     "rec_blend_full"    -> ((s, d) => {
       // full tp1 blend incl. the PPR strategy (Engine scaladoc); seed =
@@ -106,6 +107,7 @@ object SparkEntry {
     "corpus_prepare_full" -> ((s, d) => Corpus.corpusPrepareFull(s, d)),
     "pack_manifest"     -> ((s, d) => Corpus.packManifest(s, d)),
     "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
+    "tokenize_unk"      -> ((s, d) => TextOps.tokenizeUnk(s, d)),
     // quantized-ANN query path: approximation of exact cosine → no
     // oracle (rows-only check), invariants + recall pinned in ScalaTest
     "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
@@ -216,7 +218,48 @@ object SparkEntry {
         |         AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin
 
+  /** DuckDB oracle for `pagerank_fixed`: the reference's power step
+    * (`tp1/knoledge_graphs/recommendation.py:150-179`) with a FIXED
+    * iteration count, UNROLLED as chained CTEs — standard SQL forbids
+    * aggregates in a recursive term, and 8 static steps need no
+    * recursion anyway. Arithmetic mirrors graft.algo.PageRank exactly:
+    * uniform pers 1/N, row-normalized weights (exact-int division),
+    * sink mass redistributed over all vertices, damping literals cast
+    * to DOUBLE so DuckDB doesn't compute (1 - 0.85) in DECIMAL (which
+    * is exact 0.15, NOT the double 0.15000000000000002 Spark uses). */
+  private def pagerankFixedSql(iters: Int): String = {
+    val steps = (0 until iters).map { t =>
+      s"""s$t AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
+         |        FROM r$t WHERE id NOT IN (SELECT src FROM e)),
+         |r${t + 1} AS (SELECT v.id,
+         |    (1 - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / nn.n)
+         |  + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+         |                            + s$t.m / nn.n) AS rank
+         |  FROM v CROSS JOIN nn CROSS JOIN s$t
+         |  LEFT JOIN (SELECT e.dst AS id, SUM(e.w * r.rank) AS contrib
+         |             FROM e JOIN r$t r ON e.src = r.id GROUP BY e.dst) c
+         |    ON v.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cnt AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       |               CAST(count(*) AS BIGINT) AS cnt
+       |        FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey
+       |                           AND a.l_partkey <> b.l_partkey
+       |        GROUP BY 1, 2),
+       |e AS (SELECT src, dst,
+       |             cnt / (sum(cnt) OVER (PARTITION BY src)) AS w
+       |      FROM cnt),
+       |v AS (SELECT p_partkey AS id FROM part),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |r0 AS (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS rank
+       |       FROM v CROSS JOIN nn),
+       |$steps
+       |SELECT id AS product_id, round(rank, 6) AS rank
+       |FROM r$iters ORDER BY product_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pagerank_fixed" -> pagerankFixedSql(8),
     "scan_project" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type IN ('view','click','purchase')
@@ -996,6 +1039,26 @@ object SparkEntry {
         |SELECT s.doc_id, CAST(s.u.pos AS BIGINT) AS pos, v.token_id
         |FROM seq s JOIN v ON s.u.tok = v.token
         |WHERE v.token_id < 50000
+        |ORDER BY doc_id, pos""".stripMargin,
+
+    // tokenize_ids with the reserve-index-0 UNK convention: left join +
+    // coalesce, in-vocab ids shift by one, every position yields a row
+    "tokenize_unk" ->
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1 HAVING count(*) >= 5),
+        |v AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |         - 1 AS BIGINT) AS token_id, token FROM c),
+        |seq AS (SELECT doc_id,
+        |          unnest(list_transform(range(len(t)),
+        |            i -> {'pos': i, 'tok': t[i+1]})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents))
+        |SELECT s.doc_id, CAST(s.u.pos AS BIGINT) AS pos,
+        |       CAST(COALESCE(v.token_id + 1, 0) AS BIGINT) AS token_id
+        |FROM seq s LEFT JOIN (SELECT * FROM v WHERE token_id < 50000) v
+        |  ON s.u.tok = v.token
         |ORDER BY doc_id, pos""".stripMargin,
 
     // symmetric int8 quantization summary (Similarity.embedQuantize);

@@ -286,6 +286,27 @@ object PageRank {
       .orderBy(desc("rank"), asc("product_id"))
   }
 
+  /** `pagerank_fixed`: the oracle-checkable variant of [[pagerankGlobal]]
+    * — EXACTLY `iters` power iterations, no early exit (tol=0 keeps the
+    * L1 test vacuously true), same sink redistribution / teleport
+    * arithmetic and uniform personalization
+    * (`tp1/knoledge_graphs/recommendation.py:150-179`). The reference's
+    * CONVERGENCE loop is not SQL-expressible, but a fixed iteration
+    * count is: the driver's DuckDB oracle unrolls the same 8 steps as
+    * chained CTEs, and with the repo's round-to-6dp discipline the two
+    * engines' doubles collapse to identical output — moving the
+    * iterative tier from invariant-only testing into the hash-checked
+    * gate. Memoized under its own key (different params than the
+    * converged fixpoint). */
+  def pagerankFixed(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame = {
+    val v = productVertices(spark, dir).withColumn("pers", lit(1.0))
+    runMemo(spark, s"pprFixed$iters", v, productEdges(spark, dir),
+        Params(tol = 0.0, maxIter = iters))
+      .select(col("id").as("product_id"), round(col("rank"), 6).as("rank"))
+      .orderBy("product_id")
+  }
+
   /** `ppr_seeded`: personalization 1/|seeds| on the seed customer's
     * products (`recommendation.py:135-142`), seed = min customer id (same
     * convention as the similarity tier). */

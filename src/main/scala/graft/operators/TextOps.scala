@@ -216,6 +216,28 @@ object TextOps {
       .orderBy("doc_id", "pos")
   }
 
+  /** `tokenize_unk`: [[tokenizeIds]] with the UNK convention real
+    * pipelines use — every token position yields a row, OOV maps to the
+    * reserved UNK id instead of dropping. Index 0 is reserved for UNK
+    * (ids would otherwise collide: [[vocabBuild]] assigns dense ids from
+    * 0, so the standard shift-by-one applies — in-vocab token i becomes
+    * id i+1), giving row count == total token count with no position
+    * gaps. Same plan shape as [[tokenizeIds]]: the statically-bounded
+    * vocabulary broadcasts, the join flips to left-outer plus one
+    * coalesce — the token stream still never shuffles. */
+  def tokenizeUnk(spark: SparkSession, dir: String, minCount: Long = 5L,
+      vocabSize: Int = 50000): DataFrame = {
+    val vocab = vocabBuild(spark, dir, minCount).limit(vocabSize)
+      .select(col("token"), (col("token_id") + 1).as("vocab_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        posexplode(toks(col("text"))).as(Seq("pos", "token")))
+      .join(broadcast(vocab), Seq("token"), "left_outer")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        coalesce(col("vocab_id"), lit(0L)).as("token_id"))
+      .orderBy("doc_id", "pos")
+  }
+
   /** `text_repetition`: the repetition quality filter (the Gopher-family
     * "fraction of tokens inside duplicated n-grams" gate) — boilerplate
     * and degenerate generations repeat themselves, and excess bigram

@@ -361,6 +361,37 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_unk: full coverage, UNK=0, in-vocab ids shifted by one") {
+    import spark.implicits._
+    val vocab = graft.operators.TextOps.vocabBuild(spark, dir)
+      .select("token", "token_id").as[(String, Long)].collect().toMap
+    val unk = graft.operators.TextOps.tokenizeUnk(spark, dir)
+      .as[(Long, Long, Long)].collect()
+    val docs = graft.model.Tables.documents(spark, dir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    // row count == total token count (no position gaps — the property
+    // the OOV-drop convention loses)
+    val totalTokens = docs.map(_._2.split(" ").length.toLong).sum
+    assert(unk.length.toLong == totalTokens)
+    val byDoc = unk.groupBy(_._1)
+    docs.foreach { case (id, text) =>
+      val expected = text.split(" ").zipWithIndex.map { case (tok, i) =>
+        (i.toLong, vocab.get(tok).map(_ + 1).getOrElse(0L))
+      }.toSeq
+      val got = byDoc.getOrElse(id, Array.empty).sortBy(_._2)
+        .map(r => (r._2, r._3)).toSeq
+      assert(got == expected, s"doc $id: $got vs $expected")
+    }
+    // the synthetic corpus has no token under minCount (every token is
+    // in-vocab at defaults), so force OOV through the vocabSize cap to
+    // prove the UNK path really fires and maps to exactly 0
+    val capped = graft.operators.TextOps.tokenizeUnk(spark, dir, 5L, 10)
+      .as[(Long, Long, Long)].collect()
+    assert(capped.length.toLong == totalTokens) // coverage survives OOV
+    assert(capped.exists(_._3 == 0L))           // UNK fires
+    assert(capped.forall(_._3 <= 10L))          // ids in [0, vocabSize]
+  }
+
   test("text_repetition: toy docs exact, flags monotone in repetition") {
     import spark.implicits._
     val out = graft.operators.TextOps.textRepetition(spark, dir).cache()

@@ -86,6 +86,29 @@ class PageRankSpec extends SparkSpec {
     zero.foreach { case (id, v) => assert(math.abs(v - unif(id)) < 1e-12) }
   }
 
+  test("pagerank_fixed: exactly 8 power steps, both code paths agree") {
+    // tol=0 must disable the early exit: 8 steps of a converging chain
+    // differ measurably from the converged fixpoint, and the distributed
+    // loop must reproduce the local solver's doubles (the DuckDB oracle
+    // only ever exercises the local path at test scales)
+    val v = toyVertices(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    val fixed = PageRank.run(spark, v, toyEdges,
+        PageRank.Params(tol = 0.0, maxIter = 8))
+      .as[(Long, Double)].collect().toMap
+    val fixedDist = PageRank.run(spark, v, toyEdges,
+        PageRank.Params(tol = 0.0, maxIter = 8, localThreshold = 0L))
+      .as[(Long, Double)].collect().toMap
+    val converged = ranks(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0))
+    fixed.foreach { case (id, r) =>
+      assert(math.abs(r - fixedDist(id)) < 1e-12,
+        s"paths disagree at $id: $r vs ${fixedDist(id)}")
+    }
+    assert(math.abs(fixed.values.sum - 1.0) < 1e-9) // mass conserved
+    // not yet converged after 8 rounds on this graph: the difference is
+    // well above fp noise, proving the early exit really is off
+    assert(fixed.exists { case (id, r) => math.abs(r - converged(id)) > 1e-7 })
+  }
+
   test("pagerank_global runs on the toy parquet layout end-to-end") {
     val dir = Fixtures.write(spark)
     val out = PageRank.pagerankGlobal(spark, dir)
