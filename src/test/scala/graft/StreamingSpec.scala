@@ -199,6 +199,69 @@ class StreamingSpec extends SparkSpec {
       "replay duplicated rows")
   }
 
+  test("cross-batch dedup state drops a duplicate arriving in a later batch") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-xbatch")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    // quality-passing texts: >20 tokens, contain a stopword, and share
+    // NO token run across texts (a common tail would make them real
+    // near-duplicates and the minhash tier would rightly collapse them)
+    def text(prefix: String): String =
+      s"the " + (1 to 23).map(i => s"$prefix$i").mkString(" ")
+    val t1 = text("alpha")
+    val t2 = text("beta")
+    val t3 = text("gamma")
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+    }
+    // batch 0: two distinct docs; batch 1: an exact copy of t1 under a
+    // NEW doc_id (in-batch dedup can't see it) plus one fresh doc
+    writeFile("a", Seq(1L -> t1, 2L -> t2))
+    writeFile("b", Seq(10L -> t1, 11L -> t3))
+    // distinct mtimes so the file source orders a before b
+    new java.io.File(s"$watched/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    def runOnce(ckpt: String): Unit = {
+      val q = CorpusStream.ingestStateful(
+        spark.readStream.schema(CorpusStream.documentsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(watched),
+        out, ckpt, state)
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce(s"$base/ckpt1")
+    val emitted = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    // doc 10 (cross-batch duplicate of doc 1) is the ONLY drop
+    assert(emitted == Set(1L, 2L, 11L), s"emitted $emitted")
+    // the state store holds bands only for emitted docs, by batch
+    val stored = spark.read.parquet(state)
+      .select("doc_id", "batch_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(stored == Set((1L, 0L), (2L, 0L), (11L, 1L)), s"state $stored")
+    // replay with a fresh checkpoint: same batches re-delivered — sink
+    // and store must overwrite themselves, and the duplicate must STAY
+    // dropped (batch 1 sees exactly the state it saw the first time)
+    runOnce(s"$base/ckpt2")
+    assert(spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 11L),
+      "replay changed the emitted set")
+    assert(spark.read.parquet(state)
+      .select("doc_id", "batch_id").distinct()
+      .as[(Long, Long)].collect().toSet == stored,
+      "replay changed the state store")
+  }
+
   test("prepareSliceFull matches corpus_prepare_full (packing excluded)") {
     import graft.streaming.CorpusStream
     val slice = CorpusStream.prepareSliceFull(
