@@ -111,7 +111,17 @@ object BuilderCache {
     * view of that lookup — a repeated request over the same inputs reuses
     * the live entry instead of logging `Asked to cache already cached
     * data`. The caller's unpersist stays correct either way (unpersisting
-    * the shared plan once is the intended release). */
+    * the shared plan once is the intended release).
+    *
+    * Concurrency contract: requests are assumed SERIALIZED (the serving
+    * loop answers one request at a time — ServeSpec's zero-cache-growth
+    * property is stated under exactly that assumption). Two concurrent
+    * IDENTICAL requests would share one live entry here, and the first
+    * finisher's blocking unpersist drops it under the other — still
+    * CORRECT (Spark recomputes the dropped partitions from lineage), but
+    * the second request silently loses its cache. A concurrent server
+    * would reference-count shared per-request plans before unpersisting;
+    * serialized serving makes that machinery unnecessary. */
   def cacheOnce(df: DataFrame): DataFrame = {
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.cache()

@@ -319,8 +319,12 @@ object Multimodal {
         java.lang.Long.parseLong(hex.substring(0, 8), 16)
       }
       it.flatMap { a =>
-        aviFrames(a.payload).filter(_.nonEmpty) match {
-          case Some(frames) => // real MJPEG demux
+        // 'parsed AVI, zero stream chunks' (Some(empty)) is a genuinely
+        // empty video → emit no rows; only 'not an AVI at all' (None)
+        // takes the byte-window stand-in — a well-formed empty container
+        // must not fabricate frames from its own header bytes
+        aviFrames(a.payload) match {
+          case Some(frames) => // real MJPEG demux (possibly zero frames)
             Iterator.range(0, frames.length, every).map { i =>
               Frame(a.asset_id, i.toLong, frames(i).length.toLong,
                 fp(frames(i)))

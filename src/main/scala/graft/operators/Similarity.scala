@@ -55,13 +55,22 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic sign-quantization bucket over the first `bits` vector
-    * dimensions — the IVF-style coarse partition. */
-  private def bucketOf(bits: Int): Column =
-    (0 until bits)
-      .map(i => when(element_at(col("v"), i + 1) > 0, lit(1L << i))
-        .otherwise(0L))
+  /** Deterministic sign-quantization bucket over the first `signDims`
+    * dimensions of array column `arr` — the IVF-style coarse partition.
+    * Dimension-guarded: `size(arr) > i` short-circuits before the
+    * `element_at` (Spark's And does not evaluate the right side when the
+    * left is false, in eval and codegen both), so vectors shorter than
+    * `signDims` bucket on their available signs instead of relying on
+    * non-ANSI NULL-on-out-of-bounds — safe under
+    * spark.sql.ansi.enabled=true. */
+  private def signBucket(arr: Column, signDims: Int): Column =
+    (0 until signDims)
+      .map(i =>
+        when(size(arr) > i && element_at(arr, i + 1) > 0, lit(1L << i))
+          .otherwise(0L))
       .reduce(_ + _)
+
+  private def bucketOf(signDims: Int): Column = signBucket(col("v"), signDims)
 
   /** `dedup_embedding`: embedding-cosine near-duplicate pairs — all pairs
     * sharing a sign-bucket (the LSH-style candidate filter: near-identical
@@ -73,12 +82,12 @@ object Similarity {
     * one sign pattern) whose in-bucket all-pairs join would go quadratic.
     * The sf0.1 maximum bucket is 16, so the default never fires on
     * oracle-checked data. */
-  def dedupEmbedding(spark: SparkSession, dir: String, bits: Int = 8,
+  def dedupEmbedding(spark: SparkSession, dir: String, signDims: Int = 8,
       limit: Int = 100, maxBucket: Int = 1000): DataFrame = {
     val e = graft.model.BuilderCache.memo(spark,
-        s"embBuckets:$dir:$bits:$maxBucket") {
+        s"embBuckets:$dir:$signDims:$maxBucket") {
       Dedup.dropHotBuckets(
-        vectors(spark, dir).withColumn("bucket", bucketOf(bits)),
+        vectors(spark, dir).withColumn("bucket", bucketOf(signDims)),
         Seq("bucket"), maxBucket)
     }
     val pairs = e.as("x").join(e.as("y"),
@@ -99,19 +108,19 @@ object Similarity {
     * (one flipped quantization bit), the standard multi-probe LSH recall
     * fix: a near neighbor that lands on the other side of one hyperplane
     * is no longer missed. Still an equi-join — the probe side explodes to
-    * (bits+1) candidate bucket ids (tiny, broadcast), the corpus side
-    * never fans out. Recall grows from 1 bucket to bits+1 buckets of
+    * (signDims+1) candidate bucket ids (tiny, broadcast), the corpus side
+    * never fans out. Recall grows from 1 bucket to signDims+1 buckets of
     * candidates per probe at the same shuffle shape; cost stays bounded
-    * by bucket sizes, monotone in `bits`. */
-  def knnMultiProbe(spark: SparkSession, dir: String, bits: Int = 8,
+    * by bucket sizes, monotone in `signDims`. */
+  def knnMultiProbe(spark: SparkSession, dir: String, signDims: Int = 8,
       nProbes: Int = 5, k: Int = 5): DataFrame = {
-    val e = vectors(spark, dir).withColumn("bucket", bucketOf(bits))
+    val e = vectors(spark, dir).withColumn("bucket", bucketOf(signDims))
     val probes = e.orderBy("vec_id").limit(nProbes)
       .select(col("vec_id").as("pid"), col("v").as("pv"),
         col("bucket").as("pbucket"))
     val candBuckets = probes.select(col("pid"), col("pv"),
       explode(array(col("pbucket") +:
-        (0 until bits).map(b => col("pbucket")
+        (0 until signDims).map(b => col("pbucket")
           .bitwiseXOR(lit(1L << b))): _*)).as("cb"))
     val scored = e.join(broadcast(candBuckets),
         col("bucket") === col("cb") && col("vec_id") =!= col("pid"))
@@ -292,14 +301,11 @@ object Similarity {
     * the scalar-quantization error (ExtensionSpec pins the tolerance
     * and top-k recall vs the exact scorer); approximation → no DuckDB
     * oracle, rows-only check, same contract as knn_ivf. */
-  def knnQuantized(spark: SparkSession, dir: String, bits: Int = 8,
+  def knnQuantized(spark: SparkSession, dir: String, signDims: Int = 8,
       nProbes: Int = 5, k: Int = 5): DataFrame = {
     val q = quantizedVectors(spark, dir)
       .select(col("vec_id"), col("qs"),
-        (0 until bits)
-          .map(i => when(element_at(col("qs"), i + 1) > 0, lit(1L << i))
-            .otherwise(0L))
-          .reduce(_ + _).as("bucket"))
+        signBucket(col("qs"), signDims).as("bucket"))
     val probes = q.orderBy("vec_id").limit(nProbes)
       .select(col("vec_id").as("pid"), col("qs").as("ps"),
         col("bucket").as("pbucket"))
@@ -328,9 +334,9 @@ object Similarity {
     * rank window. The bucket equi-join replaces the all-pairs cross join:
     * at 100 TB this is one shuffle on bucket id instead of a broadcast
     * scan per probe batch. */
-  def knnBucketed(spark: SparkSession, dir: String, bits: Int = 8,
+  def knnBucketed(spark: SparkSession, dir: String, signDims: Int = 8,
       nProbes: Int = 5, k: Int = 5): DataFrame = {
-    val e = vectors(spark, dir).withColumn("bucket", bucketOf(bits))
+    val e = vectors(spark, dir).withColumn("bucket", bucketOf(signDims))
     val probes = e.orderBy("vec_id").limit(nProbes)
       .select(col("vec_id").as("pid"), col("v").as("pv"),
         col("bucket").as("pbucket"))

@@ -73,7 +73,11 @@ object Engine {
     * rank table (catalog-sized — small, but a long-serving session sees
     * unbounded distinct customers). Beyond the cap the whole prefix is
     * evicted — epoch eviction: crude, O(1), and bounded; an evicted
-    * customer's next request pays one fixpoint rebuild. */
+    * customer's next request pays one fixpoint rebuild. The GLOBAL
+    * fallback ranks live under their own `engine.pprGlobal` prefix
+    * precisely so this eviction cannot touch them (round-5 advice:
+    * every seedless request shares that one entry — evicting it made
+    * the next seedless request re-pay the full fixpoint). */
   private[graft] val MaxPprEntries = 64
 
   private[graft] def boundPprCache(spark: SparkSession,
@@ -194,7 +198,7 @@ object Engine {
   private def globalFallback(spark: SparkSession, g: ProductGraph,
       topN: Int): DataFrame = {
     val v = g.products.withColumn("pers", lit(1.0))
-    PageRank.runMemo(spark, "engine.pprRanks", v, adjacency(g))
+    PageRank.runMemo(spark, "engine.pprGlobal", v, adjacency(g))
       .select(col("id").as("product_id"),
         round(col("rank"), 6).as("score"),
         lit(0.0).as("c_cooc"), lit(0.0).as("c_sim"), lit(0.0).as("c_ppr"),
@@ -227,7 +231,7 @@ object Engine {
       .filter(col("customer_id") === customerId)
       .select(col("product_id").as("sp")))
     if (seeds.isEmpty)
-      return (PageRank.runMemo(spark, "engine.pprRanks",
+      return (PageRank.runMemo(spark, "engine.pprGlobal",
           g.products.withColumn("pers", lit(1.0)), adjacency(g))
         .select(lit("global_pagerank").as("strategy"),
           col("id").as("product_id"), round(col("rank"), 6).as("score"))

@@ -361,6 +361,27 @@ class ExtensionSpec extends SparkSpec {
     }
   }
 
+  test("sign buckets survive dim < signDims under ANSI mode") {
+    import graft.operators.Similarity
+    // round-5 advice: the bucket terms read element_at(qs, i+1) for
+    // i < 8 — with 4-dim vectors and spark.sql.ansi.enabled=true the
+    // unguarded form throws ARRAY_INDEX_OUT_OF_BOUNDS
+    val tmp = java.nio.file.Files.createTempDirectory("graft-shortvec")
+    Seq((1L, Seq(0.5f, -0.2f, 0.1f, 0.3f)),
+        (2L, Seq(0.5f, -0.2f, 0.1f, 0.3f)),
+        (3L, Seq(-0.4f, 0.6f, -0.1f, 0.2f)),
+        (4L, Seq(0.1f, 0.2f, 0.3f, 0.4f)),
+        (5L, Seq(0.2f, 0.1f, 0.4f, 0.3f)),
+        (6L, Seq(-0.3f, -0.2f, 0.5f, 0.1f)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try {
+      assert(Similarity.knnQuantized(spark, tmp.toString).count() > 0)
+      assert(Similarity.knnBucketed(spark, tmp.toString).count() > 0)
+    } finally spark.conf.set("spark.sql.ansi.enabled", "false")
+  }
+
   test("tokenize_unk: full coverage, UNK=0, in-vocab ids shifted by one") {
     import spark.implicits._
     val vocab = graft.operators.TextOps.vocabBuild(spark, dir)

@@ -14,6 +14,8 @@ class JdbcSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val url: String = {
+    // keep Derby's log out of the repo root (it is a test artifact)
+    System.setProperty("derby.stream.error.file", "target/derby.log")
     val u = "jdbc:derby:memory:graftjdbc;create=true"
     val conn = DriverManager.getConnection(u)
     val st = conn.createStatement()

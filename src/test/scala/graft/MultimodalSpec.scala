@@ -190,6 +190,21 @@ class MultimodalSpec extends SparkSpec {
       got.map(_.toSeq).toList) // the avih header chunk must NOT leak in
   }
 
+  test("a well-formed AVI with zero stream chunks yields zero frames") {
+    // 'parsed AVI, empty movi' must emit NO rows — the fallback slicer
+    // fabricating 'frames' from container/header bytes would be wrong
+    // for a genuinely empty video (round-5 advice)
+    val empty = mjpegAvi(Seq.empty)
+    assert(Multimodal.aviFrames(empty).exists(_.isEmpty)) // parsed, empty
+    val out = Multimodal.frameSampleOf(
+      Seq(Asset(22L, "video", "mp4", empty)).toDS()).collect()
+    assert(out.isEmpty, out.toSeq)
+    // while a NON-AVI payload still takes the byte-window stand-in
+    val text = Asset(23L, "video", "mp4",
+      Array.fill[Byte](600)('x'.toByte))
+    assert(Multimodal.frameSampleOf(Seq(text).toDS()).collect().nonEmpty)
+  }
+
   test("frameSampleOf emits real demuxed frames for an MJPEG-AVI") {
     val frames = (0 until 5).map(i => Array.fill[Byte](10 + i)(i.toByte))
     val avi = mjpegAvi(frames)
