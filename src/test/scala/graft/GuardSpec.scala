@@ -77,6 +77,36 @@ class GuardSpec extends SparkSpec {
       out.take(5).toString)
   }
 
+  test("guarded output equals the unguarded pipeline on the non-degenerate remainder") {
+    import org.apache.spark.sql.functions.col
+    // the guards' documented contract (round-5 verdict item 7): on a
+    // corpus WITH a degenerate bucket, the guarded operator returns
+    // EXACTLY what the unguarded operator returns on the corpus with the
+    // degenerate mass removed up front — not merely 'no mass pairs'.
+    // Oracle-style: the unguarded run (thresholds that never fire) is an
+    // independent computation path over the remainder.
+    val rem = Files.createTempDirectory("graft-guard-rem").toString
+    spark.read.parquet(s"$docsDir/documents.parquet")
+      .filter(col("doc_id") > 10000L)
+      .write.mode("overwrite").parquet(s"$rem/documents.parquet")
+    val guardedMin = Dedup
+      .dedupMinhash(spark, docsDir, limit = 1000000, maxBucket = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    val unguardedMin = Dedup
+      .dedupMinhash(spark, rem, limit = 1000000, maxBucket = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guardedMin == unguardedMin && guardedMin.nonEmpty,
+      s"minhash: guarded $guardedMin vs unguarded-remainder $unguardedMin")
+    val guardedNg = Dedup
+      .ngramJaccard(spark, docsDir, limit = 1000000, maxDf = 100)
+      .as[(Long, Long, Double)].collect().toSet
+    val unguardedNg = Dedup
+      .ngramJaccard(spark, rem, limit = 1000000, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(guardedNg == unguardedNg && guardedNg.nonEmpty,
+      s"ngram: guarded $guardedNg vs unguarded-remainder $unguardedNg")
+  }
+
   test("embedding hot-bucket guard: identical-vector mass dropped, near pair kept") {
     val d = Files.createTempDirectory("graft-guard-emb").toString
     val mass = (1L to 5000L).map(i => (i, Array.fill(8)(1.0f)))
