@@ -43,6 +43,7 @@ object SparkEntry {
     "pagerank_global"   -> ((s, d) => PageRank.pagerankGlobal(s, d)),
     "pagerank_fixed"    -> ((s, d) => PageRank.pagerankFixed(s, d)),
     "ppr_seeded"        -> ((s, d) => PageRank.pprSeeded(s, d)),
+    "ppr_fixed"         -> ((s, d) => PageRank.pprFixed(s, d)),
     "rec_blend_full"    -> ((s, d) => {
       // full tp1 blend incl. the PPR strategy (Engine scaladoc); seed =
       // min purchasing customer, same convention as rec_blend
@@ -63,6 +64,8 @@ object SparkEntry {
     "sessionize"        -> ((s, d) => EventsOps.sessionize(s, d)),
     "event_funnel"      -> ((s, d) => EventsOps.eventFunnel(s, d)),
     "event_retention"   -> ((s, d) => EventsOps.eventRetention(s, d)),
+    "event_asof"        -> ((s, d) => EventsOps.eventAsof(s, d)),
+    "event_window_join" -> ((s, d) => EventsOps.eventWindowJoin(s, d)),
     // text analysis tier
     "text_tokens"        -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
@@ -108,8 +111,9 @@ object SparkEntry {
     "pack_manifest"     -> ((s, d) => Corpus.packManifest(s, d)),
     "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
     "tokenize_unk"      -> ((s, d) => TextOps.tokenizeUnk(s, d)),
-    // quantized-ANN query path: approximation of exact cosine → no
-    // oracle (rows-only check), invariants + recall pinned in ScalaTest
+    // quantized-ANN query path: approximates exact cosine (recall
+    // pinned in ScalaTest) but the quantized computation itself is
+    // deterministic → oracle-checked like the rest of the ANN tier
     "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
   )
 
@@ -226,12 +230,18 @@ object SparkEntry {
     * uniform pers 1/N, row-normalized weights (exact-int division),
     * sink mass redistributed over all vertices, damping literals cast
     * to DOUBLE so DuckDB doesn't compute (1 - 0.85) in DECIMAL (which
-    * is exact 0.15, NOT the double 0.15000000000000002 Spark uses). */
+    * is exact 0.15, NOT the double 0.15000000000000002 Spark uses).
+    * Every chained CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs however
+    * often they are referenced, and each r_t is referenced twice (the
+    * sink sum + the next step's contribution join), so the un-hinted
+    * unroll re-evaluates the whole prefix 2^t times — ~60 s at sf0.01
+    * and growing; materialized it is 8 linear steps, <1 s. */
   private def pagerankFixedSql(iters: Int): String = {
     val steps = (0 until iters).map { t =>
-      s"""s$t AS (SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
-         |        FROM r$t WHERE id NOT IN (SELECT src FROM e)),
-         |r${t + 1} AS (SELECT v.id,
+      s"""s$t AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
+         |  FROM r$t WHERE id NOT IN (SELECT src FROM e)),
+         |r${t + 1} AS MATERIALIZED (SELECT v.id,
          |    (1 - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / nn.n)
          |  + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
          |                            + s$t.m / nn.n) AS rank
@@ -240,19 +250,73 @@ object SparkEntry {
          |             FROM e JOIN r$t r ON e.src = r.id GROUP BY e.dst) c
          |    ON v.id = c.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    s"""WITH oi AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |cnt AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
        |               CAST(count(*) AS BIGINT) AS cnt
        |        FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey
        |                           AND a.l_partkey <> b.l_partkey
        |        GROUP BY 1, 2),
-       |e AS (SELECT src, dst,
-       |             cnt / (sum(cnt) OVER (PARTITION BY src)) AS w
-       |      FROM cnt),
-       |v AS (SELECT p_partkey AS id FROM part),
-       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
-       |r0 AS (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS rank
-       |       FROM v CROSS JOIN nn),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, cnt / (sum(cnt) OVER (PARTITION BY src)) AS w
+       |  FROM cnt),
+       |v AS MATERIALIZED (SELECT p_partkey AS id FROM part),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |r0 AS MATERIALIZED (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS rank
+       |                    FROM v CROSS JOIN nn),
+       |$steps
+       |SELECT id AS product_id, round(rank, 6) AS rank
+       |FROM r$iters ORDER BY product_id""".stripMargin
+  }
+
+  /** DuckDB oracle for `ppr_fixed`: [[pagerankFixedSql]]'s unrolled power
+    * step with the SEEDED personalization — pers = 1/|seeds| on the min
+    * purchasing customer's products and 0 elsewhere (the raw-1.0 vector
+    * renormalized by its total, mirroring graft.algo.PageRank.run). The
+    * teleport term becomes (1−d)·v.pers; rank init stays uniform 1/N and
+    * the sink redistribution stays over ALL vertices, exactly as the
+    * Spark loop computes them. Same MATERIALIZED discipline as
+    * [[pagerankFixedSql]] — without it the pers CASE re-evaluates inside
+    * every exponentially-inlined step copy and the query never returns. */
+  private def pprFixedSql(iters: Int): String = {
+    val steps = (0 until iters).map { t =>
+      s"""s$t AS MATERIALIZED (
+         |  SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
+         |  FROM r$t WHERE id NOT IN (SELECT src FROM e)),
+         |r${t + 1} AS MATERIALIZED (SELECT v.id,
+         |    (1 - CAST(0.85 AS DOUBLE)) * v.pers
+         |  + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+         |                            + s$t.m / nn.n) AS rank
+         |  FROM v CROSS JOIN nn CROSS JOIN s$t
+         |  LEFT JOIN (SELECT e.dst AS id, SUM(e.w * r.rank) AS contrib
+         |             FROM e JOIN r$t r ON e.src = r.id GROUP BY e.dst) c
+         |    ON v.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH oi AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cnt AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       |               CAST(count(*) AS BIGINT) AS cnt
+       |        FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey
+       |                           AND a.l_partkey <> b.l_partkey
+       |        GROUP BY 1, 2),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, cnt / (sum(cnt) OVER (PARTITION BY src)) AS w
+       |  FROM cnt),
+       |bp AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT pid AS sp FROM bp
+       |  WHERE cid = (SELECT min(cid) FROM bp)),
+       |sc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM seeds),
+       |v AS MATERIALIZED (
+       |  SELECT p_partkey AS id,
+       |         CASE WHEN sp IS NOT NULL THEN CAST(1 AS DOUBLE) / sc.m
+       |              ELSE CAST(0 AS DOUBLE) END AS pers
+       |  FROM part LEFT JOIN seeds ON p_partkey = sp CROSS JOIN sc),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |r0 AS MATERIALIZED (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS rank
+       |                    FROM v CROSS JOIN nn),
        |$steps
        |SELECT id AS product_id, round(rank, 6) AS rank
        |FROM r$iters ORDER BY product_id""".stripMargin
@@ -260,6 +324,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "pagerank_fixed" -> pagerankFixedSql(8),
+    "ppr_fixed" -> pprFixedSql(8),
     "scan_project" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type IN ('view','click','purchase')
@@ -491,6 +556,56 @@ object SparkEntry {
         |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
         |FROM acts a JOIN firsts f ON a.user_id = f.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // last-touch attribution as-of join (EventsOps.eventAsof); the
+    // oracle uses the naive per-purchase rank over the inequality join —
+    // the Spark union+window form must reproduce it exactly
+    "event_asof" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT event_id, user_id, event_type, us FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |m AS (SELECT p.event_id, t.event_id AS touch_event_id,
+        |             t.event_type AS touch_type, t.us AS touch_us,
+        |             row_number() OVER (PARTITION BY p.event_id
+        |               ORDER BY t.us DESC, t.event_id DESC) AS rn
+        |      FROM p JOIN t ON t.user_id = p.user_id AND t.us <= p.us)
+        |SELECT p.event_id, p.user_id, p.us AS purchase_us,
+        |       m.touch_event_id, m.touch_type, m.touch_us,
+        |       p.us - m.touch_us AS gap_us
+        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
+        |  ON p.event_id = m.event_id
+        |ORDER BY p.event_id""".stripMargin,
+
+    // attribution-window range join (EventsOps.eventWindowJoin); the
+    // oracle runs the plain inequality join the bucketed equi-join must
+    // reproduce
+    "event_window_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+        |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |p AS (SELECT event_id, user_id, us FROM e
+        |      WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id, event_type, us FROM e
+        |      WHERE event_type IN ('view', 'click')),
+        |h AS (SELECT p.event_id,
+        |             CAST(count(*) AS BIGINT) AS n_touch,
+        |             CAST(sum(CASE WHEN t.event_type = 'view'
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |             CAST(sum(CASE WHEN t.event_type = 'click'
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |             min(p.us - t.us) AS min_gap_us
+        |      FROM p JOIN t ON t.user_id = p.user_id
+        |                   AND t.us <= p.us AND t.us >= p.us - 3600000000
+        |      GROUP BY 1)
+        |SELECT p.event_id, p.user_id, p.us AS purchase_us,
+        |       CAST(COALESCE(h.n_touch, 0) AS BIGINT) AS n_touch,
+        |       CAST(COALESCE(h.n_view, 0) AS BIGINT) AS n_view,
+        |       CAST(COALESCE(h.n_click, 0) AS BIGINT) AS n_click,
+        |       h.min_gap_us
+        |FROM p LEFT JOIN h ON p.event_id = h.event_id
+        |ORDER BY p.event_id""".stripMargin,
 
     "text_tokens" ->
       """SELECT doc_id,
@@ -760,6 +875,53 @@ object SparkEntry {
         |               6) AS cosine
         |           FROM eb e2 JOIN cand c
         |             ON e2.bucket = c.cb AND e2.vec_id <> c.pid),
+        |ranked AS (SELECT pid, vec_id, cosine,
+        |             CAST(row_number() OVER (PARTITION BY pid
+        |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        |           FROM scored)
+        |SELECT pid, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    // quantized ANN (Similarity.knnQuantized): the embed_quantize
+    // chain (proven engine-exact by its own oracle) + the knn_bucketed
+    // query shape, bucket and scores computed FROM the integer qs —
+    // every step deterministic, so the "approximate" ANN path is
+    // nevertheless hash-checkable (the approximation is wrt exact
+    // cosine, not wrt the declared computation)
+    "knn_quantized" ->
+      """WITH e AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |m AS (SELECT vec_id, v,
+        |        list_max(list_transform(v, x -> abs(x))) AS maxabs
+        |      FROM e),
+        |s AS (SELECT vec_id, v,
+        |        CASE WHEN maxabs > 0
+        |             THEN CAST(127.0 AS DOUBLE) / maxabs
+        |             ELSE CAST(0.0 AS DOUBLE) END AS scale
+        |      FROM m),
+        |q AS (SELECT vec_id,
+        |        list_transform(v, x ->
+        |          CAST(floor(x * scale + CAST(0.5 AS DOUBLE)) AS BIGINT))
+        |          AS qs
+        |      FROM s),
+        |qb AS (SELECT vec_id, qs,
+        |         (SELECT CAST(sum(CASE WHEN qs[CAST(i AS INTEGER) + 1] > 0
+        |                     THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER)
+        |                     ELSE 0 END) AS BIGINT)
+        |          FROM (SELECT unnest(range(8)) AS i)) AS bucket
+        |       FROM q),
+        |probes AS (SELECT vec_id AS pid, qs AS ps, bucket AS pbucket
+        |           FROM qb ORDER BY vec_id LIMIT 5),
+        |scored AS (SELECT p.pid, x.vec_id,
+        |             round(CAST(list_sum(list_transform(list_zip(x.qs, p.ps),
+        |                          z -> z[1] * z[2])) AS DOUBLE)
+        |               / (sqrt(CAST(list_sum(list_transform(x.qs,
+        |                            t -> t * t)) AS DOUBLE))
+        |                  * sqrt(CAST(list_sum(list_transform(p.ps,
+        |                              t -> t * t)) AS DOUBLE))), 6) AS cosine
+        |           FROM qb x JOIN probes p
+        |             ON x.bucket = p.pbucket AND x.vec_id <> p.pid),
         |ranked AS (SELECT pid, vec_id, cosine,
         |             CAST(row_number() OVER (PARTITION BY pid
         |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank

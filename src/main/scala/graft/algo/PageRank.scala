@@ -307,20 +307,44 @@ object PageRank {
       .orderBy("product_id")
   }
 
-  /** `ppr_seeded`: personalization 1/|seeds| on the seed customer's
-    * products (`recommendation.py:135-142`), seed = min customer id (same
-    * convention as the similarity tier). */
-  def pprSeeded(spark: SparkSession, dir: String): DataFrame = {
+  /** The seeded personalization vector shared by [[pprSeeded]] and
+    * [[pprFixed]]: pers 1.0 on the min purchasing customer's products, 0
+    * elsewhere ([[run]] renormalizes by the raw total, so the effective
+    * mass is 1/|seeds| per seed — `recommendation.py:181-188`). */
+  private def seededVertices(spark: SparkSession, dir: String): DataFrame = {
     val b = Relational.bipartite(spark, dir)
     val seed = b.agg(min("customer_id").as("seed_cid"))
     val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
       .select(col("product_id").as("sp"))
-    val v = productVertices(spark, dir)
+    productVertices(spark, dir)
       .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
       .select(col("id"),
         when(col("sp").isNotNull, 1.0).otherwise(0.0).as("pers"))
-    runMemo(spark, "pprRanks", v, productEdges(spark, dir))
+  }
+
+  /** `ppr_seeded`: personalization 1/|seeds| on the seed customer's
+    * products (`recommendation.py:135-142`), seed = min customer id (same
+    * convention as the similarity tier). */
+  def pprSeeded(spark: SparkSession, dir: String): DataFrame =
+    runMemo(spark, "pprRanks", seededVertices(spark, dir),
+        productEdges(spark, dir))
       .select(col("id").as("product_id"), round(col("rank"), 6).as("rank"))
       .orderBy(desc("rank"), asc("product_id"))
-  }
+
+  /** `ppr_fixed`: the oracle-checkable variant of [[pprSeeded]] — the
+    * SAME seeded personalization run for EXACTLY `iters` power steps
+    * (tol=0, no early exit), the personalized twin of [[pagerankFixed]].
+    * The DuckDB oracle unrolls the identical arithmetic — teleport mass
+    * (1−d)·pers(v) with pers = 1/|seeds| on the seed products and 0
+    * elsewhere, sink mass over ALL vertices — as chained CTEs; with the
+    * round-to-6dp discipline both engines' doubles collapse to identical
+    * output. Together with `pagerank_fixed` this hash-checks BOTH
+    * personalization shapes the iterative tier serves (uniform and
+    * seeded), leaving only the genuinely convergence-dependent queries
+    * outside the oracle gate. */
+  def pprFixed(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
+    runMemo(spark, s"pprSeededFixed$iters", seededVertices(spark, dir),
+        productEdges(spark, dir), Params(tol = 0.0, maxIter = iters))
+      .select(col("id").as("product_id"), round(col("rank"), 6).as("rank"))
+      .orderBy("product_id")
 }

@@ -106,6 +106,95 @@ object EventsOps {
       .orderBy("cohort_day", "day_offset")
   }
 
+  /** `event_asof`: last-touch attribution as an AS-OF JOIN — each
+    * purchase matched to the same user's most recent view/click at or
+    * before the purchase timestamp (ties at equal µs include the touch;
+    * among equal-time touches the highest event_id wins). Purchases with
+    * no prior touch keep NULL touch columns (left as-of).
+    *
+    * Spark has no native as-of join; the classic scalable formulation is
+    * UNION + ORDERED WINDOW rather than an inequality join: tag touches
+    * kind 0 and purchases kind 1, sort each user's merged stream once by
+    * (us, kind, event_id), and carry the last non-null touch payload
+    * forward with `last(ignoreNulls)`. One shuffle on user_id and a
+    * per-user sort — O(E log E/p) — where the naive
+    * `t.us <= p.us` theta-join is a per-user cross product (a user with
+    * T touches and P purchases costs T·P pairs before the per-purchase
+    * max; the window form costs T+P rows, full stop). This is exactly
+    * how a 100 TB attribution job must run: the merged-stream sort is
+    * the same shape [[sessionize]] already pays, and skewed users
+    * degrade to a bigger sort, never a quadratic join. */
+  def eventAsof(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("kind",
+        when(col("event_type") === "purchase", 1).otherwise(0))
+      .withColumn("touch", when(col("kind") === 0,
+        struct(col("event_id").as("touch_event_id"),
+          col("event_type").as("touch_type"), col("us").as("touch_us"))))
+    val w = Window.partitionBy("user_id")
+      .orderBy("us", "kind", "event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("t", last(col("touch"), ignoreNulls = true).over(w))
+      .filter(col("kind") === 1)
+      .select(col("event_id"), col("user_id"), col("us").as("purchase_us"),
+        col("t.touch_event_id"), col("t.touch_type"), col("t.touch_us"),
+        (col("us") - col("t.touch_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  /** `event_window_join`: attribution-window RANGE JOIN — for each
+    * purchase, every view/click by the same user in the preceding hour
+    * (0 ≤ gap ≤ 1 h), aggregated to counts and the closest-touch gap;
+    * purchases with an empty window keep zero counts (left semantics via
+    * count join-back).
+    *
+    * The scalable range-join formulation is TIME BUCKETING: both sides
+    * key by (user_id, floor(us / 1h)); a purchase probes exactly its own
+    * bucket and the one before (any touch within the hour lands in one
+    * of the two — and in only one, so nothing double-counts), turning
+    * the inequality join into a 2-fan-out equi-join + residual filter.
+    * Candidate work is bounded by per-(user, hour) occupancy — the same
+    * guard-by-bucket posture as the LSH dedup tier — instead of the
+    * unbounded per-user cross product a raw theta-join plans (Spark
+    * executes non-equi joins as BroadcastNestedLoop/cartesian; at 100 TB
+    * that is the difference between a shuffle join and a non-starter).
+    * The window length trades fan-out (always 2) against bucket width
+    * exactly like LSH band width. */
+  def eventWindowJoin(spark: SparkSession, dir: String): DataFrame = {
+    val winUs = 3600L * 1000000L // 1 h attribution window
+    val e = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val touches = e.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id"), col("event_type").as("t_type"),
+        col("us").as("t_us"),
+        expr(s"us div $winUs").as("bucket"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us").as("p_us"))
+    val probes = purchases.select(col("event_id"), col("user_id"),
+      col("p_us"),
+      explode(array(expr(s"p_us div $winUs"),
+        expr(s"p_us div $winUs - 1"))).as("bucket"))
+    val hits = probes.join(touches, Seq("user_id", "bucket"))
+      .filter(col("t_us") <= col("p_us") &&
+        col("t_us") >= col("p_us") - winUs)
+    val agg = hits.groupBy("event_id")
+      .agg(count(lit(1)).as("n_touch"),
+        sum(when(col("t_type") === "view", 1L).otherwise(0L)).as("n_view"),
+        sum(when(col("t_type") === "click", 1L).otherwise(0L)).as("n_click"),
+        min(col("p_us") - col("t_us")).as("min_gap_us"))
+    purchases.join(agg, Seq("event_id"), "left_outer")
+      .select(col("event_id"), col("user_id"), col("p_us").as("purchase_us"),
+        coalesce(col("n_touch"), lit(0L)).as("n_touch"),
+        coalesce(col("n_view"), lit(0L)).as("n_view"),
+        coalesce(col("n_click"), lit(0L)).as("n_click"),
+        col("min_gap_us"))
+      .orderBy("event_id")
+  }
+
   /** `sessionize`: batch session windows with a 30-minute inactivity gap —
     * gaps-and-islands: flag session starts via lag, running-sum to a
     * session id, aggregate per (user, session). All µs-integer arithmetic →

@@ -299,8 +299,11 @@ object Similarity {
     * preserves signs), so the float vector is never needed after the
     * one-time quantization pass. Scores approximate exact cosine within
     * the scalar-quantization error (ExtensionSpec pins the tolerance
-    * and top-k recall vs the exact scorer); approximation → no DuckDB
-    * oracle, rows-only check, same contract as knn_ivf. */
+    * and top-k recall vs the exact scorer) — but the quantized
+    * computation ITSELF is deterministic end-to-end (the quantization
+    * chain is engine-exact, see [[embedQuantize]]; the dots are pure
+    * integer arithmetic), so unlike knn_ivf this path is DuckDB
+    * oracle-checked. */
   def knnQuantized(spark: SparkSession, dir: String, signDims: Int = 8,
       nProbes: Int = 5, k: Int = 5): DataFrame = {
     val q = quantizedVectors(spark, dir)

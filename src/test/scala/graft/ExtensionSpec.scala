@@ -205,6 +205,60 @@ class ExtensionSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("event_asof: union+window form equals the naive theta-join") {
+    import org.apache.spark.sql.expressions.Window
+    // the naive per-purchase rank over the inequality join — the form
+    // the as-of operator deliberately avoids (quadratic per user) but
+    // must reproduce row-for-row, NULLs included
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_uid"), col("event_id").as("t_eid"),
+        col("event_type").as("t_ty"), col("us").as("t_us"))
+    val w = Window.partitionBy("event_id").orderBy(desc("t_us"), desc("t_eid"))
+    val naive = p.join(t,
+        col("user_id") === col("t_uid") && col("t_us") <= col("us"),
+        "left_outer")
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("event_id"), col("t_eid").as("touch_event_id"),
+        col("t_ty").as("touch_type"), col("t_us").as("touch_us"))
+    val asof = EventsOps.eventAsof(spark, dir)
+      .select("event_id", "touch_event_id", "touch_type", "touch_us")
+    assert(asof.count() == p.count()) // left semantics: every purchase
+    assert(asof.exceptAll(naive).isEmpty && naive.exceptAll(asof).isEmpty)
+  }
+
+  test("event_window_join: bucketed equi-join equals the naive range join") {
+    val wj = EventsOps.eventWindowJoin(spark, dir).cache()
+    // internal consistency: touches split exactly into views + clicks;
+    // gaps live in [0, 1 h]; empty windows carry NULL gaps
+    assert(wj.filter(col("n_touch") =!= col("n_view") + col("n_click"))
+      .isEmpty)
+    assert(wj.filter(col("min_gap_us") < 0 ||
+      col("min_gap_us") > 3600000000L).isEmpty)
+    assert(wj.filter(col("n_touch") === 0 && col("min_gap_us").isNotNull)
+      .isEmpty)
+    // equivalence with the naive inequality join the bucketing replaces
+    val ev = graft.model.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("us"))
+    val t = ev.filter(col("event_type").isin("view", "click"))
+      .select(col("user_id").as("t_uid"), col("us").as("t_us"))
+    val naive = p.join(t,
+        col("user_id") === col("t_uid") && col("t_us") <= col("us") &&
+          col("t_us") >= col("us") - 3600000000L)
+      .groupBy("event_id").agg(count(lit(1)).as("naive_touch"))
+    val joined = wj.join(naive, Seq("event_id"), "left_outer")
+    assert(joined.filter(coalesce(col("naive_touch"), lit(0L)) =!=
+      col("n_touch")).isEmpty)
+    wj.unpersist()
+  }
+
   test("event_retention: day-0 cells equal cohort sizes, offsets non-negative") {
     val r = EventsOps.eventRetention(spark, dir).cache()
     assert(r.filter(col("day_offset") < 0).count() == 0)

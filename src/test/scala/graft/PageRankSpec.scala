@@ -117,4 +117,39 @@ class PageRankSpec extends SparkSpec {
     assert(math.abs(out(2L) - 0.463293) < 2e-6)
     assert(math.abs(out.values.sum - 1.0) < 1e-5) // rounded to 6dp each
   }
+
+  test("ppr_fixed: seeded 8-step power iteration, both code paths agree") {
+    // the personalized twin of the pagerank_fixed test: seeded teleport,
+    // tol=0 (no early exit), local solver == distributed loop, mass
+    // conserved, and measurably NOT the converged seeded fixpoint
+    val v = toyVertices(Map(1L -> 1.0))
+    val fixed = PageRank.run(spark, v, toyEdges,
+        PageRank.Params(tol = 0.0, maxIter = 8))
+      .as[(Long, Double)].collect().toMap
+    val fixedDist = PageRank.run(spark, v, toyEdges,
+        PageRank.Params(tol = 0.0, maxIter = 8, localThreshold = 0L))
+      .as[(Long, Double)].collect().toMap
+    fixed.foreach { case (id, r) =>
+      assert(math.abs(r - fixedDist(id)) < 1e-12,
+        s"paths disagree at $id: $r vs ${fixedDist(id)}")
+    }
+    assert(math.abs(fixed.values.sum - 1.0) < 1e-9)
+    val converged = ranks(Map(1L -> 1.0))
+    assert(fixed.exists { case (id, r) => math.abs(r - converged(id)) > 1e-7 })
+    // seeded teleport must concentrate mass relative to the uniform
+    // variant: the seed vertex outranks its uniform-teleport self
+    val uniformFixed = PageRank.run(spark,
+        toyVertices(Map(1L -> 1.0, 2L -> 1.0, 3L -> 1.0, 4L -> 1.0)),
+        toyEdges, PageRank.Params(tol = 0.0, maxIter = 8))
+      .as[(Long, Double)].collect().toMap
+    assert(fixed(1L) > uniformFixed(1L))
+  }
+
+  test("ppr_fixed runs on the toy parquet layout end-to-end") {
+    val dir = Fixtures.write(spark)
+    val out = PageRank.pprFixed(spark, dir)
+      .as[(Long, Double)].collect().toMap
+    assert(out.size == 4) // every product keeps a rank row
+    assert(math.abs(out.values.sum - 1.0) < 1e-5)
+  }
 }

@@ -179,6 +179,21 @@ class PlanSpec extends SparkSpec {
     assert(!pd.contains("Cartesian"), pd)
   }
 
+  test("round-6 join queries avoid non-equi join physical plans") {
+    // event_asof: the as-of join must plan as union + partitioned window
+    // — no join operator at all between the touch and purchase sides
+    val pa = plan(graft.operators.EventsOps.eventAsof(spark, dir))
+    assert(!pa.contains("Join"), pa)
+    assert(pa.contains("Window"), pa)
+    // event_window_join: the range join must plan as a hash-partitioned
+    // equi-join on (user_id, bucket) — BroadcastNestedLoopJoin or
+    // CartesianProduct would mean the inequality reached the planner
+    // as the join condition (the 100 TB non-starter)
+    val pw = plan(graft.operators.EventsOps.eventWindowJoin(spark, dir))
+    assert(!pw.contains("BroadcastNestedLoop") && !pw.contains("Cartesian"),
+      pw)
+  }
+
   test("no declared query plans an unpartitioned Window (single-partition scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
     SparkEntry.queries.foreach { case (name, fn) =>
