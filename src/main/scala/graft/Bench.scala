@@ -54,7 +54,11 @@ object Bench {
     "pack_manifest" -> 0.48,
     // tokenize_ids: QProfile median 0.98 s at sf0.1; tokenize_unk is the
     // same plan with a left join + coalesce — same budget
-    "tokenize_ids" -> 1.47, "tokenize_unk" -> 1.47)
+    "tokenize_ids" -> 1.47, "tokenize_unk" -> 1.47,
+    // round-6 join/quantile/span additions: QProfile medians at sf0.1
+    // (0.31 / 0.29 / 0.36 / 0.27 s, load ≈ 1.8) × the same 1.5
+    "event_asof" -> 0.47, "event_window_join" -> 0.44,
+    "span_dup_rate" -> 0.54, "corpus_quantiles" -> 0.41)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
     * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so
@@ -72,6 +76,11 @@ object Bench {
     // cold); global keeps the same bound as an upper limit
     "pagerank_fixed" -> 7.5,
     "pagerank_global" -> 7.5,
+    // ppr_fixed sorts between pagerank_* and ppr_seeded, so it inherits
+    // the pre-built adjacency and pays only its own 8-step seeded
+    // fixpoint (0.95 s cold in-sequence; 12 s standalone when it must
+    // first-touch the whole cooc chain itself)
+    "ppr_fixed" -> 1.4,
     "ppr_seeded" -> 1.4)           // r5 cold 0.92 s (graph builder shared)
 
   private def esc(s: String): String = s.flatMap {

@@ -106,7 +106,9 @@ object SparkEntry {
     "vocab_build"       -> ((s, d) => TextOps.vocabBuild(s, d)),
     "embed_quantize"    -> ((s, d) => Similarity.embedQuantize(s, d)),
     "corpus_stats"      -> ((s, d) => Corpus.corpusStats(s, d)),
+    "corpus_quantiles"  -> ((s, d) => Corpus.corpusQuantiles(s, d)),
     "text_repetition"   -> ((s, d) => TextOps.textRepetition(s, d)),
+    "span_dup_rate"     -> ((s, d) => TextOps.spanDupRate(s, d)),
     "corpus_prepare_full" -> ((s, d) => Corpus.corpusPrepareFull(s, d)),
     "pack_manifest"     -> ((s, d) => Corpus.packManifest(s, d)),
     "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
@@ -1268,6 +1270,52 @@ object SparkEntry {
         |       round(rep_slots / n_bigrams, 6) AS rep_ratio,
         |       rep_slots / n_bigrams < CAST(0.25 AS DOUBLE) AS keep_rep
         |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // cross-document exact-substring duplication signal
+    // (TextOps.spanDupRate): df over distinct (doc, span) pairs, rate
+    // per doc; 0.5 threshold dyadic → engine-exact boolean
+    "span_dup_rate" ->
+      """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+        |            FROM documents),
+        |sp AS (SELECT doc_id, unnest(list_transform(range(len(t) - 7),
+        |         i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |              t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+        |              t[i+7] || ' ' || t[i+8])) AS s
+        |       FROM tk),
+        |pd AS (SELECT doc_id, s, CAST(count(*) AS BIGINT) AS c
+        |       FROM sp GROUP BY 1, 2),
+        |dup AS (SELECT s FROM pd GROUP BY s HAVING count(*) >= 2),
+        |nd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_dup
+        |       FROM pd JOIN dup USING (s) GROUP BY 1),
+        |tot AS (SELECT doc_id,
+        |          CAST(CASE WHEN len(t) >= 8 THEN len(t) - 7
+        |               ELSE 0 END AS BIGINT) AS n_spans
+        |        FROM tk)
+        |SELECT tot.doc_id, tot.n_spans,
+        |       CAST(COALESCE(nd.n_dup, 0) AS BIGINT) AS n_dup,
+        |       CASE WHEN tot.n_spans > 0
+        |            THEN round(COALESCE(nd.n_dup, 0) / tot.n_spans, 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS dup_rate,
+        |       (CASE WHEN tot.n_spans > 0
+        |             THEN COALESCE(nd.n_dup, 0) / tot.n_spans
+        |             ELSE CAST(0.0 AS DOUBLE) END)
+        |         < CAST(0.5 AS DOUBLE) AS keep_span
+        |FROM tot LEFT JOIN nd ON tot.doc_id = nd.doc_id
+        |ORDER BY tot.doc_id""".stripMargin,
+
+    // exact per-source token-length quartiles (Corpus.corpusQuantiles);
+    // dyadic quantile points → linear interpolation lands on exact
+    // dyadic fractions of ints, bit-identical across engines
+    "corpus_quantiles" ->
+      """WITH d AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS DOUBLE)
+        |               AS n_tokens
+        |           FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |       quantile_cont(n_tokens, 0.25) AS p25,
+        |       quantile_cont(n_tokens, 0.5) AS p50,
+        |       quantile_cont(n_tokens, 0.75) AS p75
+        |FROM d GROUP BY source ORDER BY source""".stripMargin,
 
     // per-(source, lang) audit rollup (Corpus.corpusStats)
     "corpus_stats" ->

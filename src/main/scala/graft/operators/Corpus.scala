@@ -257,6 +257,34 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("source", "lang")
 
+  /** `corpus_quantiles`: EXACT token-length quartiles per source — the
+    * distribution audit behind every curation threshold choice (where
+    * does the length filter bite? did a source's distribution drift
+    * between snapshots?). Quartile points are deliberately DYADIC
+    * (0.25/0.5/0.75): linear interpolation at (n−1)·q then lands on
+    * exact dyadic fractions of integer token counts, so Spark's
+    * `percentile` and DuckDB's `quantile_cont` produce bit-identical
+    * doubles — an exact-percentile op that still hash-checks across
+    * engines (a 0.95 point would put a non-dyadic product in the chain).
+    *
+    * Scale: Spark's exact `percentile` buffers a VALUE→COUNT map per
+    * group, not the raw rows — memory is O(distinct lengths) per
+    * source (bounded: lengths are small ints), and the aggregation is
+    * partial (maps merge map-side). With group count bounded by the
+    * source catalog this survives 100× where a naive sort-per-group
+    * would not; for unbounded group keys the switch is
+    * `approx_percentile`, same plan shape. */
+  def corpusQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("source"),
+        size(split(col("text"), " ")).cast("double").as("n_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        expr("percentile(n_tokens, 0.25D)").as("p25"),
+        expr("percentile(n_tokens, 0.5D)").as("p50"),
+        expr("percentile(n_tokens, 0.75D)").as("p75"))
+      .orderBy("source")
+
   /** `corpus_prepare_full`: the COMPLETE preparation pipeline — every
     * gate this engine implements, composed in one plan:
     * [[TextOps.textQuality]]'s keep rule, [[TextOps.textRepetition]]'s

@@ -278,6 +278,57 @@ object TextOps {
         (col("rep_slots") / col("n_bigrams") < 0.25).as("keep_rep"))
   }
 
+  /** `span_dup_rate`: CROSS-DOCUMENT exact-substring duplication — per
+    * document, the fraction of its 8-token span positions whose span
+    * also occurs in at least one OTHER document. This is the
+    * document-level signal of the exact-substring dedup family (long
+    * verbatim overlaps mean boilerplate, mirrors, or licensing text) —
+    * distinct from [[textRepetition]] (WITHIN-doc repetition) and
+    * [[graft.operators.Corpus.decontaminate]] (train/test overlap
+    * specifically). `keep_span` gates at a dyadic 0.5 — a document
+    * mostly made of spans found elsewhere is a duplication artifact.
+    *
+    * Scale: span→(doc, span) partial-agg shuffle, a span-keyed df
+    * aggregation, and one semi-join of the per-doc span counts against
+    * the df≥2 span set — the [[Corpus.decontaminate]] shape, equi-keyed
+    * end to end, no pairwise expansion (doc-pair enumeration is the
+    * near-dup tier's job; this tier only asks "seen elsewhere?", which
+    * is a df threshold, not a join of documents). Span strings never
+    * carry doc lists; the heaviest relation is the (doc, span, count)
+    * stream, linear in corpus tokens. */
+  def spanDupRate(spark: SparkSession, dir: String): DataFrame =
+    spanDupRateOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[spanDupRate]] over any (doc_id, text, ...) relation. */
+  private[graft] def spanDupRateOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    val spans = docs
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(split(text, ' ')) >= $n
+           |  THEN transform(sequence(0, size(split(text, ' ')) - $n),
+           |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+           |  ELSE array()
+           |END""".stripMargin)).as("s"))
+    val perDoc = spans.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
+    // df over the already-distinct (doc, span) pairs; ≥2 docs → shared
+    val shared = perDoc.groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val nDup = perDoc.join(shared, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(sum("c").as("n_dup"))
+    val totals = docs.select(col("doc_id"), expr(
+      s"""CAST(CASE WHEN size(split(text, ' ')) >= $n
+         |  THEN size(split(text, ' ')) - ${n - 1} ELSE 0
+         |END AS BIGINT)""".stripMargin).as("n_spans"))
+    totals.join(nDup, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        when(col("n_spans") > 0,
+          round(coalesce(col("n_dup"), lit(0L)) / col("n_spans"), 6))
+          .otherwise(0.0).as("dup_rate"),
+        (when(col("n_spans") > 0,
+          coalesce(col("n_dup"), lit(0L)) / col("n_spans"))
+          .otherwise(0.0) < 0.5).as("keep_span"))
+  }
+
   /** `lang_id`: stopword-vote language identification — count function
     * words per language, argmax with a deterministic tie-break (en > fr >
     * de > es). A real corpus would use char n-gram profiles; the mechanism

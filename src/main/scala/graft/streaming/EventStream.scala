@@ -120,6 +120,64 @@ object EventStream {
       }
   }
 
+  /** Per-user last-touch state for the streaming as-of join. */
+  final case class Touch(id: Long, ty: String, us: Long)
+  /** One attribution row per purchase (touch columns null when the user
+    * has no prior touch — same left semantics as the batch operator). */
+  final case class AsofRow(event_id: Long, user_id: Long, purchase_us: Long,
+      touch_event_id: Option[Long], touch_type: Option[String],
+      touch_us: Option[Long])
+
+  /** Streaming AS-OF JOIN — the twin of `EventsOps.eventAsof`
+    * (last-touch attribution): per user, carry the most recent
+    * view/click as keyed state; every purchase emits an attribution row
+    * against it. This is the canonical `flatMapGroupsWithState` shape a
+    * stream-stream as-of needs — Spark's built-in stream joins are
+    * equi+interval only, and the batch trick (union + ordered window)
+    * has no incremental form since an unbounded window over a stream
+    * would hold everything.
+    *
+    * Within each micro-batch the group's rows are folded in event order
+    * (us, touches-before-purchases, event_id) — the batch operator's
+    * exact tie discipline; across batches the state carries the last
+    * touch forward, so attribution is exact whenever a purchase's batch
+    * is not EARLIER than its touch's batch (per-user event-time order
+    * across batches — true for in-order sources; StreamingSpec asserts
+    * exact parity with the batch operator on ordered replay, including
+    * a touch and purchase split across separate micro-batches).
+    * State is ONE Touch per user — bounded by user cardinality; at
+    * 100 TB/day the same fold carries an event-time timeout to evict
+    * idle users, exactly like [[statefulUserTotals]]'s scale note. */
+  def asofAttribution(events: DataFrame)
+      : org.apache.spark.sql.Dataset[AsofRow] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val typed = events
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, Long)]
+    typed.groupByKey(_._2)
+      .flatMapGroupsWithState[Touch, AsofRow](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, String, Long)],
+         state: GroupState[Touch]) =>
+          val sorted = rows.toArray.sortBy { case (eid, _, ty, us) =>
+            (us, if (ty == "purchase") 1 else 0, eid) }
+          var last = state.getOption
+          val out = Array.newBuilder[AsofRow]
+          sorted.foreach { case (eid, _, ty, us) =>
+            if (ty == "purchase")
+              out += AsofRow(eid, user, us,
+                last.map(_.id), last.map(_.ty), last.map(_.us))
+            else last = Some(Touch(eid, ty, us))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+      }
+  }
+
   /** Idempotent parquet sink via `foreachBatch` — the exactly-once
     * delivery pattern for sinks without native transactional support:
     * each micro-batch lands in its own `batch_id=N` partition directory

@@ -239,6 +239,24 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("corpus_quantiles: ordered quartiles; p50 equals a driver-side median") {
+    val q = Corpus.corpusQuantiles(spark, dir).cache()
+    assert(q.filter(col("p25") > col("p50") || col("p50") > col("p75"))
+      .isEmpty)
+    // spot-check one source against the textbook interpolated median
+    val src = q.select("source").orderBy("source").head().getString(0)
+    val lens = graft.model.Tables.documents(spark, dir)
+      .filter(col("source") === src)
+      .select(size(split(col("text"), " ")).cast("double"))
+      .as[Double].collect().sorted
+    val pos = (lens.length - 1) * 0.5
+    val (lo, hi) = (lens(pos.toInt), lens(math.ceil(pos).toInt))
+    val expected = lo + (hi - lo) * (pos - pos.toInt)
+    val p50 = q.filter(col("source") === src).head().getAs[Double]("p50")
+    assert(p50 == expected, s"$src: p50 $p50 vs driver-side $expected")
+    q.unpersist()
+  }
+
   test("shingles of docs shorter than the window are empty, not garbage") {
     // Spark's sequence(0, negative) descends — the CASE guard in
     // shinglesOf must keep short docs shingle-free (DuckDB range parity)

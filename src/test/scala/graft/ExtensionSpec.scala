@@ -205,6 +205,23 @@ class ExtensionSpec extends SparkSpec {
     f.unpersist()
   }
 
+  test("span_dup_rate: verbatim copies score 1.0, unique text 0.0") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // 10 tokens, 3 span positions
+      (2L, "a b c d e f g h i j"),   // verbatim copy of 1 → rate 1.0
+      (3L, "q r s t u v w x y z"),   // unique → rate 0.0
+      (4L, "too short")              // < 8 tokens → 0 spans, keep
+    ).toDF("doc_id", "text")
+    val r = graft.operators.TextOps.spanDupRateOf(docs)
+      .collect().map(row => row.getLong(0) ->
+        (row.getLong(1), row.getLong(2), row.getDouble(3),
+          row.getBoolean(4))).toMap
+    assert(r(1L) == ((3L, 3L, 1.0, false)))
+    assert(r(2L) == ((3L, 3L, 1.0, false)))
+    assert(r(3L) == ((3L, 0L, 0.0, true)))
+    assert(r(4L) == ((0L, 0L, 0.0, true)))
+  }
+
   test("event_asof: union+window form equals the naive theta-join") {
     import org.apache.spark.sql.expressions.Window
     // the naive per-purchase rank over the inequality join — the form

@@ -146,6 +146,64 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of attribution matches the batch as-of join") {
+    val q = EventStream.asofAttribution(EventStream.readEvents(spark, dir))
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("asof_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      def keyed(df: org.apache.spark.sql.DataFrame) = df
+        .select("event_id", "touch_event_id", "touch_type", "touch_us")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)))).toSet
+      val streamed = keyed(spark.table("asof_stream"))
+      val batch = keyed(EventsOps.eventAsof(spark, dir))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("as-of attribution carries touch state across micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-xbatch")
+    val watched = s"$base/in"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def writeEvents(name: String,
+        rows: Seq[(Long, Long, Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("event_id", "ts", "user_id", "event_type")
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+    }
+    val t0 = 1700000000000000000L // ns
+    // batch a: the only touch; batch b: the purchase it must attribute
+    writeEvents("a", Seq((100L, t0, 7L, "view")))
+    writeEvents("b", Seq((200L, t0 + 60L * 1000000000L, 7L, "purchase")))
+    new java.io.File(s"$watched/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val stream = spark.readStream.schema(EventStream.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.asofAttribution(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName("asof_xbatch")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("asof_xbatch").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      val r = rows.head
+      assert(r.getAs[Long]("event_id") == 200L)
+      assert(r.getAs[Long]("touch_event_id") == 100L)
+      assert(r.getAs[String]("touch_type") == "view")
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink is idempotent under batch replay") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink")
     val out = s"$base/out"
