@@ -72,8 +72,29 @@ object GenScale {
         s"pmod(xxhash64(id, 21), $nPart) AS l_partkey")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
 
+    // events at factor× (round-6 scaling targets event_asof /
+    // event_window_join): same shape as the driver's table — 150
+    // users × 30 days at sf0.1, both scaled by √factor so per-user
+    // event density (the as-of window's per-key sort size and the
+    // range join's per-(user, hour) bucket occupancy) grows with the
+    // data instead of keeping the keys constant-fat; ts stored as
+    // int64 NANOS like the real parquet (Tables.events normalizes)
+    val nEvents = 100000L * factor
+    val nUsers = math.max(1L, math.round(150 * math.sqrt(factor.toDouble)))
+    val spanNs = math.round(30 * math.sqrt(factor.toDouble)) * 86400L * 1000000000L
+    spark.range(nEvents).selectExpr(
+        "id AS event_id",
+        s"1704067200000000000 + pmod(xxhash64(id, 30), $spanNs) AS ts",
+        s"pmod(xxhash64(id, 31), $nUsers) AS user_id",
+        "element_at(array('view','view','view','click','click','purchase')," +
+          " cast(pmod(xxhash64(id, 32), 6) + 1 AS INT)) AS event_type",
+        "cast(pmod(xxhash64(id, 33), 10000) AS DOUBLE) / 100 AS value",
+        "concat('{\"k\": ', pmod(xxhash64(id, 34), 100), '}') AS props")
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
+
     println(s"GENSCALE wrote $out: documents=$nDocs orders=$nOrders " +
-      s"lineitem=$nLine (factor $factor over $src shape)")
+      s"lineitem=$nLine events=$nEvents/users=$nUsers (factor $factor " +
+      s"over $src shape)")
     spark.stop()
   }
 }
