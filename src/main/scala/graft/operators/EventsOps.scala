@@ -124,8 +124,15 @@ object EventsOps {
     * how a 100 TB attribution job must run: the merged-stream sort is
     * the same shape [[sessionize]] already pays, and skewed users
     * degrade to a bigger sort, never a quadratic join. */
-  def eventAsof(spark: SparkSession, dir: String): DataFrame = {
-    val e = Tables.events(spark, dir)
+  def eventAsof(spark: SparkSession, dir: String): DataFrame =
+    eventAsofOf(Tables.events(spark, dir))
+
+  /** [[eventAsof]] over any (event_id, user_id, event_type, ts)
+    * relation — the testable form (hot-user skew cases build synthetic
+    * streams; a skewed user degrades to a bigger per-partition sort,
+    * never a quadratic join, and ExtensionSpec pins that closed-form). */
+  private[graft] def eventAsofOf(events: DataFrame): DataFrame = {
+    val e = events
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))

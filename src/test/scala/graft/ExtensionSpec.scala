@@ -248,6 +248,24 @@ class ExtensionSpec extends SparkSpec {
     assert(asof.exceptAll(naive).isEmpty && naive.exceptAll(asof).isEmpty)
   }
 
+  test("event_asof under one hot user: closed-form exact, no quadratic blowup") {
+    // 100k events, ALL on one user — the skew case where the naive
+    // theta-join would build 2.5e9 pairs. The union+window form is one
+    // fat per-user sort; closed form: alternating view(2k)/purchase(2k+1)
+    // means the purchase at us=2k+1 attributes to the view at us=2k
+    val n = 50000L
+    val hot = spark.range(2 * n).select(
+      col("id").as("event_id"), lit(0L).as("user_id"),
+      when(col("id") % 2 === 0, "view").otherwise("purchase")
+        .as("event_type"),
+      timestamp_micros(col("id")).as("ts"))
+    val out = graft.operators.EventsOps.eventAsofOf(hot)
+      .select("event_id", "touch_event_id", "gap_us")
+    assert(out.count() == n)
+    assert(out.filter(col("touch_event_id") =!= col("event_id") - 1 ||
+      col("gap_us") =!= 1L).isEmpty)
+  }
+
   test("event_window_join: bucketed equi-join equals the naive range join") {
     val wj = EventsOps.eventWindowJoin(spark, dir).cache()
     // internal consistency: touches split exactly into views + clicks;
