@@ -58,7 +58,12 @@ object Bench {
     // round-6 join/quantile/span additions: QProfile medians at sf0.1
     // (0.31 / 0.29 / 0.36 / 0.27 s, load ≈ 1.8) × the same 1.5
     "event_asof" -> 0.47, "event_window_join" -> 0.44,
-    "span_dup_rate" -> 0.54, "corpus_quantiles" -> 0.41)
+    "span_dup_rate" -> 0.54, "corpus_quantiles" -> 0.41,
+    // rec_blend_fixed: QProfile median 0.88 s at sf0.1 (builders warm;
+    // the 27.8 s standalone cold is the whole cooc+jaccard+fixpoint
+    // builder chain, fronted in bench order by adjacency_norm /
+    // jaccard_sim / ppr_fixed)
+    "rec_blend_fixed" -> 1.32)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
     * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so

@@ -38,6 +38,10 @@ object SparkEntry {
     "collab_topk"       -> ((s, d) => Recommend.collabTopk(s, d)),
     "jaccard_sim"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
     "rec_blend"         -> ((s, d) => Recommend.recBlend(s, d)),
+    // the full 3-strategy blend on the FIXED-iteration PPR — the
+    // hash-checkable twin of rec_blend_full (which stays on the
+    // converged fixpoint, no oracle by design)
+    "rec_blend_fixed"   -> ((s, d) => Recommend.recBlendFixed(s, d)),
     // iterative graph tier — not SQL-expressible, so no oracleSql entry;
     // verified by golden-fixture + invariant ScalaTests (SURVEY §5.2)
     "pagerank_global"   -> ((s, d) => PageRank.pagerankGlobal(s, d)),
@@ -280,8 +284,11 @@ object SparkEntry {
     * Spark loop computes them. Same MATERIALIZED discipline as
     * [[pagerankFixedSql]] — without it the pers CASE re-evaluates inside
     * every exponentially-inlined step copy and the query never returns. */
-  private def pprFixedSql(iters: Int): String = {
-    val steps = (0 until iters).map { t =>
+  /** The unrolled SEEDED power steps shared by the `ppr_fixed` and
+    * `rec_blend_fixed` oracles (expects CTEs `e(src,dst,w)`, `v(id,pers)`,
+    * `nn(n)`, `r0(id,rank)` in scope). */
+  private def seededPowerSteps(iters: Int): String =
+    (0 until iters).map { t =>
       s"""s$t AS MATERIALIZED (
          |  SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
          |  FROM r$t WHERE id NOT IN (SELECT src FROM e)),
@@ -294,6 +301,9 @@ object SparkEntry {
          |             FROM e JOIN r$t r ON e.src = r.id GROUP BY e.dst) c
          |    ON v.id = c.id)""".stripMargin
     }.mkString(",\n")
+
+  private def pprFixedSql(iters: Int): String = {
+    val steps = seededPowerSteps(iters)
     s"""WITH oi AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |cnt AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
@@ -324,9 +334,92 @@ object SparkEntry {
        |FROM r$iters ORDER BY product_id""".stripMargin
   }
 
+  /** DuckDB oracle for `rec_blend_fixed`: the ENTIRE three-strategy
+    * blend in one statement — the rec_blend oracle's cooc/jaccard
+    * scores + the seeded fixed-iteration power chain (raw ranks) + the
+    * Engine's normalization contract (PPR max over the FULL vector
+    * seeds included; cooc/jaccard maxes over candidates) + the
+    * 0.4/0.3/0.3 blend with per-strategy contributions. The fixed rank
+    * vector covers every product, so candidates = all non-seed
+    * products. */
+  private def recBlendFixedSql(iters: Int): String = {
+    val steps = seededPowerSteps(iters)
+    s"""WITH b AS MATERIALIZED (
+       |  SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |seeds AS MATERIALIZED (
+       |  SELECT DISTINCT pid AS sp FROM b
+       |  WHERE cid = (SELECT min(cid) FROM b)),
+       |oi AS MATERIALIZED (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |cooc AS MATERIALIZED (
+       |  SELECT a.l_partkey AS src, b2.l_partkey AS dst,
+       |         CAST(count(*) AS BIGINT) AS cnt
+       |  FROM oi a JOIN oi b2 ON a.l_orderkey = b2.l_orderkey
+       |                      AND a.l_partkey <> b2.l_partkey
+       |  GROUP BY 1, 2),
+       |cscore AS (SELECT dst AS pid, CAST(sum(cnt) AS BIGINT) AS s_cooc
+       |           FROM cooc JOIN seeds ON src = sp GROUP BY 1),
+       |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz
+       |          FROM b GROUP BY 1),
+       |common AS (SELECT x.pid AS p1, y.pid AS p2,
+       |                  CAST(count(*) AS BIGINT) AS common
+       |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
+       |           GROUP BY 1, 2),
+       |jac AS (SELECT p1, p2, common / (s1.sz + s2.sz - common) AS j
+       |        FROM common JOIN sizes s1 ON p1 = s1.pid
+       |                    JOIN sizes s2 ON p2 = s2.pid),
+       |sym AS (SELECT p1 AS a, p2 AS bb, j FROM jac
+       |        UNION ALL SELECT p2, p1, j FROM jac),
+       |jscore AS (SELECT bb AS pid, sum(j) AS s_jacc
+       |           FROM sym JOIN seeds ON a = sp GROUP BY 1),
+       |e AS MATERIALIZED (
+       |  SELECT src, dst, cnt / (sum(cnt) OVER (PARTITION BY src)) AS w
+       |  FROM cooc),
+       |sc AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS m FROM seeds),
+       |v AS MATERIALIZED (
+       |  SELECT p_partkey AS id,
+       |         CASE WHEN sp IS NOT NULL THEN CAST(1 AS DOUBLE) / sc.m
+       |              ELSE CAST(0 AS DOUBLE) END AS pers
+       |  FROM part LEFT JOIN seeds ON p_partkey = sp CROSS JOIN sc),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM v),
+       |r0 AS MATERIALIZED (SELECT v.id, CAST(1 AS DOUBLE) / nn.n AS rank
+       |                    FROM v CROSS JOIN nn),
+       |$steps,
+       |pm AS MATERIALIZED (SELECT max(rank) AS ppr_max FROM r$iters),
+       |cand AS (SELECT r.id AS pid,
+       |                COALESCE(c.s_cooc, 0) AS s_cooc,
+       |                COALESCE(j.s_jacc, CAST(0.0 AS DOUBLE)) AS s_jacc,
+       |                r.rank AS s_ppr
+       |         FROM r$iters r LEFT JOIN cscore c ON r.id = c.pid
+       |                        LEFT JOIN jscore j ON r.id = j.pid
+       |         WHERE r.id NOT IN (SELECT sp FROM seeds)),
+       |norm AS (SELECT pid,
+       |    CASE WHEN max(s_cooc) OVER () > 0
+       |         THEN s_cooc / (max(s_cooc) OVER ())
+       |         ELSE CAST(0.0 AS DOUBLE) END AS nc,
+       |    CASE WHEN max(s_jacc) OVER () > 0
+       |         THEN s_jacc / (max(s_jacc) OVER ())
+       |         ELSE CAST(0.0 AS DOUBLE) END AS nj,
+       |    CASE WHEN pm.ppr_max > 0 THEN s_ppr / pm.ppr_max
+       |         ELSE CAST(0.0 AS DOUBLE) END AS np
+       |  FROM cand CROSS JOIN pm)
+       |SELECT pid AS product_id,
+       |       round(CAST(0.4 AS DOUBLE)*nc + CAST(0.3 AS DOUBLE)*nj
+       |             + CAST(0.3 AS DOUBLE)*np, 6) AS score,
+       |       round(CAST(0.4 AS DOUBLE)*nc, 6) AS c_cooc,
+       |       round(CAST(0.3 AS DOUBLE)*nj, 6) AS c_sim,
+       |       round(CAST(0.3 AS DOUBLE)*np, 6) AS c_ppr
+       |FROM norm
+       |WHERE CAST(0.4 AS DOUBLE)*nc + CAST(0.3 AS DOUBLE)*nj
+       |      + CAST(0.3 AS DOUBLE)*np > 0
+       |ORDER BY score DESC, product_id ASC LIMIT 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "pagerank_fixed" -> pagerankFixedSql(8),
     "ppr_fixed" -> pprFixedSql(8),
+    "rec_blend_fixed" -> recBlendFixedSql(8),
     "scan_project" ->
       """SELECT event_id, user_id, event_type, value FROM events
         |WHERE event_type IN ('view','click','purchase')

@@ -343,8 +343,16 @@ object PageRank {
     * seeded), leaving only the genuinely convergence-dependent queries
     * outside the oracle gate. */
   def pprFixed(spark: SparkSession, dir: String, iters: Int = 8): DataFrame =
-    runMemo(spark, s"pprSeededFixed$iters", seededVertices(spark, dir),
-        productEdges(spark, dir), Params(tol = 0.0, maxIter = iters))
+    seededRanksFixed(spark, dir, iters)
       .select(col("id").as("product_id"), round(col("rank"), 6).as("rank"))
       .orderBy("product_id")
+
+  /** The RAW (unrounded) seeded fixed-iteration ranks behind
+    * [[pprFixed]] — shared with [[graft.operators.Recommend]]'s
+    * `rec_blend_fixed` so the blend and the declared query read one
+    * memoized fixpoint. */
+  private[graft] def seededRanksFixed(spark: SparkSession, dir: String,
+      iters: Int = 8): DataFrame =
+    runMemo(spark, s"pprSeededFixed$iters", seededVertices(spark, dir),
+      productEdges(spark, dir), Params(tol = 0.0, maxIter = iters))
 }

@@ -193,4 +193,69 @@ object Recommend {
       .orderBy(desc("score"), asc("product_id"))
       .limit(k)
   }
+
+  /** `rec_blend_fixed`: the COMPLETE tp1 three-strategy blend —
+    * co-occurrence + Jaccard + seeded personalized PageRank, the exact
+    * arithmetic `graft.rec.Engine.recommend` serves (weights 0.4/0.3/0.3,
+    * PPR normalized over its FULL rank vector seeds included
+    * `recommendation.py:135-142,190-196`, per-strategy contributions) —
+    * with the PPR strategy on the FIXED-iteration fixpoint
+    * ([[graft.algo.PageRank.seededRanksFixed]], 8 power steps) instead
+    * of the converged one. `rec_blend_full` stays the converged serving
+    * path (no oracle by design); THIS variant makes the full blend
+    * arithmetic hash-checkable end-to-end: the DuckDB oracle unrolls the
+    * same 8 steps and replays the whole blend in one statement. Since the
+    * fixed ranks cover every product, the candidate set is all non-seed
+    * products (full-outer collapses to left joins from the rank vector).
+    */
+  def recBlendFixed(spark: SparkSession, dir: String, k: Int = 10,
+      iters: Int = 8): DataFrame = {
+    val b = Relational.bipartite(spark, dir)
+    val seed = seedOf(b)
+    val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
+      .select(col("product_id").as("sp"))
+    val cScore = Relational.coocCounts(spark, dir)
+      .join(broadcast(seeds), col("src") === col("sp"))
+      .groupBy(col("dst").as("product_id"))
+      .agg(sum("cnt").as("s_cooc"))
+    val jp = jaccardPairs(spark, dir)
+    val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
+      .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
+    val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
+      .groupBy(col("bb").as("product_id"))
+      .agg(sum("jaccard").as("s_jacc"))
+    val pScore = graft.algo.PageRank.seededRanksFixed(spark, dir, iters)
+      .select(col("id").as("product_id"), col("rank").as("s_ppr"))
+    val cand = pScore
+      .join(cScore, Seq("product_id"), "left_outer")
+      .join(jScore, Seq("product_id"), "left_outer")
+      .select(col("product_id"),
+        coalesce(col("s_cooc"), lit(0L)).as("s_cooc"),
+        coalesce(col("s_jacc"), lit(0.0)).as("s_jacc"),
+        col("s_ppr"))
+      .join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
+      // PPR max over the FULL vector (seeds included) — Engine's
+      // normalization contract; cooc/jaccard maxes over candidates
+      .crossJoin(broadcast(pScore.agg(max("s_ppr").as("ppr_max"))))
+    val candC = graft.model.BuilderCache.ensureCached(spark,
+      "recBlendFixedCand", cand)
+    val maxes = candC.agg(max("s_cooc").as("max_cooc"),
+      max("s_jacc").as("max_jacc"))
+    candC.crossJoin(broadcast(maxes))
+      .withColumn("nc", when(col("max_cooc") > 0,
+        col("s_cooc") / col("max_cooc")).otherwise(0.0))
+      .withColumn("nj", when(col("max_jacc") > 0,
+        col("s_jacc") / col("max_jacc")).otherwise(0.0))
+      .withColumn("np", when(col("ppr_max") > 0,
+        col("s_ppr") / col("ppr_max")).otherwise(0.0))
+      .withColumn("blend", lit(0.4) * col("nc") + lit(0.3) * col("nj")
+        + lit(0.3) * col("np"))
+      .filter(col("blend") > 0)
+      .select(col("product_id"), round(col("blend"), 6).as("score"),
+        round(lit(0.4) * col("nc"), 6).as("c_cooc"),
+        round(lit(0.3) * col("nj"), 6).as("c_sim"),
+        round(lit(0.3) * col("np"), 6).as("c_ppr"))
+      .orderBy(desc("score"), asc("product_id"))
+      .limit(k)
+  }
 }

@@ -178,6 +178,38 @@ object EventStream {
       }
   }
 
+  /** Streaming RANGE JOIN — the twin of `EventsOps.eventWindowJoin`'s
+    * candidate stage, on Spark's NATIVE stream-stream interval join:
+    * each purchase joined to the same user's view/click events in the
+    * preceding hour (0 ≤ gap ≤ 1 h). Where the as-of twin needed custom
+    * state ([[asofAttribution]] — "latest before" is not an interval),
+    * the bounded window IS the built-in case: an equi-key plus an
+    * event-time range. The watermarks bound both join-state buffers to
+    * the horizon (touches held ≤ watermark + 1 h — Spark derives the
+    * retention from the time constraint), which is exactly the
+    * interval-join state story at 100 TB/day. Emits the matched PAIRS
+    * (append mode; the per-purchase rollup is a downstream batch agg —
+    * aggregations after stream-stream joins are restricted by design);
+    * StreamingSpec reconciles the pair set with the batch operator's
+    * pre-aggregation join. */
+  def windowJoinStream(events: DataFrame): DataFrame = {
+    val touches = events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_id").as("t_eid"), col("user_id").as("t_uid"),
+        col("event_type").as("t_type"), col("ts").as("t_ts"))
+      .withWatermark("t_ts", "2 hours")
+    val purchases = events
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    purchases.join(touches,
+      expr("""user_id = t_uid AND
+             |t_ts <= p_ts AND t_ts >= p_ts - INTERVAL 1 HOUR""".stripMargin))
+      .select(col("event_id"), col("user_id"), col("t_eid"),
+        col("t_type"), unix_micros(col("p_ts")).as("p_us"),
+        unix_micros(col("t_ts")).as("t_us"))
+  }
+
   /** Idempotent parquet sink via `foreachBatch` — the exactly-once
     * delivery pattern for sinks without native transactional support:
     * each micro-batch lands in its own `batch_id=N` partition directory

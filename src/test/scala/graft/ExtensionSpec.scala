@@ -222,6 +222,32 @@ class ExtensionSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0, true)))
   }
 
+  test("rec_blend_fixed: cooc/sim contributions equal rec_blend's; parts sum") {
+    import graft.operators.Recommend
+    // same seeds, same scores, same maxes (s_cooc/s_jacc are zero
+    // outside the cooc∪jaccard candidate set, so widening candidates to
+    // all non-seed products cannot move either max) → wherever a product
+    // appears in both outputs, c_cooc and c_sim must agree exactly
+    val fixed = Recommend.recBlendFixed(spark, dir, k = 1000)
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val blend = Recommend.recBlend(spark, dir, k = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    assert(fixed.nonEmpty)
+    blend.foreach { case (pid, (cc, cs)) =>
+      fixed.get(pid).foreach { case (_, fcc, fcs, _) =>
+        assert(fcc == cc && fcs == cs, s"product $pid: ($fcc,$fcs) vs ($cc,$cs)")
+      }
+    }
+    // per-strategy contributions reassemble the blended score (each
+    // column rounds independently → ≤ 2e-6 reassembly slack)
+    fixed.foreach { case (pid, (s, cc, cs, cp)) =>
+      assert(math.abs(s - (cc + cs + cp)) <= 2e-6, s"product $pid")
+    }
+  }
+
   test("event_asof: union+window form equals the naive theta-join") {
     import org.apache.spark.sql.expressions.Window
     // the naive per-purchase rank over the inequality join — the form

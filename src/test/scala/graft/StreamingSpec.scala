@@ -204,6 +204,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join reconciles with the batch range join") {
+    val q = EventStream.windowJoinStream(EventStream.readEvents(spark, dir))
+      .writeStream
+      .outputMode("append").format("memory").queryName("window_join_stream")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("window_join_stream")
+        .select("event_id", "t_eid")
+        .as[(Long, Long)].collect().toSet
+      // the batch operator's pre-aggregation candidate pairs
+      val ev = graft.model.Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("us"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("user_id").as("t_uid"), col("event_id").as("t_eid"),
+          col("us").as("t_us"))
+      val batch = p.join(t,
+          col("user_id") === col("t_uid") && col("t_us") <= col("us") &&
+            col("t_us") >= col("us") - 3600000000L)
+        .select("event_id", "t_eid").as[(Long, Long)].collect().toSet
+      assert(streamed.nonEmpty && streamed == batch)
+      // and the downstream batch rollup over the joined pairs equals the
+      // declared query's counts
+      val rolled = spark.table("window_join_stream")
+        .groupBy("event_id").count().as[(Long, Long)].collect().toMap
+      val declared = EventsOps.eventWindowJoin(spark, dir)
+        .filter(col("n_touch") > 0)
+        .select("event_id", "n_touch").as[(Long, Long)].collect().toMap
+      assert(rolled == declared)
+    } finally q.stop()
+  }
+
   test("foreachBatch parquet sink is idempotent under batch replay") {
     val base = java.nio.file.Files.createTempDirectory("graft-sink")
     val out = s"$base/out"
