@@ -170,9 +170,16 @@ object EventsOps {
     * that is the difference between a shuffle join and a non-starter).
     * The window length trades fan-out (always 2) against bucket width
     * exactly like LSH band width. */
-  def eventWindowJoin(spark: SparkSession, dir: String): DataFrame = {
-    val winUs = 3600L * 1000000L // 1 h attribution window
-    val e = Tables.events(spark, dir)
+  def eventWindowJoin(spark: SparkSession, dir: String): DataFrame =
+    eventWindowJoinOf(Tables.events(spark, dir))
+
+  /** [[eventWindowJoin]] over any (event_id, user_id, event_type, ts)
+    * relation with a parameterized window — the testable form
+    * (PropertySpec replays random streams against a driver-side
+    * reference with a tiny window, hammering the bucket boundaries). */
+  private[graft] def eventWindowJoinOf(events: DataFrame,
+      winUs: Long = 3600L * 1000000L): DataFrame = {
+    val e = events
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
     val touches = e.filter(col("event_type").isin("view", "click"))

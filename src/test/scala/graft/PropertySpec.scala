@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, timestamp_micros}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -135,6 +136,63 @@ class PropertySpec extends SparkSpec {
         val j2 = c.toDouble / (sizes(p2) + sizes(p1) - c)
         assert(j == j2)
       }
+    }
+  }
+
+  // (event_id, user_id, event_type, us): few users + a tiny us range →
+  // equal-timestamp ties and same-instant touch/purchase collisions are
+  // guaranteed, the edge cases the as-of tie discipline must pin; the
+  // "other" type exercises the type filter
+  private val eventStream: Gen[List[(Long, Long, String, Long)]] = for {
+    n <- Gen.choose(1, 80)
+    rows <- Gen.listOfN(n, for {
+      uid <- Gen.choose(0L, 3L)
+      us <- Gen.choose(0L, 20L)
+      ty <- Gen.oneOf("view", "click", "purchase", "other")
+    } yield (uid, us, ty))
+  } yield rows.zipWithIndex.map { case ((u, us, ty), i) =>
+    (i.toLong, u, ty, us) }
+
+  test("eventAsofOf ≡ driver-side last-touch on random streams (ties included)") {
+    samples(eventStream, 12).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+      val got = graft.operators.EventsOps.eventAsofOf(df)
+        .select("event_id", "touch_event_id").collect()
+        .map(r => r.getLong(0) ->
+          Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+      val touches = rows.filter(r => r._3 == "view" || r._3 == "click")
+      val want = rows.filter(_._3 == "purchase").map {
+        case (eid, uid, _, us) =>
+          val cand = touches.filter(t => t._2 == uid && t._4 <= us)
+          eid -> (if (cand.isEmpty) None
+                  else Some(cand.maxBy(t => (t._4, t._1))._1))
+      }.toMap
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
+  test("eventWindowJoinOf ≡ driver-side range join on random streams (winUs=5)") {
+    val winUs = 5L // tiny window over us ∈ [0,20] — every bucket edge hit
+    samples(eventStream, 12).foreach { rows =>
+      val df = rows.toDF("event_id", "user_id", "event_type", "us")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("us")).as("ts"))
+      val got = graft.operators.EventsOps.eventWindowJoinOf(df, winUs)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getLong(4), r.getLong(5),
+            Option(r.get(6)).map(_.asInstanceOf[Long])))).toMap
+      val touches = rows.filter(r => r._3 == "view" || r._3 == "click")
+      val want = rows.filter(_._3 == "purchase").map {
+        case (eid, uid, _, us) =>
+          val c = touches.filter(t =>
+            t._2 == uid && t._4 <= us && t._4 >= us - winUs)
+          eid -> ((c.size.toLong, c.count(_._3 == "view").toLong,
+            c.count(_._3 == "click").toLong,
+            if (c.isEmpty) None else Some(us - c.map(_._4).max)))
+      }.toMap
+      assert(got == want, s"rows=$rows")
     }
   }
 }
