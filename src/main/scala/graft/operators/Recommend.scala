@@ -150,7 +150,15 @@ object Recommend {
     * Per-strategy contributions kept as columns, rounded to 6 dp
     * (`api.py:47-48`).
     */
-  def recBlend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+  /** The seed-customer strategy inputs shared by [[recBlend]] and
+    * [[recBlendFixed]] (and mirrored by both DuckDB oracles): seed
+    * products of the min purchasing customer, the per-candidate
+    * co-occurrence score Σ over seeds of directed pair counts, and the
+    * per-candidate Jaccard score Σ over seeds of per-seed similarity.
+    * One definition so the two blends (and a future tie-break or guard
+    * change) cannot drift apart. */
+  private def seedStrategyScores(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     val b = Relational.bipartite(spark, dir)
     val seed = seedOf(b)
     val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
@@ -165,6 +173,11 @@ object Recommend {
     val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
       .groupBy(col("bb").as("product_id"))
       .agg(sum("jaccard").as("s_jacc"))
+    (seeds, cScore, jScore)
+  }
+
+  def recBlend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val (seeds, cScore, jScore) = seedStrategyScores(spark, dir)
     val cand = cScore.join(jScore, Seq("product_id"), "full_outer")
       .select(col("product_id"),
         coalesce(col("s_cooc"), lit(0L)).as("s_cooc"),
@@ -210,20 +223,7 @@ object Recommend {
     */
   def recBlendFixed(spark: SparkSession, dir: String, k: Int = 10,
       iters: Int = 8): DataFrame = {
-    val b = Relational.bipartite(spark, dir)
-    val seed = seedOf(b)
-    val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
-      .select(col("product_id").as("sp"))
-    val cScore = Relational.coocCounts(spark, dir)
-      .join(broadcast(seeds), col("src") === col("sp"))
-      .groupBy(col("dst").as("product_id"))
-      .agg(sum("cnt").as("s_cooc"))
-    val jp = jaccardPairs(spark, dir)
-    val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
-      .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
-    val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
-      .groupBy(col("bb").as("product_id"))
-      .agg(sum("jaccard").as("s_jacc"))
+    val (seeds, cScore, jScore) = seedStrategyScores(spark, dir)
     val pScore = graft.algo.PageRank.seededRanksFixed(spark, dir, iters)
       .select(col("id").as("product_id"), col("rank").as("s_ppr"))
     val cand = pScore

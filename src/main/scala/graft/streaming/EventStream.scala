@@ -139,12 +139,16 @@ object EventStream {
     *
     * Within each micro-batch the group's rows are folded in event order
     * (us, touches-before-purchases, event_id) — the batch operator's
-    * exact tie discipline; across batches the state carries the last
-    * touch forward, so attribution is exact whenever a purchase's batch
-    * is not EARLIER than its touch's batch (per-user event-time order
-    * across batches — true for in-order sources; StreamingSpec asserts
-    * exact parity with the batch operator on ordered replay, including
-    * a touch and purchase split across separate micro-batches).
+    * exact tie discipline; across batches the state is MONOTONE in
+    * (us, event_id): a later batch's touch only replaces the held one
+    * when it is strictly newer or an equal-time higher event_id, so
+    * equal-timestamp ties split across micro-batches resolve exactly
+    * like the batch operator's window order, and an out-of-order older
+    * touch can never regress the state. Attribution is exact whenever a
+    * purchase's batch is not EARLIER than its touch's batch (true for
+    * in-order sources; StreamingSpec asserts exact parity with the
+    * batch operator on ordered replay, including touch/purchase and
+    * equal-time touch/touch pairs split across separate micro-batches).
     * State is ONE Touch per user — bounded by user cardinality; at
     * 100 TB/day the same fold carries an event-time timeout to evict
     * idle users, exactly like [[statefulUserTotals]]'s scale note. */
@@ -171,7 +175,9 @@ object EventStream {
             if (ty == "purchase")
               out += AsofRow(eid, user, us,
                 last.map(_.id), last.map(_.ty), last.map(_.us))
-            else last = Some(Touch(eid, ty, us))
+            else if (last.forall(l =>
+                l.us < us || (l.us == us && l.id < eid)))
+              last = Some(Touch(eid, ty, us))
           }
           last.foreach(state.update)
           out.result().iterator

@@ -77,8 +77,13 @@ object GenScale {
     // users × 30 days at sf0.1, both scaled by √factor so per-user
     // event density (the as-of window's per-key sort size and the
     // range join's per-(user, hour) bucket occupancy) grows with the
-    // data instead of keeping the keys constant-fat; ts stored as
-    // int64 NANOS like the real parquet (Tables.events normalizes)
+    // data instead of keeping the keys constant-fat. ts is a plain
+    // int64 of NANOS — the same VALUES Tables.events reads from the
+    // real table under nanosAsLong, but WITHOUT the TIMESTAMP(NANOS)
+    // logical annotation Spark cannot write (so this dir feeds
+    // QProfile/Bench only; the DuckDB oracles CAST(ts AS TIMESTAMP)
+    // and would reject the bare BIGINT — oracle-gate at the real sf
+    // dirs, bench here)
     val nEvents = 100000L * factor
     val nUsers = math.max(1L, math.round(150 * math.sqrt(factor.toDouble)))
     val spanNs = math.round(30 * math.sqrt(factor.toDouble)) * 86400L * 1000000000L

@@ -182,9 +182,15 @@ class StreamingSpec extends SparkSpec {
         java.nio.file.Paths.get(s"$watched/$name.parquet"))
     }
     val t0 = 1700000000000000000L // ns
-    // batch a: the only touch; batch b: the purchase it must attribute
-    writeEvents("a", Seq((100L, t0, 7L, "view")))
-    writeEvents("b", Seq((200L, t0 + 60L * 1000000000L, 7L, "purchase")))
+    // batch a: the winning touch (higher event_id) plus user 8's
+    // EQUAL-timestamp touch whose tied sibling arrives in batch b with
+    // a LOWER event_id — the cross-batch tie the monotone state guard
+    // must resolve exactly like the batch window order (highest
+    // event_id wins at equal time, regardless of arrival batch)
+    writeEvents("a", Seq((100L, t0, 7L, "view"), (105L, t0, 8L, "view")))
+    writeEvents("b", Seq((200L, t0 + 60L * 1000000000L, 7L, "purchase"),
+      (103L, t0, 8L, "click"),
+      (205L, t0 + 60L * 1000000000L, 8L, "purchase")))
     new java.io.File(s"$watched/a.parquet")
       .setLastModified(System.currentTimeMillis() - 60000)
     val stream = spark.readStream.schema(EventStream.eventsSchema)
@@ -196,11 +202,16 @@ class StreamingSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       val rows = spark.table("asof_xbatch").collect()
-      assert(rows.length == 1, rows.mkString(";"))
-      val r = rows.head
-      assert(r.getAs[Long]("event_id") == 200L)
-      assert(r.getAs[Long]("touch_event_id") == 100L)
-      assert(r.getAs[String]("touch_type") == "view")
+        .map(r => r.getAs[Long]("event_id") ->
+          (r.getAs[Long]("touch_event_id"), r.getAs[String]("touch_type")))
+        .toMap
+      assert(rows.size == 2, rows.toString)
+      // user 7: touch from the earlier batch attributes the purchase
+      assert(rows(200L) == ((100L, "view")))
+      // user 8: the equal-time touch with the HIGHER event_id arrived in
+      // the EARLIER batch — the later batch's tied lower-id touch must
+      // NOT replace it (batch-operator tie discipline)
+      assert(rows(205L) == ((105L, "view")))
     } finally q.stop()
   }
 
