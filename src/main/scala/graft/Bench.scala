@@ -63,7 +63,11 @@ object Bench {
     // the 27.8 s standalone cold is the whole cooc+jaccard+fixpoint
     // builder chain, fronted in bench order by adjacency_norm /
     // jaccard_sim / ppr_fixed)
-    "rec_blend_fixed" -> 1.32)
+    "rec_blend_fixed" -> 1.32,
+    // pack_tokens: QProfile median 0.64 s at sf0.1 (the 18 s standalone
+    // cold is corpus_prepare_full's builder chain, fronted in bench
+    // order by the corpus_prepare* entries)
+    "pack_tokens" -> 0.96)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
     * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so

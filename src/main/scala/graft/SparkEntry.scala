@@ -115,6 +115,7 @@ object SparkEntry {
     "span_dup_rate"     -> ((s, d) => TextOps.spanDupRate(s, d)),
     "corpus_prepare_full" -> ((s, d) => Corpus.corpusPrepareFull(s, d)),
     "pack_manifest"     -> ((s, d) => Corpus.packManifest(s, d)),
+    "pack_tokens"       -> ((s, d) => Corpus.packTokens(s, d)),
     "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
     "tokenize_unk"      -> ((s, d) => TextOps.tokenizeUnk(s, d)),
     // quantized-ANN query path: approximates exact cosine (recall
@@ -227,6 +228,26 @@ object SparkEntry {
         |SELECT doc_id, split, n_tokens, CAST(cum // 4096 AS BIGINT)
         |         AS pack_id
         |FROM c ORDER BY doc_id""".stripMargin
+
+  /** The `tokenize_unk` oracle, extracted so `pack_tokens` reuses it as
+    * a subquery (the same sharing pattern as [[corpusPrepareFullSql]]). */
+  private val tokenizeUnkSql: String =
+      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+        |             FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1 HAVING count(*) >= 5),
+        |v AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |         - 1 AS BIGINT) AS token_id, token FROM c),
+        |seq AS (SELECT doc_id,
+        |          unnest(list_transform(range(len(t)),
+        |            i -> {'pos': i, 'tok': t[i+1]})) AS u
+        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents))
+        |SELECT s.doc_id, CAST(s.u.pos AS BIGINT) AS pos,
+        |       CAST(COALESCE(v.token_id + 1, 0) AS BIGINT) AS token_id
+        |FROM seq s LEFT JOIN (SELECT * FROM v WHERE token_id < 50000) v
+        |  ON s.u.tok = v.token
+        |ORDER BY doc_id, pos""".stripMargin
 
   /** DuckDB oracle for `pagerank_fixed`: the reference's power step
     * (`tp1/knoledge_graphs/recommendation.py:150-179`) with a FIXED
@@ -1300,23 +1321,19 @@ object SparkEntry {
 
     // tokenize_ids with the reserve-index-0 UNK convention: left join +
     // coalesce, in-vocab ids shift by one, every position yields a row
-    "tokenize_unk" ->
-      """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
-        |             FROM documents),
-        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
-        |      FROM tok GROUP BY 1 HAVING count(*) >= 5),
-        |v AS (SELECT CAST(row_number() OVER (ORDER BY n DESC, token ASC)
-        |         - 1 AS BIGINT) AS token_id, token FROM c),
-        |seq AS (SELECT doc_id,
-        |          unnest(list_transform(range(len(t)),
-        |            i -> {'pos': i, 'tok': t[i+1]})) AS u
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents))
-        |SELECT s.doc_id, CAST(s.u.pos AS BIGINT) AS pos,
-        |       CAST(COALESCE(v.token_id + 1, 0) AS BIGINT) AS token_id
-        |FROM seq s LEFT JOIN (SELECT * FROM v WHERE token_id < 50000) v
-        |  ON s.u.tok = v.token
-        |ORDER BY doc_id, pos""".stripMargin,
+    "tokenize_unk" -> tokenizeUnkSql,
+
+    // the pipeline terminal (Corpus.packTokens): the UNK-tokenized
+    // token stream of every pipeline survivor, tagged with its
+    // (split, pack_id) batch — tokenize_unk joined against
+    // corpus_prepare_full's assignment
+    "pack_tokens" ->
+      s"""WITH prep AS (SELECT doc_id, split, pack_id
+        |              FROM ($corpusPrepareFullSql) p),
+        |t AS (SELECT * FROM ($tokenizeUnkSql) q)
+        |SELECT prep.split, prep.pack_id, t.doc_id, t.pos, t.token_id
+        |FROM t JOIN prep ON t.doc_id = prep.doc_id
+        |ORDER BY prep.split, prep.pack_id, t.doc_id, t.pos""".stripMargin,
 
     // symmetric int8 quantization summary (Similarity.embedQuantize);
     // bare decimals CAST to DOUBLE per the Det determinism contract

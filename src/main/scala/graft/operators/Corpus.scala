@@ -257,6 +257,31 @@ object Corpus {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("source", "lang")
 
+  /** `pack_tokens`: the PIPELINE TERMINAL — the token stream a
+    * dataloader actually reads: every token position of every document
+    * that survived the full preparation pipeline
+    * ([[corpusPrepareFull]]), tagged with its (split, pack_id) batch
+    * assignment and tokenized under the UNK convention
+    * ([[TextOps.tokenizeUnk]]). `pack_manifest` summarizes the batches;
+    * THIS is their content — the last step between corpus assembly and
+    * a training job, and the end-to-end composition proof that the
+    * vocabulary, tokenization, quality/dedup/decontamination gates and
+    * packing all agree on one corpus.
+    *
+    * Scale: one equi-join of the token stream against the (bounded,
+    * id-only) survivor/assignment table — semi-join shaped, AQE-free to
+    * broadcast the assignment side when small; the token stream itself
+    * still never shuffles except for the deterministic output sort. */
+  def packTokens(spark: SparkSession, dir: String): DataFrame = {
+    val prep = corpusPrepareFull(spark, dir)
+      .select(col("doc_id"), col("split"), col("pack_id"))
+    TextOps.tokenizeUnk(spark, dir)
+      .join(prep, "doc_id")
+      .select(col("split"), col("pack_id"), col("doc_id"), col("pos"),
+        col("token_id"))
+      .orderBy("split", "pack_id", "doc_id", "pos")
+  }
+
   /** `corpus_quantiles`: EXACT token-length quartiles per source — the
     * distribution audit behind every curation threshold choice (where
     * does the length filter bite? did a source's distribution drift

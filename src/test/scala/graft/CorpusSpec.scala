@@ -239,6 +239,29 @@ class CorpusSpec extends SparkSpec {
     }
   }
 
+  test("pack_tokens reconciles with pack_manifest and the survivor token totals") {
+    val pt = Corpus.packTokens(spark, dir).cache()
+    // every survivor contributes exactly its token count, every token
+    // position exactly once
+    val perDoc = pt.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), max("pos").as("maxp"))
+    val prep = Corpus.corpusPrepareFull(spark, dir)
+      .select("doc_id", "n_tokens")
+    val joined = perDoc.join(prep, "doc_id")
+    assert(joined.filter(col("n") =!= col("n_tokens") ||
+      col("maxp") =!= col("n_tokens") - 1).isEmpty)
+    assert(perDoc.count() == prep.count()) // no survivor missing
+    // the per-(split, pack) rollup IS pack_manifest
+    val rolled = pt.groupBy("split", "pack_id")
+      .agg(count(lit(1)).as("tokens"))
+      .as[(String, Long, Long)].collect().toSet
+    val manifest = Corpus.packManifest(spark, dir)
+      .select("split", "pack_id", "tokens")
+      .as[(String, Long, Long)].collect().toSet
+    assert(rolled == manifest)
+    pt.unpersist()
+  }
+
   test("corpus_quantiles: ordered quartiles; p50 equals a driver-side median") {
     val q = Corpus.corpusQuantiles(spark, dir).cache()
     assert(q.filter(col("p25") > col("p50") || col("p50") > col("p75"))
