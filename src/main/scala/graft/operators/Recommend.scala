@@ -131,25 +131,6 @@ object Recommend {
       .orderBy(desc("jaccard"), asc("p1"), asc("p2"))
       .limit(k)
 
-  /** A7+A8+A9+P3+T2 `rec_blend`: the full tp1 blended recommender minus
-    * the PPR strategy (oracle-expressible subset; PPR joins the blend in
-    * [[graft.algo.PageRank]] and is invariant-tested instead):
-    *   - seeds = the seed customer's interacted products
-    *     (`recommendation.py:48-51`);
-    *   - co-occurrence score = Σ over seeds of directed pair counts
-    *     (`recommendation.py:105-112`);
-    *   - similarity score = Σ over seeds of per-seed Jaccard
-    *     (`recommendation.py:114-133`);
-    *   - each strategy max-normalized, max==0 → zeros
-    *     (`recommendation.py:190-196`);
-    *   - weighted blend cooc 0.4 / similarity 0.3
-    *     (`recommendation.py:10-14`), non-positive dropped
-    *     (`recommendation.py:209-210`);
-    *   - seen products excluded via anti-join (`recommendation.py:66-67`);
-    *   - top-N by (-score, product_id) (`recommendation.py:221`).
-    * Per-strategy contributions kept as columns, rounded to 6 dp
-    * (`api.py:47-48`).
-    */
   /** The seed-customer strategy inputs shared by [[recBlend]] and
     * [[recBlendFixed]] (and mirrored by both DuckDB oracles): seed
     * products of the min purchasing customer, the per-candidate
@@ -176,6 +157,25 @@ object Recommend {
     (seeds, cScore, jScore)
   }
 
+  /** A7+A8+A9+P3+T2 `rec_blend`: the full tp1 blended recommender minus
+    * the PPR strategy (oracle-expressible subset; PPR joins the blend in
+    * [[graft.algo.PageRank]] and is invariant-tested instead):
+    *   - seeds = the seed customer's interacted products
+    *     (`recommendation.py:48-51`);
+    *   - co-occurrence score = Σ over seeds of directed pair counts
+    *     (`recommendation.py:105-112`);
+    *   - similarity score = Σ over seeds of per-seed Jaccard
+    *     (`recommendation.py:114-133`);
+    *   - each strategy max-normalized, max==0 → zeros
+    *     (`recommendation.py:190-196`);
+    *   - weighted blend cooc 0.4 / similarity 0.3
+    *     (`recommendation.py:10-14`), non-positive dropped
+    *     (`recommendation.py:209-210`);
+    *   - seen products excluded via anti-join (`recommendation.py:66-67`);
+    *   - top-N by (-score, product_id) (`recommendation.py:221`).
+    * Per-strategy contributions kept as columns, rounded to 6 dp
+    * (`api.py:47-48`).
+    */
   def recBlend(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     val (seeds, cScore, jScore) = seedStrategyScores(spark, dir)
     val cand = cScore.join(jScore, Seq("product_id"), "full_outer")

@@ -143,15 +143,21 @@ object EventStream {
     * (us, event_id): a later batch's touch only replaces the held one
     * when it is strictly newer or an equal-time higher event_id, so
     * equal-timestamp ties split across micro-batches resolve exactly
-    * like the batch operator's window order, and an out-of-order older
-    * touch can never regress the state. Attribution is exact whenever a
-    * purchase's batch is not EARLIER than its touch's batch (true for
-    * in-order sources; StreamingSpec asserts exact parity with the
-    * batch operator on ordered replay, including touch/purchase and
-    * equal-time touch/touch pairs split across separate micro-batches).
-    * State is ONE Touch per user — bounded by user cardinality; at
-    * 100 TB/day the same fold carries an event-time timeout to evict
-    * idle users, exactly like [[statefulUserTotals]]'s scale note. */
+    * like the batch operator's window order. Attribution additionally
+    * requires the held touch to be AT OR BEFORE the purchase (a held
+    * future touch yields no attribution rather than a negative gap).
+    * Exactness contract: attribution equals the batch operator whenever
+    * each user's events arrive in event-time order across batches (the
+    * in-order source case StreamingSpec pins, including touch/purchase
+    * and equal-time touch/touch pairs split across batches); under
+    * out-of-order arrival the single-Touch state can only MISS an
+    * attribution (emit null touch columns), never attribute to a future
+    * touch or regress to an older one — full out-of-order exactness
+    * needs a watermark-bounded touch buffer per user, the production
+    * extension of this fold. State is ONE Touch per user — bounded by
+    * user cardinality; at 100 TB/day the same fold carries an
+    * event-time timeout to evict idle users, exactly like
+    * [[statefulUserTotals]]'s scale note. */
   def asofAttribution(events: DataFrame)
       : org.apache.spark.sql.Dataset[AsofRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -172,10 +178,13 @@ object EventStream {
           var last = state.getOption
           val out = Array.newBuilder[AsofRow]
           sorted.foreach { case (eid, _, ty, us) =>
-            if (ty == "purchase")
+            if (ty == "purchase") {
+              // a held FUTURE touch (possible only under out-of-order
+              // arrival) must not attribute backwards in time
+              val eligible = last.filter(_.us <= us)
               out += AsofRow(eid, user, us,
-                last.map(_.id), last.map(_.ty), last.map(_.us))
-            else if (last.forall(l =>
+                eligible.map(_.id), eligible.map(_.ty), eligible.map(_.us))
+            } else if (last.forall(l =>
                 l.us < us || (l.us == us && l.id < eid)))
               last = Some(Touch(eid, ty, us))
           }

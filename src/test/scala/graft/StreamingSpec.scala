@@ -187,10 +187,15 @@ class StreamingSpec extends SparkSpec {
     // a LOWER event_id — the cross-batch tie the monotone state guard
     // must resolve exactly like the batch window order (highest
     // event_id wins at equal time, regardless of arrival batch)
-    writeEvents("a", Seq((100L, t0, 7L, "view"), (105L, t0, 8L, "view")))
+    writeEvents("a", Seq((100L, t0, 7L, "view"), (105L, t0, 8L, "view"),
+      // user 9: batch a holds a FUTURE touch (t0+120s) relative to the
+      // purchase arriving out-of-order in batch b (t0+60s) — the
+      // fail-safe contract: no attribution, never a negative gap
+      (110L, t0 + 120L * 1000000000L, 9L, "view")))
     writeEvents("b", Seq((200L, t0 + 60L * 1000000000L, 7L, "purchase"),
       (103L, t0, 8L, "click"),
-      (205L, t0 + 60L * 1000000000L, 8L, "purchase")))
+      (205L, t0 + 60L * 1000000000L, 8L, "purchase"),
+      (210L, t0 + 60L * 1000000000L, 9L, "purchase")))
     new java.io.File(s"$watched/a.parquet")
       .setLastModified(System.currentTimeMillis() - 60000)
     val stream = spark.readStream.schema(EventStream.eventsSchema)
@@ -201,17 +206,22 @@ class StreamingSpec extends SparkSpec {
       .start()
     try {
       q.processAllAvailable()
-      val rows = spark.table("asof_xbatch").collect()
-        .map(r => r.getAs[Long]("event_id") ->
-          (r.getAs[Long]("touch_event_id"), r.getAs[String]("touch_type")))
-        .toMap
-      assert(rows.size == 2, rows.toString)
+      val raw = spark.table("asof_xbatch").collect()
+      // exact cardinality on the raw rows: one emission per purchase,
+      // never duplicates (a Map would mask double-emission)
+      assert(raw.length == 3, raw.mkString(";"))
+      val rows = raw.map(r => r.getAs[Long]("event_id") ->
+          (Option(r.getAs[java.lang.Long]("touch_event_id")),
+            Option(r.getAs[String]("touch_type")))).toMap
       // user 7: touch from the earlier batch attributes the purchase
-      assert(rows(200L) == ((100L, "view")))
+      assert(rows(200L) == ((Some(100L), Some("view"))))
       // user 8: the equal-time touch with the HIGHER event_id arrived in
       // the EARLIER batch — the later batch's tied lower-id touch must
       // NOT replace it (batch-operator tie discipline)
-      assert(rows(205L) == ((105L, "view")))
+      assert(rows(205L) == ((Some(105L), Some("view"))))
+      // user 9: out-of-order purchase with only a FUTURE touch held —
+      // fail-safe no-attribution, not a negative gap
+      assert(rows(210L) == ((None, None)))
     } finally q.stop()
   }
 
