@@ -9,6 +9,8 @@ import graft.sources.Etl
 class EtlSpec extends SparkSpec {
   import spark.implicits._
 
+  private val dir = "/root/testdata/sf0.001"
+
   test("ETL writes a typed graph store; counts reconcile with the tables") {
     val out = java.nio.file.Files.createTempDirectory("graft-etl").toString
     // every reference test greps for this sentinel (tp2/app/test.py:163)
@@ -54,5 +56,47 @@ class EtlSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") &&
       plan.contains("rel_type"), plan)
     assert(pruned.count() == orders)
+  }
+
+  test("JSONL and CSV sources land on the parquet schema; operators are source-agnostic") {
+    import graft.sources.TextSources
+    val base = java.nio.file.Files.createTempDirectory("graft-textsrc")
+    val docs = graft.model.Tables.documents(spark, dir)
+    docs.write.mode("overwrite").json(s"$base/jsonl")
+    docs.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val (fromJson, badJson) =
+      TextSources.quarantine(TextSources.documentsJsonl(spark, s"$base/jsonl"))
+    val (fromCsv, badCsv) =
+      TextSources.quarantine(TextSources.documentsCsv(spark, s"$base/csv"))
+    assert(badJson.isEmpty && badCsv.isEmpty)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect().toSet
+    val fromParquet = key(docs)
+    assert(key(fromJson) == fromParquet && key(fromCsv) == fromParquet)
+    // the same operator over all three sources gives identical results —
+    // the property that makes the ingest formats interchangeable
+    def gate(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.TextOps.spanDupRateOf(df)
+        .as[(Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(gate(fromJson) == gate(docs) && gate(fromCsv) == gate(docs))
+  }
+
+  test("malformed JSONL lines quarantine; clean rows survive intact") {
+    import graft.sources.TextSources
+    val base = java.nio.file.Files.createTempDirectory("graft-textsrc-bad")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$base/part-0.jsonl"),
+      """{"doc_id": 1, "text": "the a of", "lang": "en", "source": "s", "n_chars": 8}
+        |this line is not json at all
+        |{"doc_id": 2, "text": "and in", "lang": "en", "source": "s", "n_chars": 6}
+        |{"doc_id": broken json}
+        |""".stripMargin)
+    val (good, bad) =
+      TextSources.quarantine(TextSources.documentsJsonl(spark, base.toString))
+    assert(good.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    val quarantined = bad.as[String].collect()
+    assert(quarantined.length == 2)
+    assert(quarantined.exists(_.contains("not json at all")))
   }
 }
