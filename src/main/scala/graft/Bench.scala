@@ -92,6 +92,36 @@ object Bench {
     "ppr_fixed" -> 1.4,
     "ppr_seeded" -> 1.4)           // r5 cold 0.92 s (graph builder shared)
 
+  /** Memo-release hooks for the cold-gated queries above: before a solo
+    * re-run, drop EXACTLY the memo state the query owns — its
+    * [[graft.model.BuilderCache]] fixpoint entry — so the gated
+    * computation re-executes, while upstream shared state stays warm
+    * (every [[coldBaselineSec]] budget is an in-sequence cold that
+    * assumes warm shared builders). `pagerank_fixed` sorts first in the
+    * sweep and its budget includes the shared-adjacency first-touch, so
+    * only ITS hook also drops [[graft.algo.PageRank]]'s adjacency cache;
+    * releasing it for the other three would overstate their solo colds
+    * against budgets set under a warm adjacency. The `pprRanks` prefix
+    * covers both the uniform (pagerank_global) and seeded (ppr_seeded)
+    * converged fixpoints — dropping the sibling's memo is harmless, its
+    * own hook re-drops before its own solo run — and does NOT touch the
+    * serving-path `engine.pprRanks:*` entries. */
+  private val soloRelease: Map[String, SparkSession => Unit] = Map(
+    "pagerank_fixed" -> { s: SparkSession =>
+      graft.algo.PageRank.releaseAdjacency(s)
+      graft.model.BuilderCache.release(s, "pprFixed8")
+    },
+    "pagerank_global" ->
+      ((s: SparkSession) => graft.model.BuilderCache.release(s, "pprRanks")),
+    "ppr_seeded" ->
+      ((s: SparkSession) => graft.model.BuilderCache.release(s, "pprRanks")),
+    "ppr_fixed" ->
+      ((s: SparkSession) =>
+        graft.model.BuilderCache.release(s, "pprSeededFixed8")),
+    "corpus_prepare_full" ->
+      ((s: SparkSession) =>
+        graft.model.BuilderCache.release(s, "corpusPrepareFull")))
+
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
     case '\\' => "\\\\"
@@ -179,32 +209,61 @@ object Bench {
     // {name: [swept_sec, solo_sec]} with the solo phase's own loadavg
     // alongside, so the artifact carries its own adjudication evidence.
     // Budgets only mean anything at the baseline's scale (sf0.1).
+    // Test hook: force named queries through the adjudication path (as
+    // if their sweep time exceeded budget) so the suspect_load/
+    // regressions split can be exercised without waiting for real
+    // co-tenant load. Comma-separated query names; sweep time reported
+    // as the forced sentinel 9999 s.
+    val forced = sys.env.get("SPARK_GRAFT_FORCE_EXCEED")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
     val exceeded =
-      if (!sfDir.contains("sf0.1")) Seq.empty
+      if (!sfDir.contains("sf0.1") && forced.isEmpty) Seq.empty
       else results.collect {
         // memoized queries gate on the cold run (the only run that
         // executes the chain); everything else on the median
         case (k, v, c, None)
-            if coldBaselineSec.get(k).exists(b => c > 2 * b) ||
+            if forced.contains(k) ||
+              coldBaselineSec.get(k).exists(b => c > 2 * b) ||
               (!coldBaselineSec.contains(k) &&
                 baselineSec.get(k).exists(b => v > 2 * b)) =>
           val isCold = coldBaselineSec.contains(k)
-          val budget = coldBaselineSec.getOrElse(k, baselineSec(k))
-          (k, if (isCold) c else v, budget, isCold)
+          val budget = coldBaselineSec.getOrElse(k,
+            baselineSec.getOrElse(k, 9999.0))
+          val swept = if (forced.contains(k)) 9999.0
+            else if (isCold) c else v
+          (k, swept, budget, isCold)
       }
+    val soloErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val adjudicated = exceeded.map { case (k, swept, budget, isCold) =>
       // memoized chains would replay as ~0.1 s memo reads: drop exactly
       // the memo state the query owns (upstream shared builders stay
       // warm, reproducing the in-sequence cold conditions the budget was
-      // set under) so the solo run re-executes the gated computation
+      // set under) so the solo run re-executes the gated computation.
+      // Cold-gated queries run ONCE — runs 2..N would be memo reads that
+      // add wall-clock without affecting the verdict.
       soloRelease.get(k).foreach(_(spark))
-      val times = (0 until runsN).map { _ =>
+      val soloRuns = if (isCold) 1 else runsN
+      val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var i = 0
+      while (i < soloRuns && !soloErrors.contains(k)) {
         val t0 = System.nanoTime()
-        try SparkEntry.queries(k)(spark, sfDir).count()
-        catch { case _: Throwable => () } // sweep already proved it runs
-        (System.nanoTime() - t0) / 1e9
+        try {
+          SparkEntry.queries(k)(spark, sfDir).count()
+          times += (System.nanoTime() - t0) / 1e9
+        } catch {
+          // a solo-pass failure (a path the sweep never exercised, e.g.
+          // post-release rebuild) must CONFIRM the exceedance, never
+          // time as a fast run that clears it
+          case scala.util.control.NonFatal(e) =>
+            soloErrors(k) = e.toString.take(300)
+        }
+        i += 1
       }
-      (k, swept, if (isCold) times.head else median(times), budget)
+      val solo =
+        if (soloErrors.contains(k) || times.isEmpty) Double.PositiveInfinity
+        else if (isCold) times.head else median(times.toSeq)
+      (k, swept, solo, budget)
     }
     val load2 = loadavg
     val suspect = adjudicated.collect {
@@ -213,15 +272,19 @@ object Bench {
     }.mkString("{", ",", "}")
     val regs = adjudicated.collect {
       case (k, _, solo, b) if solo > 2 * b =>
-        f""""$k":${solo / b}%.2f"""
+        // -1 = the solo run itself failed (see solo_errors)
+        if (solo.isInfinity) s""""$k":-1"""
+        else f""""$k":${solo / b}%.2f"""
     }.mkString("{", ",", "}")
+    val soloErrs = soloErrors.map { case (k, e) =>
+      s"\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"solo_errors":$soloErrs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     // The driver keeps only the LAST 2000 chars of stdout: the 59-query
     // "queries"/"cold" maps above push the gate fields (value/ok/
     // regressions) past that window (round-5 verdict). Repeat them in a
     // compact FINAL line so truncation can never eat the gate.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"solo_errors":$soloErrs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
