@@ -78,19 +78,36 @@ object Bench {
     * first-touch + co-tenant noise, which is exactly why everything ELSE
     * gates on medians; for a memoized query the cold run is the only run
     * that executes the chain at all. */
+  /** RE-DERIVED in round 8 from SOLO-RELEASED first-touch times (the
+    * [[soloRelease]] hooks drop exactly the query's own memo, upstream
+    * shared state warm — PROFILE_r08.md §3), not from in-sequence sweep
+    * colds, so the budgets no longer encode alphabetical bench order.
+    * Each is the r8 sf0.1 solo-released measurement × 1.5 headroom
+    * (same discipline as the median budgets); the in-sequence quiet
+    * colds (PROFILE_r08.md §1) agree within noise, confirming the two
+    * regimes coincide under sorted order. Load-inflated sweep colds that
+    * cross the 2× gate are cleared by the solo re-adjudication, so
+    * these can stay tight enough that a real ~3× chain regression
+    * actually fires. */
   private val coldBaselineSec: Map[String, Double] = Map(
-    "corpus_prepare_full" -> 15.0, // r5 cold 10.0 s
-    // pagerank_fixed sorts BEFORE pagerank_global, so it now pays the
-    // shared adjacency first-touch that r5 attributed to global (5.0 s
-    // cold); global keeps the same bound as an upper limit
+    // solo-released 3.65 s (own memo dropped, corpus_prepare's shared
+    // builders warm); quiet in-sequence cold 4.46 s, loaded 10.2 s —
+    // the 2× gate (11 s) still clears a loaded sweep via adjudication
+    "corpus_prepare_full" -> 5.5,
+    // solo-released 4.84 s: its hook is the only one that also drops
+    // the shared adjacency cache, so this budget alone carries the
+    // DF→RDD + groupByKey first-touch (quiet in-sequence cold 6.02 s)
     "pagerank_fixed" -> 7.5,
-    "pagerank_global" -> 7.5,
-    // ppr_fixed sorts between pagerank_* and ppr_seeded, so it inherits
-    // the pre-built adjacency and pays only its own 8-step seeded
-    // fixpoint (0.95 s cold in-sequence; 12 s standalone when it must
-    // first-touch the whole cooc chain itself)
-    "ppr_fixed" -> 1.4,
-    "ppr_seeded" -> 1.4)           // r5 cold 0.92 s (graph builder shared)
+    // solo-released 0.55 s (warm adjacency, own converged fixpoint);
+    // in-sequence colds 0.55–0.85 s across load — budget on the
+    // loaded upper × 1.5
+    "pagerank_global" -> 1.3,
+    // solo-released 1.25 s (warm adjacency, own 8-step seeded fixpoint;
+    // 12 s standalone when it must first-touch the whole cooc chain)
+    "ppr_fixed" -> 1.9,
+    // solo-released 0.94 s (warm adjacency, own converged seeded
+    // fixpoint)
+    "ppr_seeded" -> 1.4)
 
   /** Memo-release hooks for the cold-gated queries above: before a solo
     * re-run, drop EXACTLY the memo state the query owns — its
