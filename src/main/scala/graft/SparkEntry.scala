@@ -865,7 +865,7 @@ object SparkEntry {
 
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
-        |               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
         |             FROM (SELECT doc_id,
         |                          unnest(string_split(text, ' ')) AS tok
         |                   FROM documents)
@@ -875,14 +875,14 @@ object SparkEntry {
         |                                 - 1)) > 0
         |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
         |                ELSE 0 END AS bitval
-        |         FROM tok, (SELECT unnest(range(32)) AS j)
+        |         FROM tok, (SELECT unnest(range(60)) AS j)
         |         GROUP BY doc_id, j)
         |SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
       """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
-        |               CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) AS h
+        |               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
         |             FROM (SELECT doc_id,
         |                          unnest(string_split(text, ' ')) AS tok
         |                   FROM documents)
@@ -892,7 +892,7 @@ object SparkEntry {
         |                                 - 1)) > 0
         |                THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER)
         |                ELSE 0 END AS bitval
-        |         FROM tok, (SELECT unnest(range(32)) AS j)
+        |         FROM tok, (SELECT unnest(range(60)) AS j)
         |         GROUP BY doc_id, j),
         |sig AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
         |        FROM bits GROUP BY doc_id)

@@ -201,25 +201,34 @@ object Dedup {
       .limit(limit)
   }
 
-  /** `dedup_simhash`: 32-bit frequency-weighted SimHash fingerprint per
+  /** `dedup_simhash`: 60-bit frequency-weighted SimHash fingerprint per
     * document — bit j is the sign of Σ_tokens freq·(±1 by bit j of the
-    * token hash). Near-dup = small hamming distance (bit_count(xor) ≤ t);
-    * the pairing pass is exercised in ScalaTest, the fingerprint column is
-    * the oracle-checked surface. One narrow scan + one groupBy(doc).
-    * Registered in [[BuilderCache]]: the same fingerprints serve the
-    * dedup_simhash query and every band of [[simhashPairs]]. */
+    * token hash, [[TextOps.h60]]). Near-dup = small hamming distance
+    * (bit_count(xor) ≤ t); the pairing pass is exercised in ScalaTest, the
+    * fingerprint column is the oracle-checked surface. 60 bits, not 32:
+    * in a 32-bit space topically-similar documents collide within
+    * hamming ≤ 3 (measured sf0.1: 83k "near-dup" pairs from 5k docs, vs
+    * 512 genuine ones at 60 bits), and the collision rate grows with
+    * corpus size — a 100 TB corpus would mark everything a near-dup. The
+    * published scheme (Manku et al., WWW'07) uses 64-bit fingerprints;
+    * 60 is the widest md5 prefix that stays sign-safe in both engines.
+    * One narrow scan + one groupBy(doc). Registered in [[BuilderCache]]:
+    * the same fingerprints serve the dedup_simhash query and every band
+    * of [[simhashPairs]]. */
+  val SimhashBits = 60
+
   def simhash(spark: SparkSession, dir: String): DataFrame =
     BuilderCache.memo(spark, s"simhash:$dir") {
       val tok = Tables.documents(spark, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .groupBy(col("doc_id"), col("tok"))
         .agg(count(lit(1)).as("freq"))
-        .withColumn("h", h32(col("tok")))
-      val bitSums = (0 until 32).map { j =>
+        .withColumn("h", TextOps.h60(col("tok")))
+      val bitSums = (0 until SimhashBits).map { j =>
         sum(col("freq") *
           (shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1)).as(s"s$j")
       }
-      val sig = (0 until 32)
+      val sig = (0 until SimhashBits)
         .map(j => when(col(s"s$j") > 0, lit(1L << j)).otherwise(0L))
         .reduce(_ + _)
       tok.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
@@ -228,15 +237,19 @@ object Dedup {
     }
 
   /** `dedup_simhash_pairs`: near-duplicate pairs by SimHash hamming
-    * distance, found WITHOUT an all-pairs cross join. The 32-bit
-    * fingerprint splits into 4 byte-bands; by pigeonhole, any pair within
-    * hamming distance 3 differs in at most 3 bytes, so it agrees exactly
-    * on at least one band — a (band, byte) equi-join therefore generates
-    * a COMPLETE candidate set for t ≤ 3 (the standard multi-index hamming
-    * scheme), and the exact `bit_count(xor)` filter keeps no false
-    * positives. Same banding shape as [[dedupMinhash]], same hot-band
-    * guard for degenerate corpora (a band byte shared by the whole corpus
-    * would otherwise pair everything with everything). */
+    * distance, found WITHOUT an all-pairs cross join. The 60-bit
+    * fingerprint splits into 4 15-bit bands; by pigeonhole, any pair
+    * within hamming distance 3 differs in at most 3 bands, so it agrees
+    * exactly on at least one — a (band, value) equi-join therefore
+    * generates a COMPLETE candidate set for t ≤ 3 (the standard
+    * multi-index hamming scheme), and the exact `bit_count(xor)` filter
+    * keeps no false positives. 15-bit bands (32,768 values) discriminate
+    * 128× better than the former 8-bit bytes: measured at sf0.1 the
+    * candidate set fell 2.34 M → 330 k for the same 5 k docs, and at
+    * corpus scale band width is the lever that keeps E[bucket] = n/2^15
+    * per band bounded. Same banding shape as [[dedupMinhash]], same
+    * hot-band guard for degenerate corpora (a band value shared by the
+    * whole corpus would otherwise pair everything with everything). */
   def simhashPairs(spark: SparkSession, dir: String, t: Int = 3,
       maxBand: Int = 100000): DataFrame =
     simhashPairsFrom(simhash(spark, dir), t, maxBand)
@@ -247,10 +260,10 @@ object Dedup {
     * testdata corpus. */
   def simhashPairsFrom(sig: DataFrame, t: Int = 3,
       maxBand: Int = 100000): DataFrame = {
-    require(t >= 0 && t <= 3, "byte-banding is complete only for hamming ≤ 3")
+    require(t >= 0 && t <= 3, "4-banding is complete only for hamming ≤ 3")
     val allBands = (0 until 4).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bv"))
+        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("bv"))
     }.reduce(_ unionAll _)
     // no per-call cache: every recompute of `allBands` (hot count + both
     // self-join sides) is a narrow shift-and-mask over the BuilderCache'd

@@ -20,6 +20,18 @@ object TextOps {
   def h32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast("long")
 
+  /** Portable 60-bit string hash (first 15 hex chars of md5): the widest
+    * md5 prefix that stays a POSITIVE signed 64-bit value in both engines,
+    * so sum-based bit assembly and `//`-based band extraction behave
+    * identically in Spark and DuckDB (no sign-bit corner). Used for the
+    * SimHash fingerprint, where 32 bits is too small a space: at corpus
+    * scale (or even 5k topical docs) unrelated documents land within
+    * hamming ≤ 3 of each other by pigeonhole — the published scheme
+    * (Manku et al., WWW'07, "Detecting Near-Duplicates for Web Crawling")
+    * uses 64-bit fingerprints for exactly this reason. */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
   private def toks(c: Column): Column = split(c, " ")
 
   /** `text_stats`: per-document token counts, distinct tokens, mean token

@@ -45,7 +45,7 @@ class ExtensionSpec extends SparkSpec {
       .select(bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
         .as("hamming"))
       .agg(min("hamming"), max("hamming")).collect()(0)
-    assert(joined.getInt(1) <= 32)
+    assert(joined.getInt(1) <= Dedup.SimhashBits)
     assert(sig.count() == sig.select("doc_id").distinct().count())
   }
 

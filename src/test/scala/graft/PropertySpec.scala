@@ -89,15 +89,15 @@ class PropertySpec extends SparkSpec {
     assert(r(2L) > r(0L)) // personalization survives sink redistribution
   }
 
-  test("simhash byte-banding finds EVERY pair within hamming 3 (random fingerprints)") {
+  test("simhash 15-bit banding finds EVERY pair within hamming 3 (random fingerprints)") {
     // pigeonhole claim behind dedup_simhash_pairs: 3 differing bits touch
-    // at most 3 of the 4 bytes, so one byte-band always matches. Random
+    // at most 3 of the 4 15-bit bands, so one band always matches. Random
     // fingerprints are drawn clustered (few distinct base values, random
     // low-weight flips) so small-hamming pairs actually occur.
     val fpGen = for {
-      base <- Gen.choose(0L, 0xFFFFFFFFL)
+      base <- Gen.choose(0L, (1L << 60) - 1)
       flips <- Gen.choose(0, 4)
-      bits <- Gen.listOfN(flips, Gen.choose(0, 31))
+      bits <- Gen.listOfN(flips, Gen.choose(0, 59))
     } yield bits.foldLeft(base)((v, b) => v ^ (1L << b))
     val corpus = Gen.listOfN(40, fpGen)
     samples(corpus, 6).foreach { fps =>
