@@ -327,8 +327,11 @@ object PageRank {
     val seed = b.agg(min("customer_id").as("seed_cid"))
     val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
       .select(col("product_id").as("sp"))
+    // seeds (one customer's basket) is data-dependent, not provably
+    // bounded — no hint (bounded-relation rule); only the 1-row `seed`
+    // aggregate above may force its strategy
     productVertices(spark, dir)
-      .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
+      .join(seeds, col("id") === col("sp"), "left_outer")
       .select(col("id"),
         when(col("sp").isNotNull, 1.0).otherwise(0.0).as("pers"))
   }

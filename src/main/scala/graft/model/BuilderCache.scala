@@ -29,6 +29,24 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
   */
 object BuilderCache {
 
+  /** When set, [[memo]]/[[memoByPlan]]/[[ensureCached]]/[[cacheOnce]]
+    * build WITHOUT registering, caching, or materializing — every call
+    * returns the raw builder plan. Exists for plan inspection: a cached
+    * builder surfaces in consumers' optimized plans as an
+    * `InMemoryRelation` LEAF (its logical internals replaced by a
+    * physical `cachedPlan`, where join-strategy hints no longer exist),
+    * so any plan detector walking the logical tree is blind to shapes
+    * inside a memoized builder — exactly how a forced broadcast of an
+    * unbounded grouped aggregate hid from PlanSpec's detector in
+    * round 8. Detectors run under [[uncached]] to see the fully-inlined
+    * plan. Thread-local so a concurrently-serving session is unaffected. */
+  private val bypass = new scala.util.DynamicVariable[Boolean](false)
+
+  /** Run `body` with memoization disabled: every builder call inside
+    * returns its raw un-cached plan (see [[bypass]]). Plan-inspection
+    * only — the frames built inside re-derive shared work per call. */
+  def uncached[T](body: => T): T = bypass.withValue(true)(body)
+
   /** (sessionKey, builderKey) → the shared cached DataFrame. */
   private val entries = TrieMap.empty[(String, String), DataFrame]
 
@@ -67,7 +85,8 @@ object BuilderCache {
     * builder body runs at most once per (session, key); every later
     * call returns the same cached DataFrame. */
   def memo(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    entries.getOrElseUpdate((sessionKey(spark), key), mark(spark, build))
+    if (bypass.value) build
+    else entries.getOrElseUpdate((sessionKey(spark), key), mark(spark, build))
 
   /** Memoize keyed by an input plan's semantic hash — for builders
     * parameterized by a caller-supplied DataFrame rather than a table
@@ -77,6 +96,7 @@ object BuilderCache {
     * the wrong cached frame. */
   def memoByPlan(spark: SparkSession, name: String, input: DataFrame)
       (build: => DataFrame): DataFrame = {
+    if (bypass.value) return build
     val analyzed = input.queryExecution.analyzed
     val base = s"$name:${analyzed.semanticHash()}"
     val sid = sessionKey(spark)
@@ -123,7 +143,8 @@ object BuilderCache {
     * would reference-count shared per-request plans before unpersisting;
     * serialized serving makes that machinery unnecessary. */
   def cacheOnce(df: DataFrame): DataFrame = {
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+    if (!bypass.value &&
+        df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
       df.cache()
     df
   }

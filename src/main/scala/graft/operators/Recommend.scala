@@ -50,9 +50,13 @@ object Recommend {
       .select(col("product_id").as("p1"))
     // distinct by construction: b is a distinct incidence and p1s a
     // distinct product list, so b ⋈ p1s never duplicates a (c2, p1) pair
-    // — no Distinct shuffle needed.
+    // — no Distinct shuffle needed. p1s (one customer's basket) is
+    // data-dependent — small in practice but NOT provably bounded, so it
+    // carries no broadcast hint (bounded-relation rule); AQE elects
+    // broadcast at runtime when it measures small. Only the 1-row `seed`
+    // aggregate (maxRows = 1) may force its strategy.
     val c2s = b.crossJoin(broadcast(seed))
-      .join(broadcast(p1s), col("product_id") === col("p1"))
+      .join(p1s, col("product_id") === col("p1"))
       .filter(col("customer_id") =!= col("seed_cid"))
       .select(col("customer_id").as("c2"), col("p1"))
     // c2s (customers sharing any seed product) is DATA-DEPENDENT and
@@ -114,9 +118,15 @@ object Recommend {
           s"struct($x AS p1, $y AS p2)").as("pr"))
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
         .agg(count(lit(1)).as("common"))
+      // `sizes` is an unbounded grouped aggregate (one row per product —
+      // grows with the catalog), so it carries NO broadcast hint: the
+      // bounded-relation rule (see tfidf, TextOps) says only provably
+      // bounded frames may force a broadcast past AQE's size measurement.
+      // AQE still elects broadcast-hash at runtime whenever `sizes`
+      // measures under the threshold, which it does at every tested sf.
       common
-        .join(broadcast(sizes).as("s1"), col("p1") === col("s1.product_id"))
-        .join(broadcast(sizes).as("s2"), col("p2") === col("s2.product_id"))
+        .join(sizes.as("s1"), col("p1") === col("s1.product_id"))
+        .join(sizes.as("s2"), col("p2") === col("s2.product_id"))
         .select(col("p1"), col("p2"),
           (col("common") / (col("s1.sz") + col("s2.sz") - col("common")))
             .as("jaccard"))
@@ -142,16 +152,19 @@ object Recommend {
       : (DataFrame, DataFrame, DataFrame) = {
     val b = Relational.bipartite(spark, dir)
     val seed = seedOf(b)
+    // seeds (one customer's basket) is data-dependent, not provably
+    // bounded — no broadcast hint (bounded-relation rule); AQE elects
+    // broadcast at runtime. Only the 1-row `seed` aggregate may force.
     val seeds = b.join(broadcast(seed), col("customer_id") === col("seed_cid"))
       .select(col("product_id").as("sp"))
     val cScore = Relational.coocCounts(spark, dir)
-      .join(broadcast(seeds), col("src") === col("sp"))
+      .join(seeds, col("src") === col("sp"))
       .groupBy(col("dst").as("product_id"))
       .agg(sum("cnt").as("s_cooc"))
     val jp = jaccardPairs(spark, dir) // cached at the builder
     val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
-    val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
+    val jScore = sym.join(seeds, col("a") === col("sp"))
       .groupBy(col("bb").as("product_id"))
       .agg(sum("jaccard").as("s_jacc"))
     (seeds, cScore, jScore)

@@ -129,8 +129,12 @@ object Engine {
       .select(col("product_id").as("sp")))
     if (seeds.isEmpty) return (globalFallback(spark, g, n), Seq(seeds))
 
+    // seeds (one customer's basket) is data-dependent, not provably
+    // bounded, so its inner/outer joins carry NO broadcast hint
+    // (bounded-relation rule) — AQE elects broadcast at runtime. The
+    // LeftAnti seen-exclusion keeps its hint per the guard-list pattern.
     // strategy 1: co-occurrence — Σ over seeds of pair counts (A7)
-    val cScore = g.cooc.join(broadcast(seeds), col("src") === col("sp"))
+    val cScore = g.cooc.join(seeds, col("src") === col("sp"))
       .groupBy(col("dst").as("product_id"))
       .agg(sum("cnt").as("s_cooc"))
     // strategy 2: Jaccard similarity — Σ over seeds of per-seed jaccard
@@ -138,12 +142,12 @@ object Engine {
     val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"),
         col("jaccard")))
-    val jScore = sym.join(broadcast(seeds), col("a") === col("sp"))
+    val jScore = sym.join(seeds, col("a") === col("sp"))
       .groupBy(col("bb").as("product_id"))
       .agg(sum("jaccard").as("s_jacc"))
     // strategy 3: seeded personalized PageRank (G1)
     val pers = g.products
-      .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
+      .join(seeds, col("id") === col("sp"), "left_outer")
       .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
         .as("pers"))
     boundPprCache(spark)
@@ -238,8 +242,10 @@ object Engine {
         .orderBy(desc("score"), asc("product_id")), Seq(seeds))
     def dropSeeds(df: DataFrame): DataFrame =
       df.join(broadcast(seeds), col("product_id") === col("sp"), "left_anti")
+    // as in recommendInternal: no hint on the unbounded seeds side of
+    // inner/outer joins, AQE decides; the anti-join guard keeps its hint
     val cScore = dropSeeds(
-      g.cooc.join(broadcast(seeds), col("src") === col("sp"))
+      g.cooc.join(seeds, col("src") === col("sp"))
         .groupBy(col("dst").as("product_id"))
         .agg(sum("cnt").cast("double").as("score")))
       .select(lit("co_occurrence").as("strategy"), col("product_id"),
@@ -249,13 +255,13 @@ object Engine {
       .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"),
         col("jaccard")))
     val jScore = dropSeeds(
-      sym.join(broadcast(seeds), col("a") === col("sp"))
+      sym.join(seeds, col("a") === col("sp"))
         .groupBy(col("bb").as("product_id"))
         .agg(sum("jaccard").as("score")))
       .select(lit("similarity").as("strategy"), col("product_id"),
         round(col("score"), 6).as("score"))
     val pers = g.products
-      .join(broadcast(seeds), col("id") === col("sp"), "left_outer")
+      .join(seeds, col("id") === col("sp"), "left_outer")
       .select(col("id"), when(col("sp").isNotNull, 1.0).otherwise(0.0)
         .as("pers"))
     boundPprCache(spark)

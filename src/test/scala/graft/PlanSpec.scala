@@ -103,10 +103,32 @@ class PlanSpec extends SparkSpec {
       bad.queryExecution.optimizedPlan.toString)
   }
 
+  // Query-wide detector sweeps run UNCACHED: a memoized builder
+  // otherwise surfaces in the optimized plan as an InMemoryRelation
+  // LEAF (logical internals replaced by a physical cachedPlan where
+  // join hints no longer exist), so a banned shape INSIDE a cached
+  // builder is invisible to the detectors — the round-8 verdict caught
+  // exactly that masking (a forced broadcast of an unbounded grouped
+  // aggregate hidden inside the memoized jaccard builder). Two layers
+  // must both be disabled: BuilderCache.uncached stops NEW memoization,
+  // and release + clearCache evicts plans ALREADY in Spark's app-wide
+  // CacheManager — which substitutes any cached identical subtree back
+  // into later plans even when the builder itself didn't memoize (the
+  // masking test below proves both layers mask). Inside the sweep no
+  // cache exists and none is created, so every builder's full logical
+  // plan is inlined into the query under inspection.
+  private def uncachedSweep[T](body: => T): T = {
+    graft.model.BuilderCache.release(spark)
+    spark.catalog.clearCache()
+    graft.model.BuilderCache.uncached(body)
+  }
+
   test("no declared query forces a broadcast of a data-dependent Distinct relation") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      assert(forcedBroadcastOfUnboundedDistinct(fn(spark, dir)).isEmpty,
-        s"$name forces a broadcast of an unbounded data-dependent relation")
+    uncachedSweep {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        assert(forcedBroadcastOfUnboundedDistinct(fn(spark, dir)).isEmpty,
+          s"$name forces a broadcast of an unbounded data-dependent relation")
+      }
     }
   }
 
@@ -152,10 +174,51 @@ class PlanSpec extends SparkSpec {
   }
 
   test("no declared query forces a broadcast of an unbounded grouped aggregate (tfidf guard)") {
-    SparkEntry.queries.foreach { case (name, fn) =>
-      assert(forcedBroadcastOfUnboundedGroupedAgg(fn(spark, dir)).isEmpty,
-        s"$name forces a broadcast of an unbounded grouped-aggregate relation")
+    uncachedSweep {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        assert(forcedBroadcastOfUnboundedGroupedAgg(fn(spark, dir)).isEmpty,
+          s"$name forces a broadcast of an unbounded grouped-aggregate relation")
+      }
     }
+  }
+
+  test("memoization masks banned shapes from the detector; uncached unmasks them (round-8 case)") {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
+    // Reconstruct the round-8 masking end-to-end: a builder whose body
+    // force-broadcasts an unbounded grouped aggregate, registered through
+    // BuilderCache.memoByPlan exactly like the jaccard builder was.
+    val base = spark.read.parquet(s"$dir/nation.parquet")
+      .selectExpr("n_regionkey AS k", "n_nationkey AS v")
+    def badBuilder() = graft.model.BuilderCache.memoByPlan(
+        spark, "planspec.masking.demo", base) {
+      base.join(broadcast(base.groupBy("k").agg(count(lit(1)).as("sz"))), "k")
+    }
+    try {
+      // 1. Through the memo, the optimized plan is an InMemoryRelation
+      //    leaf — the detector is BLIND to the forced broadcast inside.
+      val masked = badBuilder()
+      assert(masked.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.columnar.InMemoryRelation => r
+      }.nonEmpty, "memoized builder should surface as InMemoryRelation")
+      assert(forcedBroadcastOfUnboundedGroupedAgg(masked).isEmpty,
+        "demonstrating the masking: the cached leaf hides the bad join")
+      // 2. BuilderCache.uncached ALONE does not unmask: the plan cached
+      //    in step 1 lives in Spark's app-wide CacheManager, which
+      //    substitutes the identical rebuilt subtree back into the plan
+      //    even though memoization is bypassed.
+      graft.model.BuilderCache.uncached {
+        assert(forcedBroadcastOfUnboundedGroupedAgg(badBuilder()).isEmpty,
+          "CacheManager substitution should still mask the bad join")
+      }
+      // 3. The full uncachedSweep (release + clearCache + uncached) —
+      //    what the query-wide sweeps above run under — sees the raw
+      //    plan and the detector flags it: a cached builder can no
+      //    longer hide a banned shape.
+      uncachedSweep {
+        assert(forcedBroadcastOfUnboundedGroupedAgg(badBuilder()).nonEmpty,
+          badBuilder().queryExecution.optimizedPlan.toString)
+      }
+    } finally graft.model.BuilderCache.release(spark, "planspec.masking.demo")
   }
 
   test("round-5 queries keep their scale-relevant plan shapes") {
@@ -196,12 +259,14 @@ class PlanSpec extends SparkSpec {
 
   test("no declared query plans an unpartitioned Window (single-partition scale guard)") {
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LogicalWindow}
-    SparkEntry.queries.foreach { case (name, fn) =>
-      val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
-        case w: LogicalWindow if w.partitionSpec.isEmpty => w
+    uncachedSweep {
+      SparkEntry.queries.foreach { case (name, fn) =>
+        val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
+          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+        }
+        assert(bad.isEmpty,
+          s"$name funnels all rows into one partition via Window.partitionBy(): $bad")
       }
-      assert(bad.isEmpty,
-        s"$name funnels all rows into one partition via Window.partitionBy(): $bad")
     }
   }
 }
