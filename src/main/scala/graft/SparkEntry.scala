@@ -89,6 +89,7 @@ object SparkEntry {
     "sim_topk"          -> ((s, d) => Similarity.simTopk(s, d)),
     "knn_bucketed"      -> ((s, d) => Similarity.knnBucketed(s, d)),
     "knn_multiprobe"    -> ((s, d) => Similarity.knnMultiProbe(s, d)),
+    "knn_ivf_fixed"     -> ((s, d) => Similarity.knnIvfFixed(s, d)),
     // learned-quantizer IVF — iterative k-means fixpoint, so no SQL
     // oracle (same justification as the pagerank tier); invariant-tested
     "knn_ivf"           -> ((s, d) => Similarity.knnIvf(s, d)),
@@ -863,6 +864,8 @@ object SparkEntry {
         |      (SELECT doc_id FROM lbl WHERE doc_id <> cluster_id)
         |ORDER BY d.doc_id""".stripMargin,
 
+    // NB: substr(md5,1,15) = 15 hex chars = 60 bits, and range(60), must
+    // track Dedup.SimhashBits (here and in dedup_simhash_pairs below)
     "dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
         |               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
@@ -991,6 +994,56 @@ object SparkEntry {
         |               6) AS cosine
         |           FROM eb e2 JOIN cand c
         |             ON e2.bucket = c.cb AND e2.vec_id <> c.pid),
+        |ranked AS (SELECT pid, vec_id, cosine,
+        |             CAST(row_number() OVER (PARTITION BY pid
+        |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        |           FROM scored)
+        |SELECT pid, rank, vec_id, cosine FROM ranked
+        |WHERE rank <= 5 ORDER BY pid, rank""".stripMargin,
+
+    // fixed-centroid IVF (Similarity.knnIvfFixed): the knn_ivf topology
+    // with centroids = the first 16 vec_ids' vectors (no learned
+    // k-means state), so assignment, nprobe cell ranking, and scoring
+    // all replay in SQL. d2 = |c|² − 2·c·v (|v|² constant per vector);
+    // ties on (d2, cell). MATERIALIZED: e/cents feed multiple steps.
+    "knn_ivf_fixed" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |cents AS MATERIALIZED (SELECT vec_id AS cell, v AS cv
+        |           FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS MATERIALIZED (SELECT vec_id, v, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY d2 ASC, cell ASC) AS ark
+        |       FROM (SELECT e.vec_id, e.v, c.cell,
+        |               list_sum(list_transform(c.cv, x -> x*x))
+        |               - 2.0 * list_sum(list_transform(list_zip(c.cv, e.v),
+        |                                               s -> s[1] * s[2]))
+        |                 AS d2
+        |             FROM e CROSS JOIN cents c)),
+        |assigned AS MATERIALIZED (SELECT vec_id, v, cell AS bucket
+        |           FROM asg WHERE ark = 1),
+        |probes AS MATERIALIZED (SELECT vec_id AS pid, v AS pv
+        |           FROM e ORDER BY vec_id LIMIT 5),
+        |pc AS MATERIALIZED (SELECT pid, pv, cell,
+        |         row_number() OVER (PARTITION BY pid
+        |           ORDER BY d2 ASC, cell ASC) AS crk
+        |       FROM (SELECT p.pid, p.pv, c.cell,
+        |               list_sum(list_transform(c.cv, x -> x*x))
+        |               - 2.0 * list_sum(list_transform(list_zip(c.cv, p.pv),
+        |                                               s -> s[1] * s[2]))
+        |                 AS d2
+        |             FROM probes p CROSS JOIN cents c)),
+        |cand AS MATERIALIZED (SELECT pid, pv, cell AS cb
+        |           FROM pc WHERE crk <= 3),
+        |scored AS (SELECT cd.pid, a.vec_id,
+        |             round(list_sum(list_transform(list_zip(a.v, cd.pv),
+        |                                           s -> s[1] * s[2]))
+        |               / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |                  * sqrt(list_sum(list_transform(cd.pv, x -> x*x)))),
+        |               6) AS cosine
+        |           FROM assigned a JOIN cand cd
+        |             ON a.bucket = cd.cb AND a.vec_id <> cd.pid),
         |ranked AS (SELECT pid, vec_id, cosine,
         |             CAST(row_number() OVER (PARTITION BY pid
         |               ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank

@@ -201,6 +201,11 @@ object Dedup {
       .limit(limit)
   }
 
+  /** Fingerprint width. Mirrored by hand in the DuckDB oracle SQL
+    * (SparkEntry's `dedup_simhash*` entries: 15-hex-char md5 prefix =
+    * 60 bits, `range(60)` bit loop) — change it there in lockstep. */
+  val SimhashBits = 60
+
   /** `dedup_simhash`: 60-bit frequency-weighted SimHash fingerprint per
     * document — bit j is the sign of Σ_tokens freq·(±1 by bit j of the
     * token hash, [[TextOps.h60]]). Near-dup = small hamming distance
@@ -215,8 +220,6 @@ object Dedup {
     * One narrow scan + one groupBy(doc). Registered in [[BuilderCache]]:
     * the same fingerprints serve the dedup_simhash query and every band
     * of [[simhashPairs]]. */
-  val SimhashBits = 60
-
   def simhash(spark: SparkSession, dir: String): DataFrame =
     BuilderCache.memo(spark, s"simhash:$dir") {
       val tok = Tables.documents(spark, dir)
@@ -247,9 +250,11 @@ object Dedup {
     * 128× better than the former 8-bit bytes: measured at sf0.1 the
     * candidate set fell 2.34 M → 330 k for the same 5 k docs, and at
     * corpus scale band width is the lever that keeps E[bucket] = n/2^15
-    * per band bounded. Same banding shape as [[dedupMinhash]], same
-    * hot-band guard for degenerate corpora (a band value shared by the
-    * whole corpus would otherwise pair everything with everything). */
+    * per band bounded. Radii up to t = 7 switch to an 8-band multi-index
+    * (same pigeonhole, one extra fan-out — see [[simhashPairsFrom]]).
+    * Same banding shape as [[dedupMinhash]], same hot-band guard for
+    * degenerate corpora (a band value shared by the whole corpus would
+    * otherwise pair everything with everything). */
   def simhashPairs(spark: SparkSession, dir: String, t: Int = 3,
       maxBand: Int = 100000): DataFrame =
     simhashPairsFrom(simhash(spark, dir), t, maxBand)
@@ -260,10 +265,25 @@ object Dedup {
     * testdata corpus. */
   def simhashPairsFrom(sig: DataFrame, t: Int = 3,
       maxBand: Int = 100000): DataFrame = {
-    require(t >= 0 && t <= 3, "4-banding is complete only for hamming ≤ 3")
-    val allBands = (0 until 4).map { b =>
+    require(t >= 0 && t <= 7, "banding is complete only for hamming ≤ 7")
+    // Pigeonhole: a pair differing in ≤ t bits leaves at least one of
+    // t+1 disjoint bands untouched, so a (band, value) equi-join over
+    // ANY partition into > t bands is a complete candidate generator.
+    // Use the FEWEST bands the threshold allows — fewer bands are wider,
+    // and band width is the discrimination lever (E[bucket] = n/2^width
+    // per band): t ≤ 3 keeps the 4×15-bit default (32,768 values/band),
+    // t ≤ 7 switches to the 8-band multi-index (4×8-bit + 4×7-bit — the
+    // Manku et al. WWW'07 multi-index at 60 bits), trading one extra
+    // union fan-out and ~128× coarser buckets for the wider radius.
+    val nBands = if (t <= 3) 4 else 8
+    val base = SimhashBits / nBands
+    val extra = SimhashBits % nBands // first `extra` bands 1 bit wider
+    val widths = Seq.tabulate(nBands)(b => if (b < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    val allBands = (0 until nBands).map { b =>
       sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
-        shiftright(col("simhash"), 15 * b).bitwiseAND(lit(0x7FFFL)).as("bv"))
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bv"))
     }.reduce(_ unionAll _)
     // no per-call cache: every recompute of `allBands` (hot count + both
     // self-join sides) is a narrow shift-and-mask over the BuilderCache'd

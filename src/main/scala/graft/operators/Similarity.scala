@@ -223,6 +223,65 @@ object Similarity {
       .orderBy("pid", "rank")
   }
 
+  /** `knn_ivf_fixed`: the hash-checkable twin of [[knnIvf]] — the SAME
+    * IVF topology (assign each vector to its nearest centroid cell →
+    * each probe searches its `nCells` nearest cells → exact cosine
+    * within the candidate cells → top-k), but with FIXED centroids (the
+    * vectors of the first `nClusters` vec_ids, cell id = that vec_id)
+    * instead of learned k-means means. No iterative float state →
+    * every step is SQL-expressible and the DuckDB oracle replays the
+    * whole pipeline bit-for-bit, moving the IVF candidate-generation +
+    * scoring machinery into the hash gate (knn_ivf itself stays
+    * invariant-tested: learned centroids are engine-specific by
+    * design). Assignment ranks cells by |c|² − 2·c·v (|v|² is constant
+    * per vector), ties by cell id — the same arithmetic [[knnIvf]]
+    * uses for its probe-side cell ranking, computed by the codegen'd
+    * [[graft.functions.VectorExpressions]] folds whose index order the
+    * DuckDB `list_transform` oracles are proven to match.
+    *
+    * Scale posture: identical to [[knnIvf]]'s assignment pass — the
+    * centroid table is a `limit(nClusters)` bounded relation
+    * (broadcast-safe by maxRows), the argmin is a per-vector window
+    * over nClusters rows, and the candidate join fans each vector out
+    * to at most the probes sharing its cell. */
+  def knnIvfFixed(spark: SparkSession, dir: String, nClusters: Int = 16,
+      nProbes: Int = 5, k: Int = 5, nCells: Int = 3): DataFrame = {
+    val e = vectors(spark, dir)
+    val cents = e.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val d2 = expr("graft_norm2(cv)") - lit(2.0) * expr("graft_dot(cv, v)")
+    val argmin = Window.partitionBy("vec_id")
+      .orderBy(asc("d2"), asc("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2", d2)
+      .withColumn("ark", row_number().over(argmin))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("cell").as("bucket"))
+    val probes = e.orderBy("vec_id").limit(nProbes)
+      .select(col("vec_id").as("pid"), col("v").as("pv"))
+    val cellRank = Window.partitionBy("pid")
+      .orderBy(asc("d2"), asc("cell"))
+    val candBuckets = probes.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_norm2(cv)") - lit(2.0) * expr("graft_dot(cv, pv)"))
+      .withColumn("crk", row_number().over(cellRank))
+      .filter(col("crk") <= nCells)
+      .select(col("pid"), col("pv"), col("cell").as("cb"))
+    val scored = assigned.join(broadcast(candBuckets),
+        col("bucket") === col("cb") && col("vec_id") =!= col("pid"))
+      .select(col("pid"), col("vec_id"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+    val w = Window.partitionBy("pid")
+      .orderBy(desc("cosine"), asc("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("pid"), col("rank").cast("long").as("rank"),
+        col("vec_id"), col("cosine"))
+      .orderBy("pid", "rank")
+  }
+
   /** Quantizer training set: a seeded 10% sample of the vector table —
     * centroid placement needs sampling density, not the corpus, so the
     * k-means iterations scan ~N/10 rows instead of N per pass (at 100 TB

@@ -117,6 +117,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("simhash 8-band multi-index finds EVERY pair within hamming 7 (random fingerprints)") {
+    // pigeonhole at the wider radius: ≤ 7 differing bits leave at least
+    // one of the 8 bands untouched. Flips drawn up to 8 so pairs beyond
+    // the radius occur too (the exact filter must drop them).
+    val fpGen = for {
+      base <- Gen.choose(0L, (1L << 60) - 1)
+      flips <- Gen.choose(0, 8)
+      bits <- Gen.listOfN(flips, Gen.choose(0, 59))
+    } yield bits.foldLeft(base)((v, b) => v ^ (1L << b))
+    val corpus = Gen.listOfN(40, fpGen)
+    samples(corpus, 6).foreach { fps =>
+      val sig = fps.zipWithIndex.map { case (f, i) => (i.toLong, f) }
+        .toDF("doc_id", "simhash")
+      val banded = graft.operators.Dedup.simhashPairsFrom(sig, t = 7)
+        .as[(Long, Long, Long)].collect().toSet
+      val brute = (for {
+        (a, i) <- fps.zipWithIndex; (b, j) <- fps.zipWithIndex
+        if i < j
+        h = java.lang.Long.bitCount(a ^ b)
+        if h <= 7
+      } yield (i.toLong, j.toLong, h.toLong)).toSet
+      assert(banded == brute,
+        s"banded ${banded.size} vs brute ${brute.size}: " +
+          s"missing ${(brute -- banded).take(3)}")
+    }
+  }
+
+  test("adversarial hamming-7 pair touching all four 15-bit bands is found at t = 7") {
+    // adversarial witness that t = 7 NEEDS the 8-band index: bits
+    // 0,8,16,24,32,39,46 hit all four 15-bit bands (two each in bands
+    // 0-2, one in band 3) but only seven of the eight multi-index bands
+    // (8,8,8,8,7,7,7,7 bits at offsets 0,8,16,24,32,39,46,53 — one
+    // flipped bit at the START of each of bands 0-6; band 7 matches).
+    val a = 0L
+    val b = Seq(0, 8, 16, 24, 32, 39, 46).foldLeft(0L)((v, i) => v ^ (1L << i))
+    assert(java.lang.Long.bitCount(a ^ b) == 7)
+    val sig = Seq((1L, a), (2L, b)).toDF("doc_id", "simhash")
+    val found = graft.operators.Dedup.simhashPairsFrom(sig, t = 7)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(found == Set((1L, 2L, 7L)))
+  }
+
   test("jaccard is within [0,1] and symmetric on random incidences") {
     val pairsGen = Gen.listOfN(60, for {
       c <- Gen.choose(1L, 8L); p <- Gen.choose(1L, 10L)

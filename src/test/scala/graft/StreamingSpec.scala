@@ -54,7 +54,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("streaming session windows cover every event") {
+  test("streaming session windows match batch sessionize row-for-row") {
     val q = EventStream.runToMemory(
       EventStream.sessionAgg(EventStream.readEvents(spark, dir)),
       "session_stream")
@@ -62,11 +62,23 @@ class StreamingSpec extends SparkSpec {
       val total = spark.table("session_stream")
         .agg(sum("n_events")).collect()(0).getLong(0)
       val events = graft.model.Tables.events(spark, dir).count()
-      assert(total == events)
-      // same session count as the batch gaps-and-islands form
-      val streamSessions = spark.table("session_stream").count()
-      val batchSessions = EventsOps.sessionize(spark, dir).count()
-      assert(streamSessions == batchSessions)
+      assert(total == events) // every event lands in exactly one session
+      // FULL parity with the batch gaps-and-islands form: same sessions,
+      // same per-session boundaries and counts. session_window's end is
+      // last-event + gap, so batch duration_us = end − start − gap.
+      val gapUs = 1800L * 1000000L
+      val streamed = spark.table("session_stream")
+        .select(col("user_id"), unix_micros(col("start")).as("start_us"),
+          (unix_micros(col("end")) - unix_micros(col("start")) - gapUs)
+            .as("duration_us"),
+          col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val batch = EventsOps.sessionize(spark, dir)
+        .select(col("user_id"), col("start_us"), col("duration_us"),
+          col("n_events"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
     } finally q.stop()
   }
 
