@@ -14,8 +14,23 @@ def main():
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+        if not os.path.exists(p):
+            continue
+        if t == "events":
+            # GenScale'd scale dirs store ts as raw BIGINT nanos (Spark
+            # cannot write TIMESTAMP(NANOS)); normalize to the TIMESTAMP
+            # the real dirs expose so the oracle SQL runs unchanged —
+            # make_timestamp takes MICROseconds, same µs truncation as
+            # graft.model.Tables.events.
+            ty = con.execute(
+                f"SELECT typeof(ts) FROM '{p}' LIMIT 1").fetchone()
+            if ty and ty[0] == "BIGINT":
+                con.execute(
+                    f"CREATE VIEW events AS SELECT event_id,"
+                    f" make_timestamp(ts // 1000) AS ts, user_id,"
+                    f" event_type, value, props FROM '{p}'")
+                continue
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracle.items()):

@@ -9,65 +9,49 @@ import org.apache.spark.sql.SparkSession
   * the bench by computing nothing. */
 object Bench {
 
-  /** Per-query budgets, RE-BASELINED in round 5: the round-1 budgets
-    * were single-run COLD times (builders included), but the regression
-    * instrument now compares warm MEDIANS — apples-to-oranges that left
-    * ~15× of dead headroom on queries like rec_blend (r1 cold 14.18 s,
-    * r5 median 0.64 s). These are the round-5 sf0.1 bench medians
-    * (PROFILE_r05.md §4, load 1.2 at start) × 1.5 headroom, floored at
-    * 0.3 s so sub-100 ms queries don't alarm on scheduler jitter. Any
-    * query whose MEDIAN exceeds 2× its budget lands in `"regressions"`
-    * (non-fatal) — i.e. the alarm now fires at ~3× today's steady
-    * state, the round a creeping quadratic appears. */
+  /** Per-query budgets, RE-DERIVED in round 9 from the r9 QUIET sweep
+    * (PROFILE_r09.md §1: loadavg 1.3 at start, total 30.28 s, zero
+    * exceedances against the prior budgets): each entry is that sweep's
+    * per-query MEDIAN × 1.5 headroom, floored at 0.3 s so sub-100 ms
+    * queries don't alarm on scheduler jitter. The round-5 derivation
+    * had drifted — the engine sped up ~35% on several entries (r8
+    * verdict item 5), leaving dead headroom where a creeping quadratic
+    * could hide. Any query whose MEDIAN exceeds 2× its budget lands in
+    * `"regressions"` (after load-gated solo adjudication below) — i.e.
+    * the alarm fires at ~3× today's steady state. */
   private val baselineSec: Map[String, Double] = Map(
-    "adjacency_norm" -> 0.31, "bipartite_edges" -> 0.3,
-    "collab_topk" -> 1.14, "cooc_pairs" -> 0.3, "cooc_topk" -> 0.73,
-    "corpus_mix" -> 0.43, "corpus_prepare" -> 1.29,
-    "decontaminate" -> 0.48, "dedup_clusters" -> 0.3,
-    "dedup_embedding" -> 0.3, "dedup_exact" -> 0.36,
-    "dedup_minhash" -> 0.3, "dedup_simhash" -> 0.3,
-    "dedup_simhash_pairs" -> 3.83, "dedup_survivors" -> 0.3,
-    "edges_build" -> 1.91, "event_edges" -> 0.3, "event_funnel" -> 0.3,
-    "event_hourly" -> 0.32, "event_retention" -> 0.51,
-    "event_sliding" -> 0.39, "event_weights" -> 0.3, "jaccard_sim" -> 0.79,
-    "json_props" -> 0.3, "knn_bucketed" -> 0.47, "knn_ivf" -> 0.41,
-    "knn_multiprobe" -> 0.41, "lang_id" -> 0.3, "lang_id_ngram" -> 0.3,
-    "multimodal_features" -> 0.71, "multimodal_frames" -> 0.3,
-    "multimodal_resize" -> 0.33, "ngram_jaccard" -> 3.39,
-    "orderfreq_topk" -> 1.58, "pack_assign" -> 0.61,
-    "popularity_approx" -> 3.53,
-    "popularity_topk" -> 1.77, "rec_blend" -> 0.96,
-    "rec_blend_full" -> 3.64, "sample_stratified" -> 0.81,
-    "scan_project" -> 0.3, "sessionize" -> 0.56, "sim_topk" -> 0.34,
-    "split_assign" -> 0.3, "text_fingerprint" -> 0.3,
-    "text_quality" -> 0.3, "text_tokens" -> 0.3, "tfidf" -> 0.67,
-    // ngram_counts/vocab_build postdate the §4 bench: QProfile medians
-    // (2.12 s / 0.51 s at load 2.7) × the same 1.5
-    "ngram_counts" -> 3.18, "vocab_build" -> 0.77,
-    // embed_quantize/corpus_stats/knn_quantized: QProfile medians
-    // 0.29 / 0.35 / 0.72 s at sf0.1
-    "embed_quantize" -> 0.44, "corpus_stats" -> 0.53,
-    "knn_quantized" -> 1.08,
-    // text_repetition: QProfile median 1.84 s at sf0.1
-    "text_repetition" -> 2.76,
-    // pack_manifest reads the corpus_prepare_full builder (0.32 s median)
-    "pack_manifest" -> 0.48,
-    // tokenize_ids: QProfile median 0.98 s at sf0.1; tokenize_unk is the
-    // same plan with a left join + coalesce — same budget
-    "tokenize_ids" -> 1.47, "tokenize_unk" -> 1.47,
-    // round-6 join/quantile/span additions: QProfile medians at sf0.1
-    // (0.31 / 0.29 / 0.36 / 0.27 s, load ≈ 1.8) × the same 1.5
-    "event_asof" -> 0.47, "event_window_join" -> 0.44,
-    "span_dup_rate" -> 0.54, "corpus_quantiles" -> 0.41,
-    // rec_blend_fixed: QProfile median 0.88 s at sf0.1 (builders warm;
-    // the 27.8 s standalone cold is the whole cooc+jaccard+fixpoint
-    // builder chain, fronted in bench order by adjacency_norm /
-    // jaccard_sim / ppr_fixed)
-    "rec_blend_fixed" -> 1.32,
-    // pack_tokens: QProfile median 0.64 s at sf0.1 (the 18 s standalone
-    // cold is corpus_prepare_full's builder chain, fronted in bench
-    // order by the corpus_prepare* entries)
-    "pack_tokens" -> 0.96)
+    "adjacency_norm" -> 0.32, "bipartite_edges" -> 0.3,
+    "collab_topk" -> 1.22, "cooc_pairs" -> 0.3,
+    "cooc_topk" -> 0.76, "corpus_mix" -> 0.43,
+    "corpus_prepare" -> 1.11, "corpus_quantiles" -> 0.3,
+    "corpus_stats" -> 0.31, "decontaminate" -> 0.36,
+    "dedup_clusters" -> 0.3, "dedup_embedding" -> 0.3,
+    "dedup_exact" -> 0.35, "dedup_minhash" -> 0.3,
+    "dedup_simhash" -> 0.3, "dedup_simhash_pairs" -> 5.26,
+    "dedup_survivors" -> 0.3, "edges_build" -> 1.77,
+    "embed_quantize" -> 0.3, "event_asof" -> 0.3,
+    "event_edges" -> 0.3, "event_funnel" -> 0.3,
+    "event_hourly" -> 0.3, "event_retention" -> 0.49,
+    "event_sliding" -> 0.3, "event_weights" -> 0.3,
+    "event_window_join" -> 0.3, "jaccard_sim" -> 0.74,
+    "json_props" -> 0.3, "knn_bucketed" -> 0.46,
+    "knn_ivf" -> 0.41, "knn_ivf_fixed" -> 1.07,
+    "knn_multiprobe" -> 0.45, "knn_quantized" -> 0.66,
+    "lang_id" -> 0.3, "lang_id_ngram" -> 0.3,
+    "multimodal_features" -> 0.48, "multimodal_frames" -> 0.3,
+    "multimodal_resize" -> 0.3, "ngram_counts" -> 3.27,
+    "ngram_jaccard" -> 2.82, "orderfreq_topk" -> 1.08,
+    "pack_assign" -> 0.53, "pack_manifest" -> 0.61,
+    "pack_tokens" -> 0.78, "popularity_approx" -> 2.61,
+    "popularity_topk" -> 0.87, "rec_blend" -> 0.76,
+    "rec_blend_fixed" -> 0.89, "rec_blend_full" -> 1.5,
+    "sample_stratified" -> 0.77, "scan_project" -> 0.3,
+    "sessionize" -> 0.54, "sim_topk" -> 0.3,
+    "span_dup_rate" -> 0.3, "split_assign" -> 0.3,
+    "text_fingerprint" -> 0.3, "text_quality" -> 0.3,
+    "text_repetition" -> 2.27, "text_tokens" -> 0.3,
+    "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
+    "tokenize_unk" -> 0.62, "vocab_build" -> 0.41)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
     * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so

@@ -6,20 +6,23 @@ import org.apache.spark.sql.functions._
 import graft.model.Tables
 
 /** One-off LOCAL scale-up generator for scaling measurements beyond the
-  * driver's sf0.1 (round-5 verdict item 6): writes `documents`, `orders`
-  * and `lineitem` parquet at `factor`× the sf0.1 row counts, preserving
-  * the distributional shape the real generator uses (TESTDATA.md /
+  * driver's sf0.1 (round-5 verdict item 6; full-surface since round 9):
+  * writes the COMPLETE nine-table star schema at `factor`× the sf0.1
+  * row counts with full column sets, so every declared query — and the
+  * DuckDB oracle selfcheck — runs against the generated dir. The
+  * distributional shape follows the real generator (TESTDATA.md /
   * FIXTURES.md): documents draw 10–100 tokens uniformly from the REAL
   * sf0.1 token vocabulary (read at run time, not hardcoded), languages
   * and sources keep their cardinalities (5 / 20), orders and lineitem
-  * keep the per-customer (10 orders) and per-order (4 items) densities.
-  * Only the tables the shuffle-heavy scaling queries read are generated
-  * (`jaccard_sim` ⇒ orders+lineitem; `corpus_prepare_full` /
-  * `dedup_simhash_pairs` ⇒ documents).
+  * keep the per-customer (10 orders) and per-order (4 items) densities,
+  * embeddings keep dim 64 / 10 labels. region/nation are copied
+  * verbatim (TPC-H dimension tables do not scale with sf).
   *
   * Fully deterministic WITHOUT partitioning sensitivity: every column is
   * a pure hash of the row id (`xxhash64(id, salt)`), never `rand()` —
-  * re-running at any parallelism yields byte-identical values.
+  * re-running at any parallelism yields byte-identical values. Money
+  * columns are cents (two-decimal doubles), matching the real tables'
+  * value discipline.
   *
   * Usage: runMain graft.tools.GenScale <outDir> [factor=10] [srcDir]
   */
@@ -62,15 +65,87 @@ object GenScale {
       .withColumn("n_chars", length(col("text")).cast("long"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    val nSupp = 1000L * factor
+    val nVec = 2000L * factor
+
+    // dimension tables that do not scale with sf: copy verbatim
+    Seq("region", "nation").foreach { t =>
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$out/$t.parquet")
+    }
+
+    spark.range(nCust).selectExpr(
+        "id AS c_custkey",
+        "concat('Customer#', id) AS c_name",
+        "CAST(pmod(xxhash64(id, 40), 25) AS INT) AS c_nationkey",
+        "CAST(pmod(xxhash64(id, 41), 1000000) AS DOUBLE) / 100 AS c_acctbal",
+        "element_at(array('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD'," +
+          "'MACHINERY'), CAST(pmod(xxhash64(id, 42), 5) + 1 AS INT))" +
+          " AS c_mktsegment")
+      .write.mode("overwrite").parquet(s"$out/customer.parquet")
+
+    spark.range(nSupp).selectExpr(
+        "id AS s_suppkey",
+        "concat('Supplier#', id) AS s_name",
+        "CAST(pmod(xxhash64(id, 45), 25) AS INT) AS s_nationkey",
+        "CAST(pmod(xxhash64(id, 46), 1000000) AS DOUBLE) / 100 AS s_acctbal")
+      .write.mode("overwrite").parquet(s"$out/supplier.parquet")
+
+    spark.range(nPart).selectExpr(
+        "id AS p_partkey",
+        "concat('part ', pmod(xxhash64(id, 50), 10000)) AS p_name",
+        "concat('Brand#', pmod(xxhash64(id, 51), 25)) AS p_brand",
+        "element_at(array('ANODIZED','BRUSHED','BURNISHED','PLATED'," +
+          "'POLISHED','STEEL'), CAST(pmod(xxhash64(id, 52), 6) + 1 AS INT))" +
+          " AS p_type",
+        "CAST(pmod(xxhash64(id, 53), 50) + 1 AS INT) AS p_size",
+        "CAST(pmod(xxhash64(id, 54), 200000) AS DOUBLE) / 100" +
+          " AS p_retailprice")
+      .write.mode("overwrite").parquet(s"$out/part.parquet")
+
     spark.range(nOrders).selectExpr(
         "id AS o_orderkey",
-        s"pmod(xxhash64(id, 10), $nCust) AS o_custkey")
+        s"pmod(xxhash64(id, 10), $nCust) AS o_custkey",
+        "element_at(array('O','F','P')," +
+          " CAST(pmod(xxhash64(id, 11), 3) + 1 AS INT)) AS o_orderstatus",
+        "CAST(pmod(xxhash64(id, 12), 50000000) AS DOUBLE) / 100" +
+          " AS o_totalprice",
+        "CAST(date_add(to_date('1995-01-01')," +
+          " CAST(pmod(xxhash64(id, 13), 1200) AS INT)) AS TIMESTAMP)" +
+          " AS o_orderdate",
+        "element_at(array('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED'," +
+          "'5-LOW'), CAST(pmod(xxhash64(id, 14), 5) + 1 AS INT))" +
+          " AS o_orderpriority")
       .write.mode("overwrite").parquet(s"$out/orders.parquet")
 
     spark.range(nLine).selectExpr(
         s"pmod(xxhash64(id, 20), $nOrders) AS l_orderkey",
-        s"pmod(xxhash64(id, 21), $nPart) AS l_partkey")
+        s"pmod(xxhash64(id, 21), $nPart) AS l_partkey",
+        s"pmod(xxhash64(id, 22), $nSupp) AS l_suppkey",
+        "CAST(pmod(xxhash64(id, 23), 7) + 1 AS INT) AS l_linenumber",
+        "CAST(pmod(xxhash64(id, 24), 50) + 1 AS DOUBLE) AS l_quantity",
+        "CAST(pmod(xxhash64(id, 25), 10000000) AS DOUBLE) / 100" +
+          " AS l_extendedprice",
+        "CAST(pmod(xxhash64(id, 26), 11) AS DOUBLE) / 100 AS l_discount",
+        "CAST(pmod(xxhash64(id, 27), 9) AS DOUBLE) / 100 AS l_tax",
+        "element_at(array('R','A','N')," +
+          " CAST(pmod(xxhash64(id, 28), 3) + 1 AS INT)) AS l_returnflag",
+        "element_at(array('O','F')," +
+          " CAST(pmod(xxhash64(id, 29), 2) + 1 AS INT)) AS l_linestatus",
+        "CAST(date_add(to_date('1995-01-01')," +
+          " CAST(pmod(xxhash64(id, 35), 1300) AS INT)) AS TIMESTAMP)" +
+          " AS l_shipdate")
       .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+
+    // embeddings: dim 64, values uniform in [-1, 1] on a 1/1000 grid
+    // (exactly representable scale), labels 0-9 — the real table's shape
+    spark.range(nVec).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 63), j -> CAST(" +
+          "(pmod(xxhash64(id, 100 + j), 2001) - 1000) / 1000.0 AS FLOAT))" +
+          " AS embedding",
+        "CAST(pmod(xxhash64(id, 60), 10) AS INT) AS label")
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // events at factor× (round-6 scaling targets event_asof /
     // event_window_join): same shape as the driver's table — 150
@@ -97,8 +172,9 @@ object GenScale {
         "concat('{\"k\": ', pmod(xxhash64(id, 34), 100), '}') AS props")
       .write.mode("overwrite").parquet(s"$out/events.parquet")
 
-    println(s"GENSCALE wrote $out: documents=$nDocs orders=$nOrders " +
-      s"lineitem=$nLine events=$nEvents/users=$nUsers (factor $factor " +
+    println(s"GENSCALE wrote $out: documents=$nDocs customers=$nCust " +
+      s"orders=$nOrders lineitem=$nLine parts=$nPart suppliers=$nSupp " +
+      s"embeddings=$nVec events=$nEvents/users=$nUsers (factor $factor " +
       s"over $src shape)")
     spark.stop()
   }
