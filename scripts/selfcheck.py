@@ -16,6 +16,9 @@ def main():
         p = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(p):
             continue
+        if os.path.isdir(p):
+            # GenScale'd dirs are Spark writes: a directory of part files
+            p = f"{p}/*.parquet"
         if t == "events":
             # GenScale'd scale dirs store ts as raw BIGINT nanos (Spark
             # cannot write TIMESTAMP(NANOS)); normalize to the TIMESTAMP
