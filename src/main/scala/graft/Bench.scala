@@ -33,7 +33,8 @@ object Bench {
     "event_edges" -> 0.3, "event_funnel" -> 0.3,
     "event_hourly" -> 0.3, "event_retention" -> 0.49,
     "event_sliding" -> 0.3, "event_weights" -> 0.3,
-    "event_window_join" -> 0.3, "jaccard_sim" -> 0.74,
+    "event_window_join" -> 0.3, "jaccard_lsh" -> 4.06,
+    "jaccard_sim" -> 0.74,
     "json_props" -> 0.3, "knn_bucketed" -> 0.46,
     "knn_ivf" -> 0.41, "knn_ivf_fixed" -> 1.07,
     "knn_multiprobe" -> 0.45, "knn_quantized" -> 0.66,

@@ -37,6 +37,7 @@ object SparkEntry {
     "adjacency_norm"    -> ((s, d) => Relational.adjacencyNorm(s, d)),
     "collab_topk"       -> ((s, d) => Recommend.collabTopk(s, d)),
     "jaccard_sim"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
+    "jaccard_lsh"      -> ((s, d) => Recommend.jaccardLsh(s, d)),
     "rec_blend"         -> ((s, d) => Recommend.recBlend(s, d)),
     // the full 3-strategy blend on the FIXED-iteration PPR — the
     // hash-checkable twin of rec_blend_full (which stays on the
@@ -558,6 +559,53 @@ object SparkEntry {
         |                  CAST(count(*) AS BIGINT) AS common
         |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
         |           GROUP BY 1, 2)
+        |SELECT p1, p2,
+        |       round(common / (s1.sz + s2.sz - common), 6) AS jaccard
+        |FROM common JOIN sizes s1 ON p1 = s1.pid
+        |            JOIN sizes s2 ON p2 = s2.pid
+        |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
+
+    // the 16 (a,b) literals and the 2-row banding must track
+    // Dedup.PermA/PermB/MinhashK (same family as dedup_minhash above);
+    // the element hash is h32 of the DECIMAL customer id (both engines
+    // render a BIGINT as plain digits). Every step AS MATERIALIZED:
+    // DuckDB re-inlines chained CTEs otherwise.
+    "jaccard_lsh" ->
+      """WITH b AS MATERIALIZED (
+        |         SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+        |         FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h AS MATERIALIZED (SELECT pid,
+        |       CAST(('0x' || substr(md5(CAST(cid AS VARCHAR)), 1, 8))
+        |            AS BIGINT) AS h
+        |     FROM b),
+        |mh AS MATERIALIZED (
+        |     SELECT pid, i, min((a * h + p.b) % 1000000007) AS v
+        |     FROM h, (VALUES (0, 654435747, 40503),
+        |       (1, 953445008, 640493002), (2, 666121539, 887878419),
+        |       (3, 916718432, 739353030), (4, 635055555, 15564468),
+        |       (5, 613703214, 407642994), (6, 478985632, 764070412),
+        |       (7, 685929885, 143680607), (8, 537319864, 495584588),
+        |       (9, 113289140, 662427260), (10, 443904346, 291123970),
+        |       (11, 237508372, 394074373), (12, 760536115, 194217892),
+        |       (13, 56448786, 407224614), (14, 174558421, 818425391),
+        |       (15, 842614604, 683379637)) AS p(i, a, b)
+        |     GROUP BY 1, 2),
+        |bands AS MATERIALIZED (
+        |     SELECT pid, i // 2 AS band,
+        |            max(CASE WHEN i % 2 = 0 THEN v END) AS v1,
+        |            max(CASE WHEN i % 2 = 1 THEN v END) AS v2
+        |     FROM mh GROUP BY 1, 2),
+        |cand AS MATERIALIZED (
+        |     SELECT DISTINCT a.pid AS p1, b.pid AS p2
+        |     FROM bands a JOIN bands b ON a.band = b.band
+        |       AND a.v1 = b.v1 AND a.v2 = b.v2 AND a.pid < b.pid),
+        |sizes AS MATERIALIZED (
+        |     SELECT pid, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
+        |common AS MATERIALIZED (
+        |     SELECT c.p1, c.p2, CAST(count(*) AS BIGINT) AS common
+        |     FROM cand c JOIN b x ON x.pid = c.p1
+        |                 JOIN b y ON y.pid = c.p2 AND y.cid = x.cid
+        |     GROUP BY 1, 2)
         |SELECT p1, p2,
         |       round(common / (s1.sz + s2.sz - common), 6) AS jaccard
         |FROM common JOIN sizes s1 ON p1 = s1.pid

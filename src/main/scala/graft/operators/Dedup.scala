@@ -98,8 +98,14 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     minhashSignaturesOf(shingles(spark, dir))
 
-  private[graft] def minhashSignaturesOf(sh: DataFrame): DataFrame = {
-    val hashed = sh.select(col("doc_id"), h32(col("sh")).as("h"))
+  private[graft] def minhashSignaturesOf(sh: DataFrame): DataFrame =
+    minhashOfHashed(sh.select(col("doc_id"), h32(col("sh")).as("h")))
+
+  /** MinHash signature over an already-hashed element relation
+    * (doc_id, h) — the set being sketched need not be text shingles:
+    * [[graft.operators.Recommend.jaccardLsh]] sketches each product's
+    * CUSTOMER set with the same permutation family. One groupBy, k mins. */
+  private[graft] def minhashOfHashed(hashed: DataFrame): DataFrame = {
     val aggs = (0 until MinhashK).map(i => min(perm(i, col("h"))).as(s"m$i"))
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
@@ -178,6 +184,32 @@ object Dedup {
   private def dedupMinhashUncached(spark: SparkSession, dir: String,
       limit: Int, maxBucket: Int): DataFrame =
     minhashPairsOf(minhashBands(spark, dir), limit, maxBucket)
+
+  /** Sig-free LSH candidate pairs from a signature relation: band the
+    * k-wide signature into k/2 bands of 2 rows, bucket on (band, v1, v2),
+    * expand each guarded bucket in-row. Unlike [[minhashPairsOf]] the
+    * banded rows carry NO signature payload (the caller re-scores
+    * candidates exactly, so the estimate is never needed) — the bucket
+    * shuffle moves 4 longs per row instead of a 16-long struct. Same
+    * guard-before-collect discipline: a degenerate bucket is dropped
+    * before any array exists. */
+  private[graft] def minhashCandidatesOf(sig: DataFrame,
+      maxBucket: Int): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until MinhashK / 2).map { j =>
+        struct(col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
+      }: _*)).as(Seq("band", "bv")))
+      .select(col("doc_id"), col("band"),
+        col("bv.v1").as("v1"), col("bv.v2").as("v2"))
+    val buckets = dropHotBuckets(bands, Seq("band", "v1", "v2"), maxBucket)
+      .groupBy("band", "v1", "v2")
+      .agg(array_sort(collect_set(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(bucketPairs((x, y) => s"struct($x AS p1, $y AS p2)").as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .distinct() // the same pair collides in several bands
+  }
 
   private[graft] def minhashPairsOf(bands: DataFrame, limit: Int,
       maxBucket: Int): DataFrame = {

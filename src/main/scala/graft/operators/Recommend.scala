@@ -141,6 +141,56 @@ object Recommend {
       .orderBy(desc("jaccard"), asc("p1"), asc("p2"))
       .limit(k)
 
+  /** `jaccard_lsh`: the LSH tier for catalog-pair similarity — the
+    * 100 TB path SCALING.md's `jaccard_sim` audit points to. The exact
+    * operator's aggregate OUTPUT grows superlinearly when the catalog
+    * grows with the data (measured exp 1.39 on the sf0.1→sf1 step);
+    * this variant never materializes all pairs. MinHash each product's
+    * CUSTOMER set (the same k=16 permutation family as
+    * [[Dedup.minhashSignaturesOf]], element hash =
+    * [[graft.operators.TextOps.h32]] of the decimal customer id), band
+    * into 8 bands of 2 rows, bucket-join for candidates
+    * ([[Dedup.minhashCandidatesOf]] — hot-bucket-guarded, in-row pair
+    * expansion), then compute EXACT Jaccard only on candidates via the
+    * same inclusion–exclusion arithmetic as [[jaccardPairsFrom]]. Total
+    * work is one signature pass over the incidence plus
+    * Σ|customers(p)| over candidate products — linear in the incidence,
+    * never |catalog|². Candidate recall follows the standard banding
+    * curve P(collide) = 1−(1−j²)⁸; every emitted score is exact, so a
+    * surfaced pair is never wrong, only a low-j pair possibly absent.
+    * All joins unhinted (candidates and sizes are data-dependent —
+    * bounded-relation rule); AQE elects broadcast when they measure
+    * small. Max bucket at tested sfs is 70 (sf0.1), so the default
+    * guard never fires on oracle-checked data. */
+  def jaccardLsh(spark: SparkSession, dir: String, k: Int = 100,
+      maxBucket: Int = 1000): DataFrame =
+    jaccardLshFrom(Relational.bipartite(spark, dir), k, maxBucket)
+
+  /** Same computation over any (customer_id, product_id) incidence —
+    * the testable core (property specs feed random incidences). */
+  def jaccardLshFrom(b: DataFrame, k: Int = 100,
+      maxBucket: Int = 1000): DataFrame = {
+    val hashed = b.select(col("product_id").as("doc_id"),
+      graft.operators.TextOps.h32(col("customer_id").cast("string")).as("h"))
+    val cand = Dedup.minhashCandidatesOf(Dedup.minhashOfHashed(hashed),
+      maxBucket)
+    val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
+    val common = cand
+      .join(b.as("x"), col("p1") === col("x.product_id"))
+      .select(col("p1"), col("p2"), col("x.customer_id").as("cid"))
+      .join(b.as("y"), col("p2") === col("y.product_id") &&
+        col("cid") === col("y.customer_id"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.as("s1"), col("p1") === col("s1.product_id"))
+      .join(sizes.as("s2"), col("p2") === col("s2.product_id"))
+      .select(col("p1"), col("p2"),
+        round(col("common") / (col("s1.sz") + col("s2.sz") - col("common")),
+          6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("p1"), asc("p2"))
+      .limit(k)
+  }
+
   /** The seed-customer strategy inputs shared by [[recBlend]] and
     * [[recBlendFixed]] (and mirrored by both DuckDB oracles): seed
     * products of the min purchasing customer, the per-candidate

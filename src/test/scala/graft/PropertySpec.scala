@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.functions.{col, timestamp_micros}
+import org.apache.spark.sql.functions.{col, round, timestamp_micros}
 import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
@@ -177,6 +177,33 @@ class PropertySpec extends SparkSpec {
         assert(j >= 0.0 && j <= 1.0)
         val j2 = c.toDouble / (sizes(p2) + sizes(p1) - c)
         assert(j == j2)
+      }
+    }
+  }
+
+  test("jaccard_lsh is sound (exact scores) and complete on identical sets") {
+    val pairsGen = Gen.listOfN(60, for {
+      c <- Gen.choose(1L, 8L); p <- Gen.choose(1L, 10L)
+    } yield (c, p))
+    samples(pairsGen, 6).foreach { pairs =>
+      val b = pairs.distinct.toDF("customer_id", "product_id")
+      val exact = graft.operators.Recommend.jaccardPairsFrom(b)
+        .select($"p1", $"p2", round($"jaccard", 6).as("jaccard"))
+        .as[(Long, Long, Double)].collect()
+        .map { case (p1, p2, j) => (p1, p2) -> j }.toMap
+      val lsh = graft.operators.Recommend.jaccardLshFrom(b, k = 1000)
+        .as[(Long, Long, Double)].collect()
+      // soundness: every surfaced pair carries the exact operator's score
+      lsh.foreach { case (p1, p2, j) =>
+        assert(exact.get((p1, p2)).contains(j),
+          s"lsh pair ($p1,$p2)=$j disagrees with exact ${exact.get((p1, p2))}")
+      }
+      // completeness at j=1: identical customer sets share the whole
+      // signature, so every band collides — banding finds them surely
+      val lshPairs = lsh.map { case (p1, p2, _) => (p1, p2) }.toSet
+      exact.foreach { case ((p1, p2), j) =>
+        if (j == 1.0) assert(lshPairs.contains((p1, p2)),
+          s"identical-set pair ($p1,$p2) missed by LSH banding")
       }
     }
   }

@@ -64,6 +64,18 @@ class RelationalSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0), (1L, 4L, 1.0), (2L, 4L, 1.0)))
   }
 
+  test("jaccard_lsh recovers the exact operator's pairs on the fixture") {
+    // P1/P2/P4 share the identical customer set {C1} → identical minhash
+    // signatures → every band collides: the LSH tier must surface all
+    // three pairs with the same exact scores as jaccard_topk (identical
+    // sets are the one class banding finds with probability 1).
+    val exact = Recommend.jaccardTopk(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    val lsh = Recommend.jaccardLsh(spark, dir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(lsh == exact)
+  }
+
   test("edges_build: MATCH-semantics edge counts (FIXTURES A.3 ETL: 3 PLACED, 5 CONTAINS, 4 IN_CATEGORY)") {
     val byType = Relational.edgesBuild(spark, dir)
       .groupBy("rel_type").count().as[(String, Long)].collect().toMap
