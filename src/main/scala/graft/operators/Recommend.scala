@@ -101,34 +101,48 @@ object Recommend {
     * pin an executor on a |basket|² pair expansion (the 100 TB skew
     * corner AQE cannot split — a single groupBy key). When the guard
     * fires, `common` (and so jaccard) is a LOWER BOUND for pairs
-    * involving hot customers while `sizes` stays exact — the same
+    * involving hot customers while `sz` stays exact — the same
     * honesty contract as [[Dedup.ngramJaccard]]'s maxDf. The sf0.1
     * maximum basket is 105, so the default never fires on oracle-checked
-    * data (GuardSpec exercises the degenerate corner). */
+    * data (GuardSpec exercises the degenerate corner).
+    *
+    * Per-product degrees ride ALONG the pair expansion (baskets hold
+    * `struct(product_id, sz)`, the pair aggregate emits max(s1)/max(s2) —
+    * constant within a (p1,p2) group) instead of being joined onto the
+    * pair aggregate afterwards. Joining after costs two extra
+    * shuffles+sorts of the pair aggregate, the one frame whose row count
+    * grows superlinearly when the catalog grows with the data
+    * (SCALING.md's sf1 audit: 231k rows at sf0.1 → 11.5M at sf1) — and
+    * AQE does NOT rescue those joins at scale: the `sizes` aggregate's
+    * own exchange already satisfies the join distribution, so the stage
+    * AQE measures is the PARTIAL-aggregate shuffle, inflated by
+    * per-map-partition duplicates past the broadcast threshold even
+    * though the final aggregate is tiny (measured at sf1: both joins
+    * stayed sort-merge). Attaching `sz` upstream joins it to the
+    * incidence instead — linear in |b|, the smaller frame at any scale
+    * where pairing matters. `sizes` is computed on the FULL incidence
+    * before the guard, so degrees stay exact when the guard fires. */
   def jaccardPairsFrom(b: DataFrame, maxBasket: Int = 1000): DataFrame =
     graft.model.BuilderCache.memoByPlan(b.sparkSession,
         s"jaccardPairs:$maxBasket", b) {
       val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
+      // Unhinted join (sizes is unbounded — one row per product; the
+      // bounded-relation rule bans forcing it past AQE's measurement).
       val baskets = Dedup.dropHotBuckets(b, Seq("customer_id"), maxBasket)
+        .join(sizes, "product_id")
         .groupBy("customer_id")
-        .agg(sort_array(collect_set(col("product_id"))).as("ds"))
+        .agg(sort_array(collect_set(struct(col("product_id"), col("sz"))))
+          .as("ds"))
         .filter(size(col("ds")) >= 2)
-      val common = baskets
+      baskets
         .select(Dedup.bucketPairs((x, y) =>
-          s"struct($x AS p1, $y AS p2)").as("pr"))
+          s"struct($x.product_id AS p1, $y.product_id AS p2, " +
+            s"$x.sz AS s1, $y.sz AS s2)").as("pr"))
         .groupBy(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
-        .agg(count(lit(1)).as("common"))
-      // `sizes` is an unbounded grouped aggregate (one row per product —
-      // grows with the catalog), so it carries NO broadcast hint: the
-      // bounded-relation rule (see tfidf, TextOps) says only provably
-      // bounded frames may force a broadcast past AQE's size measurement.
-      // AQE still elects broadcast-hash at runtime whenever `sizes`
-      // measures under the threshold, which it does at every tested sf.
-      common
-        .join(sizes.as("s1"), col("p1") === col("s1.product_id"))
-        .join(sizes.as("s2"), col("p2") === col("s2.product_id"))
+        .agg(count(lit(1)).as("common"),
+          max(col("pr.s1")).as("s1"), max(col("pr.s2")).as("s2"))
         .select(col("p1"), col("p2"),
-          (col("common") / (col("s1.sz") + col("s2.sz") - col("common")))
+          (col("common") / (col("s1") + col("s2") - col("common")))
             .as("jaccard"))
     }
 
