@@ -21,6 +21,9 @@ object Bench {
     * the alarm fires at ~3× today's steady state. */
   private val baselineSec: Map[String, Double] = Map(
     "adjacency_norm" -> 0.32, "bipartite_edges" -> 0.3,
+    // chunk_assign/viz_dot joined in round 9: quiet TimeQuery warm
+    // medians 0.83 / 0.80 s × 1.5
+    "chunk_assign" -> 1.25,
     "collab_topk" -> 1.22, "cooc_pairs" -> 0.3,
     "cooc_topk" -> 0.76, "corpus_mix" -> 0.43,
     "corpus_prepare" -> 1.11, "corpus_quantiles" -> 0.3,
@@ -52,7 +55,8 @@ object Bench {
     "text_fingerprint" -> 0.3, "text_quality" -> 0.3,
     "text_repetition" -> 2.27, "text_tokens" -> 0.3,
     "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
-    "tokenize_unk" -> 0.62, "vocab_build" -> 0.41)
+    "tokenize_unk" -> 0.62, "viz_dot" -> 1.2,
+    "vocab_build" -> 0.41)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
     * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so

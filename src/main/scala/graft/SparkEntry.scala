@@ -124,6 +124,11 @@ object SparkEntry {
     // pinned in ScalaTest) but the quantized computation itself is
     // deterministic → oracle-checked like the rest of the ANN tier
     "knn_quantized"     -> ((s, d) => Similarity.knnQuantized(s, d)),
+    // the last two survey rows previously scoped n/a, reframed
+    // Spark-first: S8 batch chunker as deterministic hash-bucket batch
+    // assignment, G3 visualization as bounded DOT serialization
+    "chunk_assign"      -> ((s, d) => graft.sources.Etl.chunkAssign(s, d)),
+    "viz_dot"           -> ((s, d) => graft.operators.Viz.dotLines(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1540,5 +1545,42 @@ object SparkEntry {
         |         AS max_tokens
         |FROM documents GROUP BY source, lang
         |ORDER BY source, lang""".stripMargin,
+
+    // S8 chunker: nb = ceil(count/100) must track Etl.chunkAssign's
+    // chunkSize=100 default; hash = the shared h32 salted-md5 family
+    "chunk_assign" ->
+      """WITH nb AS MATERIALIZED (
+        |  SELECT GREATEST(1, CAST(ceil(count(*) / 100.0) AS BIGINT)) AS n
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(('0x' || substr(md5('chunk:' || CAST(doc_id AS VARCHAR)),
+        |             1, 8)) AS BIGINT) % n AS batch
+        |FROM documents, nb ORDER BY doc_id""".stripMargin,
+
+    // G3 DOT export: top-100 undirected cooc edges + their endpoint
+    // nodes as DOT body lines; penwidth integerized as w100 = 200 +
+    // (600*w)//max_w rendered %d.%02d — must track Viz.dotLines
+    "viz_dot" ->
+      """WITH oi AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |cnt AS MATERIALIZED (
+        |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+        |         CAST(count(*) AS BIGINT) AS w
+        |  FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |top AS MATERIALIZED (
+        |  SELECT * FROM cnt ORDER BY w DESC, src ASC, dst ASC LIMIT 100),
+        |mx AS MATERIALIZED (SELECT max(w) AS mw FROM top),
+        |sel AS MATERIALIZED (
+        |  SELECT 0 AS sect, printf('  %d;', id) AS line
+        |  FROM (SELECT src AS id FROM top UNION SELECT dst AS id FROM top)
+        |  UNION ALL
+        |  SELECT 1 AS sect,
+        |         printf('  %d -- %d [penwidth=%d.%02d];', src, dst,
+        |                (200 + (600 * w) // mw) // 100,
+        |                (200 + (600 * w) // mw) % 100) AS line
+        |  FROM top, mx)
+        |SELECT line FROM sel ORDER BY sect, line""".stripMargin,
   )
 }

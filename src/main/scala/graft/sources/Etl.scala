@@ -55,6 +55,52 @@ object Etl {
     println("ETL done.")
   }
 
+  /** S8 — batch chunker (ref: `tp2/app/etl.py:153-164`, `chunk`): the
+    * reference slices a pandas frame into fixed-size position ranges for
+    * batched MERGE round-trips. Position slicing does not translate — a
+    * global row-number funnels 100 TB through one sort — so the scale-
+    * correct reframe is deterministic hash bucketing: fix the batch
+    * COUNT `nb = ceil(total/chunkSize)` (one count aggregate, no
+    * collect), then `batch = h32('chunk:'||key) % nb`. Expected batch
+    * size ≈ chunkSize by binomial concentration; membership depends only
+    * on the row's own key (same stability contract as
+    * [[graft.operators.Corpus.splitBucket]]), so batches are
+    * reproducible under reordering/reruns and each batch is a
+    * pushdown-friendly filter rather than a materialized slice. */
+  def nBatches(df: org.apache.spark.sql.DataFrame, chunkSize: Int): Long = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    math.max(1L, (df.count() + chunkSize - 1) / chunkSize)
+  }
+
+  def chunkAssignOf(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column, nb: Long): org.apache.spark.sql.DataFrame =
+    df.select(key.as("id"),
+      (graft.operators.TextOps.h32(concat(lit("chunk:"),
+        key.cast("string"))) % nb).as("batch"))
+
+  /** `chunk_assign`: the declared-query surface — documents keyed by
+    * doc_id, chunkSize 100 (sf0.01: 500 docs → 5 batches). */
+  def chunkAssign(spark: SparkSession, dir: String,
+      chunkSize: Int = 100): org.apache.spark.sql.DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    chunkAssignOf(docs, col("doc_id"), nBatches(docs, chunkSize))
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** The reference's consumption pattern (a list of frames to iterate):
+    * lazy per-batch filters over one assignment frame. Callers writing
+    * batched sinks iterate without ever holding more than one batch's
+    * rows in flight. */
+  def batches(df: org.apache.spark.sql.DataFrame,
+      key: org.apache.spark.sql.Column,
+      chunkSize: Int = 1000): Iterator[org.apache.spark.sql.DataFrame] = {
+    val nb = nBatches(df, chunkSize)
+    val assigned = chunkAssignOf(df, key, nb)
+    (0L until nb).iterator.map(i =>
+      assigned.filter(col("batch") === i).select(col("id")))
+  }
+
   def main(args: Array[String]): Unit = {
     val inDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = if (args.length > 1) args(1) else "/tmp/graft_graph_store"

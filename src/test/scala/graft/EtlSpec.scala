@@ -99,4 +99,27 @@ class EtlSpec extends SparkSpec {
     assert(quarantined.length == 2)
     assert(quarantined.exists(_.contains("not json at all")))
   }
+
+  test("chunker batches partition the input deterministically (S8)") {
+    val docs = graft.model.Tables.documents(spark, dir).select("doc_id")
+    val total = docs.count()
+    val nb = Etl.nBatches(docs, chunkSize = 10)
+    assert(nb == (total + 9) / 10)
+    val assigned = Etl.chunkAssignOf(docs, col("doc_id"), nb)
+    // complete + in-range: every row lands in exactly one batch
+    assert(assigned.count() == total)
+    val perBatch = assigned.groupBy("batch").count()
+      .as[(Long, Long)].collect().toMap
+    assert(perBatch.keys.forall(b => b >= 0 && b < nb))
+    assert(perBatch.values.sum == total)
+    // stable under recomputation and row order (hash of own key only)
+    val again = Etl.chunkAssignOf(
+      docs.orderBy(desc("doc_id")), col("doc_id"), nb)
+      .as[(Long, Long)].collect().toSet
+    assert(assigned.as[(Long, Long)].collect().toSet == again)
+    // the iterator view: lazy per-batch filters, disjoint and complete
+    val sizes = Etl.batches(docs, col("doc_id"), chunkSize = 10)
+      .map(_.count()).toSeq
+    assert(sizes.length == nb && sizes.sum == total)
+  }
 }
