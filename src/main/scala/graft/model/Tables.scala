@@ -25,21 +25,28 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
 
-  /** `events.ts` is nanosecond-precision in the parquet (TESTDATA.md);
-    * Spark's TimestampType is µs. The SESSION must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true` (all graft mains and the
-    * test session builder set it — a reader must not mutate session conf
-    * as a side effect); this reader then truncates the nano longs to µs —
-    * the same truncation DuckDB applies casting timestamp_ns → TIMESTAMP,
-    * so oracle comparisons agree. */
+  /** `events.ts` normalized to Spark's µs TimestampType regardless of the
+    * physical encoding, which has varied across testdata generations:
+    * int64 nanoseconds (either a plain BIGINT column as
+    * [[graft.tools.GenScale]] writes, or parquet timestamp_ns surfaced as
+    * a long under `spark.sql.legacy.parquet.nanosAsLong=true` — the graft
+    * mains and the test session builder still set that conf so ns files
+    * stay readable), or a native µs timestamp (tz-less reads as NTZ).
+    * Nanos truncate to µs — the same truncation DuckDB applies casting
+    * timestamp_ns → TIMESTAMP; NTZ casts to the UTC session timestamp
+    * unchanged — exactly how DuckDB reads a tz-less µs column. Either
+    * way the VALUES agree with the oracle. */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false")
-      == "true",
-      "session must be built with spark.sql.legacy.parquet.nanosAsLong=true" +
-        " (events.parquet stores ns timestamps)")
-    read(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types._
+    val raw = read(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _: TimestampType => raw
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected int64 nanos or timestamp)")
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

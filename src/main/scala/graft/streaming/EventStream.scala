@@ -23,27 +23,36 @@ import org.apache.spark.sql.types._
   */
 object EventStream {
 
-  /** events schema as stored (ts is int64 nanos in the parquet). */
-  val eventsSchema: StructType = StructType(Seq(
+  /** events schema with `ts` as stored — int64 nanos or a native µs
+    * timestamp, depending on the testdata generation (same variance the
+    * batch reader [[graft.model.Tables.events]] absorbs). */
+  def eventsSchema(tsType: DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Streaming source over the events parquet dir, ns→µs normalized like
-    * the batch reader (the session must be built with
-    * `spark.sql.legacy.parquet.nanosAsLong=true`, same contract as
-    * [[graft.model.Tables.events]]). */
+  /** Streaming source over the events parquet dir, `ts` normalized to the
+    * µs TimestampType like the batch reader. A streaming source needs a
+    * static schema up front, so sniff the stored `ts` type from the
+    * parquet footer (one metadata-only batch read at stream-definition
+    * time — no data scan) and declare the matching schema. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    val storedTs = spark.read
+      .parquet(s"$dir/events.parquet").schema("ts").dataType
     // the file stream source monitors a DIRECTORY; the testdata ships one
     // parquet file per table in a flat dir, so glob-filter to the table
-    spark.readStream
-      .schema(eventsSchema)
+    val raw = spark.readStream
+      .schema(eventsSchema(storedTs))
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    storedTs match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _: TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Tumbling 1-hour windowed counts/sums with a 1-hour watermark — the

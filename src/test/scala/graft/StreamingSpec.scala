@@ -210,7 +210,8 @@ class StreamingSpec extends SparkSpec {
       (210L, t0 + 60L * 1000000000L, 9L, "purchase")))
     new java.io.File(s"$watched/a.parquet")
       .setLastModified(System.currentTimeMillis() - 60000)
-    val stream = spark.readStream.schema(EventStream.eventsSchema)
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema(org.apache.spark.sql.types.LongType))
       .option("maxFilesPerTrigger", "1").parquet(watched)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     val q = EventStream.asofAttribution(stream).toDF().writeStream
