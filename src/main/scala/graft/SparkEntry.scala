@@ -129,6 +129,11 @@ object SparkEntry {
     // assignment, G3 visualization as bounded DOT serialization
     "chunk_assign"      -> ((s, d) => graft.sources.Etl.chunkAssign(s, d)),
     "viz_dot"           -> ((s, d) => graft.operators.Viz.dotLines(s, d)),
+    // corpus observability tier (round 9): per-domain curation report,
+    // tokenizer-sizing coverage curve, semantic-cluster audit
+    "domain_stats"      -> ((s, d) => Corpus.domainStats(s, d)),
+    "vocab_coverage"    -> ((s, d) => TextOps.vocabCoverage(s, d)),
+    "cluster_stats"     -> ((s, d) => Similarity.clusterStats(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1582,5 +1587,112 @@ object SparkEntry {
         |                (200 + (600 * w) // mw) % 100) AS line
         |  FROM top, mx)
         |SELECT line FROM sel ORDER BY sect, line""".stripMargin,
+
+    // per-domain curation report (Corpus.domainStats): keep rule must
+    // track TextOps.keepGate (20..1000 tokens + stopword floor), dup
+    // signal = full-content md5 seen in >= 2 docs
+    "domain_stats" ->
+      """WITH b AS (SELECT doc_id, source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT)
+        |               AS n_tokens,
+        |             (len(string_split(text, ' ')) >= 20
+        |              AND len(string_split(text, ' ')) <= 1000
+        |              AND len(list_filter(string_split(text, ' '),
+        |                x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0)
+        |               AS keep,
+        |             md5(text) AS fp
+        |           FROM documents),
+        |f AS (SELECT source, n_tokens, keep,
+        |        count(*) OVER (PARTITION BY fp) AS grp
+        |      FROM b),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS docs,
+        |        CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |        CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS keep_docs,
+        |        CAST(sum(CASE WHEN grp >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS dup_docs
+        |      FROM f GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS t_docs,
+        |        CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |          AS t_tokens
+        |      FROM documents)
+        |SELECT source, docs, tokens, keep_docs, dup_docs,
+        |       round(keep_docs / CAST(docs AS DOUBLE), 6) AS keep_rate,
+        |       round(dup_docs / CAST(docs AS DOUBLE), 6) AS dup_rate,
+        |       round(docs / CAST(t_docs AS DOUBLE), 6) AS doc_share,
+        |       round(tokens / CAST(t_tokens AS DOUBLE), 6) AS token_share
+        |FROM s CROSS JOIN t ORDER BY source""".stripMargin,
+
+    // tokenizer-sizing curve (TextOps.vocabCoverage): rank order must
+    // track vocabBuild's (-n, token); topR = 100 default
+    "vocab_coverage" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS n
+        |      FROM tok GROUP BY 1),
+        |r AS MATERIALIZED (
+        |  SELECT token, n,
+        |         CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+        |              AS BIGINT) AS rank
+        |  FROM c ORDER BY rank LIMIT 100),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS t_tokens FROM tok),
+        |h AS (SELECT n AS n1 FROM r WHERE rank = 1),
+        |cum AS (SELECT rank, token, n,
+        |          CAST(sum(n) OVER (ORDER BY rank
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |        FROM r)
+        |SELECT rank, cum.token, cum.n, cum_tokens,
+        |       round(cum_tokens / CAST(t_tokens AS DOUBLE), 6) AS coverage,
+        |       CASE WHEN rank > 1
+        |            THEN round(ln(CAST(n1 AS DOUBLE) / cum.n)
+        |                       / ln(CAST(rank AS DOUBLE)), 6)
+        |       END AS zipf_exp
+        |FROM cum CROSS JOIN t CROSS JOIN h ORDER BY rank""".stripMargin,
+
+    // semantic-cluster audit (Similarity.clusterStats): same fixed
+    // centroids + argmin arithmetic as knn_ivf_fixed above (16 cells);
+    // mean cosine via round-to-6dp -> exact micro-unit longs
+    "cluster_stats" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v,
+        |             CAST(label AS BIGINT) AS label
+        |           FROM embeddings),
+        |cents AS MATERIALIZED (SELECT vec_id AS cell, v AS cv
+        |           FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS MATERIALIZED (SELECT vec_id, label, cell, cos_micro,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY d2 ASC, cell ASC) AS ark
+        |       FROM (SELECT e.vec_id, e.label, c.cell,
+        |               list_sum(list_transform(c.cv, x -> x*x))
+        |               - 2.0 * list_sum(list_transform(list_zip(c.cv, e.v),
+        |                                               s -> s[1] * s[2]))
+        |                 AS d2,
+        |               CAST(round(round(
+        |                 list_sum(list_transform(list_zip(c.cv, e.v),
+        |                                         s -> s[1] * s[2]))
+        |                 / (sqrt(list_sum(list_transform(e.v, x -> x*x)))
+        |                    * sqrt(list_sum(list_transform(c.cv,
+        |                        x -> x*x)))), 6) * 1000000) AS BIGINT)
+        |                 AS cos_micro
+        |             FROM e CROSS JOIN cents c)),
+        |assigned AS MATERIALIZED (SELECT vec_id, label, cell, cos_micro
+        |           FROM asg WHERE ark = 1),
+        |pc AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+        |         CAST(sum(cos_micro) AS BIGINT) AS sum_micro
+        |       FROM assigned GROUP BY 1),
+        |bl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS ln_
+        |       FROM assigned GROUP BY 1, 2),
+        |top AS (SELECT cell, label AS top_label, ln_ AS top_label_n
+        |        FROM (SELECT cell, label, ln_,
+        |                row_number() OVER (PARTITION BY cell
+        |                  ORDER BY ln_ DESC, label ASC) AS lrk
+        |              FROM bl)
+        |        WHERE lrk = 1)
+        |SELECT pc.cell, n_vecs,
+        |       round(CAST(sum_micro AS DOUBLE)
+        |             / CAST(n_vecs * 1000000 AS DOUBLE), 6) AS mean_cos,
+        |       top_label, top_label_n,
+        |       round(top_label_n / CAST(n_vecs AS DOUBLE), 6) AS purity
+        |FROM pc JOIN top ON pc.cell = top.cell ORDER BY pc.cell""".stripMargin,
   )
 }

@@ -366,6 +366,59 @@ object Corpus {
       .agg(count(lit(1)).as("docs"), sum("n_tokens").as("tokens"))
       .orderBy("split", "pack_id")
 
+  /** `domain_stats`: the per-source curation report — the observability
+    * rollup a corpus pipeline publishes per domain before any mixing
+    * decision: document/token volume, the quality keep-rate
+    * ([[TextOps.keepGate]], the exact rule the `corpus_prepare*` gates
+    * apply), the EXACT-duplicate rate (full-content hash seen in ≥ 2
+    * docs — [[Dedup.dedupExact]]'s signal, attributed back to the
+    * domain that contributed the copies), and each domain's share of
+    * the corpus. Mirror-heavy and boilerplate-heavy domains surface
+    * here first; the shares are what [[corpusMix]] rates get tuned
+    * against. All ratios are exact-integer divisions rounded once.
+    *
+    * Scale posture: one window-count shuffle keyed by content hash
+    * (the same key class as `dedup_exact`'s groupBy — no pairwise
+    * expansion), one partial-aggregated shuffle on the tiny source
+    * key, and a 1-row corpus-totals broadcast (statically bounded —
+    * the one relation class the repo's broadcast rule allows a hint
+    * on). Nothing here holds per-doc state beyond the hash. */
+  def domainStats(spark: SparkSession, dir: String): DataFrame =
+    domainStatsOf(Tables.documents(spark, dir))
+
+  /** [[domainStats]] over any (doc_id, source, text) relation — the
+    * fixture-testable form (the real corpus has no exact dups below
+    * sf0.1, so the dup column's arithmetic is pinned on constructed
+    * corpora in CorpusSpec). */
+  private[graft] def domainStatsOf(docs: DataFrame): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        TextOps.keepGate.as("keep"),
+        md5(col("text")).as("fp"))
+    val flagged = base.withColumn("grp",
+      count(lit(1)).over(Window.partitionBy("fp")))
+    val perSource = flagged.groupBy("source")
+      .agg(count(lit(1)).as("docs"),
+        sum("n_tokens").as("tokens"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("keep_docs"),
+        sum(when(col("grp") >= 2, 1L).otherwise(0L)).as("dup_docs"))
+    val totals = base.agg(count(lit(1)).as("t_docs"),
+      sum("n_tokens").as("t_tokens"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("docs"), col("tokens"),
+        col("keep_docs"), col("dup_docs"),
+        round(col("keep_docs") / col("docs").cast("double"), 6)
+          .as("keep_rate"),
+        round(col("dup_docs") / col("docs").cast("double"), 6)
+          .as("dup_rate"),
+        round(col("docs") / col("t_docs").cast("double"), 6)
+          .as("doc_share"),
+        round(col("tokens") / col("t_tokens").cast("double"), 6)
+          .as("token_share"))
+      .orderBy("source")
+  }
+
   /** `sample_stratified`: exact per-stratum quota sampling — the `quota`
     * documents with the smallest salted hash per language, ranked
     * deterministically (h, then doc_id). Equivalent to a seeded uniform

@@ -282,6 +282,63 @@ object Similarity {
       .orderBy("pid", "rank")
   }
 
+  /** `cluster_stats`: the semantic-cluster audit over the embedding
+    * space — assign every vector to its nearest of the [[knnIvfFixed]]
+    * fixed centroids (same argmin arithmetic, so the two queries pin
+    * each other), then per cluster: size, mean cosine-to-centroid (the
+    * cluster's coherence), and the label MODE with its purity (how well
+    * unsupervised cells recover the labeled classes — the topic-balance
+    * report a curation pipeline reads before up/down-weighting semantic
+    * regions, and the standard external cluster-quality check while
+    * labels are available). Mean cosine avoids cross-row float
+    * accumulation entirely: each cosine rounds once, quantizes to an
+    * exact micro-unit long, sums exactly (order-free), and divides back
+    * out once — bit-stable under any partitioning, replayed exactly by
+    * the DuckDB oracle.
+    *
+    * Scale posture: the centroid table is `limit(nClusters)` bounded →
+    * broadcast-safe by maxRows; assignment is one narrow pass with a
+    * vec_id-keyed argmin window (no corpus shuffle beyond it); both
+    * rollups are partial-aggregated shuffles keyed by cell — at most
+    * nClusters × nLabels rows survive the map side. */
+  def clusterStats(spark: SparkSession, dir: String,
+      nClusters: Int = 16): DataFrame = {
+    graft.functions.VectorExpressions.register(spark)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        col("label").cast("long").as("label"))
+    val cents = e.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val argmin = Window.partitionBy("vec_id")
+      .orderBy(asc("d2"), asc("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_norm2(cv)") - lit(2.0) * expr("graft_dot(cv, v)"))
+      .withColumn("ark", row_number().over(argmin))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("label"), col("cell"),
+        round(round(expr("graft_dot(cv, v)") /
+          (sqrt(expr(norm2("v"))) * sqrt(expr("graft_norm2(cv)"))), 6)
+          * 1000000).cast("long").as("cos_micro"))
+    val perCell = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_vecs"), sum("cos_micro").as("sum_micro"))
+    val lrk = Window.partitionBy("cell").orderBy(desc("ln"), asc("label"))
+    val top = assigned.groupBy("cell", "label")
+      .agg(count(lit(1)).as("ln"))
+      .withColumn("lrk", row_number().over(lrk))
+      .filter(col("lrk") === 1)
+      .select(col("cell"), col("label").as("top_label"),
+        col("ln").as("top_label_n"))
+    perCell.join(top, "cell")
+      .select(col("cell"), col("n_vecs"),
+        round(col("sum_micro").cast("double")
+          / (col("n_vecs") * 1000000L).cast("double"), 6).as("mean_cos"),
+        col("top_label"), col("top_label_n"),
+        round(col("top_label_n") / col("n_vecs").cast("double"), 6)
+          .as("purity"))
+      .orderBy("cell")
+  }
+
   /** Quantizer training set: a seeded 10% sample of the vector table —
     * centroid placement needs sampling density, not the corpus, so the
     * k-means iterations scan ~N/10 rows instead of N per pass (at 100 TB

@@ -199,6 +199,50 @@ object TextOps {
       .orderBy("token_id")
   }
 
+  /** `vocab_coverage`: the tokenizer-sizing audit — for the top `topR`
+    * tokens by frequency (rank order = [[vocabBuild]]'s (-count, token),
+    * so ranks are ids+1 of the vocabulary the trainer would actually
+    * emit): cumulative token-stream coverage ("how much of the corpus do
+    * the first r vocabulary entries explain?" — the curve that decides
+    * vocab size and predicts the UNK rate at any cutoff) and the local
+    * Zipf exponent ln(n₁/nᵣ)/ln(r) — the power-law fit point at each
+    * rank, the standard corpus-health audit (natural text sits near 1;
+    * a flat profile means synthetic/templated text, a cliff means a
+    * truncated domain). Exponents are per-row arithmetic on exact
+    * integer counts (no float accumulation), the cumulative sum is an
+    * exact long, and each ratio rounds once — engine-deterministic like
+    * every other float output.
+    *
+    * Scale posture: the corpus-wide work is [[vocabBuild]]'s
+    * partial-aggregated count shuffle + distributed rank; everything
+    * after `limit(topR)` operates on a STATICALLY bounded relation
+    * (topR rows — the same "provably bounded" condition the broadcast
+    * rule uses), so the unpartitioned window and 1-row-totals
+    * cross-joins are constant-size at any corpus scale. */
+  def vocabCoverage(spark: SparkSession, dir: String,
+      topR: Int = 100): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = vocabBuild(spark, dir, minCount = 1L).limit(topR)
+      .select((col("token_id") + 1).as("rank"), col("token"), col("n"))
+    val totals = Tables.documents(spark, dir)
+      .agg(sum(size(toks(col("text"))).cast("long")).as("t_tokens"))
+    val cum = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.orderBy("rank")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    ranked
+      .withColumn("cum_tokens", sum("n").over(cum))
+      .withColumn("n1", max("n").over(full))
+      .crossJoin(broadcast(totals))
+      .select(col("rank"), col("token"), col("n"), col("cum_tokens"),
+        round(col("cum_tokens") / col("t_tokens").cast("double"), 6)
+          .as("coverage"),
+        when(col("rank") > 1,
+          round(log(col("n1").cast("double") / col("n"))
+            / log(col("rank").cast("double")), 6)).as("zipf_exp"))
+      .orderBy("rank")
+  }
+
   /** `tokenize_ids`: apply the [[vocabBuild]] vocabulary to the corpus —
     * the tokenization step between vocabulary construction and
     * [[Corpus.packAssign]]: every in-vocabulary token occurrence becomes

@@ -59,6 +59,45 @@ class CorpusSpec extends SparkSpec {
     assert(maxRk.filter(col("mx") =!= col("n")).count() == 0)
   }
 
+  test("domain_stats: constructed corpus — dup attribution, keep rule, shares") {
+    // doc A: 25 tokens incl a stopword → keep; appears 3× (twice in
+    // srcA, once in srcB) → all three are dup docs. doc S: 2 tokens →
+    // fails the keep gate, unique. doc B: 21 tokens keep, unique.
+    val a = ("the" +: (1 to 24).map(i => s"w$i")).mkString(" ")
+    val b = ("the" +: (1 to 20).map(i => s"b$i")).mkString(" ")
+    val docs = Seq(
+      (1L, "srcA", a), (2L, "srcA", a), (3L, "srcA", "tiny doc"),
+      (4L, "srcB", a), (5L, "srcB", b)
+    ).toDF("doc_id", "source", "text")
+    val out = Corpus.domainStatsOf(docs)
+      .as[(String, Long, Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    // totals: 5 docs, 25+25+2+25+21 = 98 tokens
+    assert(out == Seq(
+      ("srcA", 3L, 52L, 2L, 2L, 0.666667, 0.666667, 0.6, 0.530612),
+      ("srcB", 2L, 46L, 2L, 1L, 1.0, 0.5, 0.4, 0.469388)))
+  }
+
+  test("domain_stats: real corpus invariants — partition, share closure") {
+    val out = Corpus.domainStats(spark, dir).cache()
+    val docs = graft.model.Tables.documents(spark, dir)
+    assert(out.agg(sum("docs")).as[Long].collect().head == docs.count())
+    // rates and shares bounded; per-source counters consistent
+    assert(out.filter(col("keep_docs") > col("docs") ||
+      col("dup_docs") > col("docs")).count() == 0)
+    assert(out.filter(col("doc_share") <= 0 || col("doc_share") > 1)
+      .count() == 0)
+    // shares close to 1 up to per-source rounding (6 dp each)
+    val shareSum = out.agg(sum("doc_share")).as[Double].collect().head
+    assert(math.abs(shareSum - 1.0) < 1e-4, shareSum)
+    // dup accounting matches a naive recount of docs in shared-text groups
+    val naiveDups = docs.groupBy("text")
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .agg(sum("c")).as[Option[Long]].collect().head.getOrElse(0L)
+    assert(out.agg(sum("dup_docs")).as[Long].collect().head == naiveDups)
+    out.unpersist()
+  }
+
   test("corpus_mix: rate semantics — identity, down-sample bounds, up-sample copies") {
     val docs = graft.model.Tables.documents(spark, dir)
       .groupBy("source").count().as[(String, Long)].collect().toMap

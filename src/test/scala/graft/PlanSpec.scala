@@ -262,7 +262,13 @@ class PlanSpec extends SparkSpec {
     uncachedSweep {
       SparkEntry.queries.foreach { case (name, fn) =>
         val bad = fn(spark, dir).queryExecution.optimizedPlan.collect {
-          case w: LogicalWindow if w.partitionSpec.isEmpty => w
+          // same exemption principle as the broadcast rule: a window
+          // whose input is PROVABLY bounded (static maxRows from a
+          // limit, e.g. vocab_coverage's topR relation) is
+          // constant-size at any corpus scale — the guard bans only
+          // unpartitioned windows over unbounded inputs
+          case w: LogicalWindow if w.partitionSpec.isEmpty &&
+              !w.child.maxRows.exists(_ <= 10000) => w
         }
         assert(bad.isEmpty,
           s"$name funnels all rows into one partition via Window.partitionBy(): $bad")
