@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.algo.PageRank
-import graft.operators.{Corpus, Dedup, EventsOps, Multimodal, Recommend, Relational, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, EventsOps, GraphMetrics, Multimodal, Recommend, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -134,6 +134,10 @@ object SparkEntry {
     "domain_stats"      -> ((s, d) => Corpus.domainStats(s, d)),
     "vocab_coverage"    -> ((s, d) => TextOps.vocabCoverage(s, d)),
     "cluster_stats"     -> ((s, d) => Similarity.clusterStats(s, d)),
+    // graph-structure + boilerplate-removal tier (round 9): per-vertex
+    // triadic structure on the co-purchase graph, cross-doc span removal
+    "triangle_counts"   -> ((s, d) => GraphMetrics.triangleCounts(s, d)),
+    "text_clean"        -> ((s, d) => TextOps.textClean(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1694,5 +1698,76 @@ object SparkEntry {
         |       top_label, top_label_n,
         |       round(top_label_n / CAST(n_vecs AS DOUBLE), 6) AS purity
         |FROM pc JOIN top ON pc.cell = top.cell ORDER BY pc.cell""".stripMargin,
+
+    // per-vertex triangles + clustering coefficient
+    // (GraphMetrics.triangleCounts): degree-ordered orientation, wedge
+    // pairs id-sorted (e1.v < e2.v) so the closing probe hits the
+    // canonical id-sorted undirected edge list — each triangle counted
+    // exactly once from its unique orientation-DAG source
+    "triangle_counts" ->
+      """WITH lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT src AS v FROM und
+        |        UNION ALL SELECT dst FROM und) GROUP BY 1),
+        |ore AS MATERIALIZED (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+        |              THEN e.src ELSE e.dst END AS u,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+        |              THEN e.dst ELSE e.src END AS v
+        |  FROM und e JOIN deg du ON e.src = du.v
+        |             JOIN deg dv ON e.dst = dv.v),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS u, e1.v AS a, e2.v AS b
+        |  FROM ore e1 JOIN ore e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN und ON und.src = e1.v AND und.dst = e2.v),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |       FROM (SELECT u AS v FROM tri UNION ALL SELECT a FROM tri
+        |             UNION ALL SELECT b FROM tri) GROUP BY 1)
+        |SELECT deg.v AS product_id, deg.d AS degree,
+        |       CAST(COALESCE(tv.t, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN deg.d >= 2
+        |            THEN round((2.0 * COALESCE(tv.t, 0))
+        |                       / (deg.d * (deg.d - 1.0)), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS clust_coeff
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+        |ORDER BY product_id""".stripMargin,
+
+    // cross-document span removal (TextOps.textClean): span rule must
+    // track span_dup_rate's n=8 shingles and df >= 2 over distinct
+    // (doc, span); a position is removed iff covered by a shared span
+    "text_clean" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ps AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS start,
+        |         unnest(list_transform(range(len(t) - 7),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |                t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+        |                t[i+7] || ' ' || t[i+8])) AS s
+        |  FROM tk),
+        |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM ps)
+        |        GROUP BY s HAVING count(*) >= 2),
+        |hs AS (SELECT doc_id,
+        |         list_sort(list(DISTINCT start)) AS hs
+        |       FROM ps JOIN dup USING (s) GROUP BY 1),
+        |k AS (SELECT tk.doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        list_filter(range(len(t)),
+        |          i -> len(list_filter(COALESCE(hs.hs, []),
+        |                 st -> i >= st AND i < st + 8)) = 0) AS kept,
+        |        t
+        |      FROM tk LEFT JOIN hs ON tk.doc_id = hs.doc_id)
+        |SELECT doc_id, n_tokens,
+        |       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |       COALESCE(
+        |         array_to_string(list_transform(kept, i -> t[i+1]), ' '),
+        |         '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
   )
 }

@@ -385,6 +385,61 @@ object TextOps {
           .otherwise(0.0) < 0.5).as("keep_span"))
   }
 
+  /** `text_clean`: cross-document boilerplate REMOVAL — the action whose
+    * metric is [[spanDupRate]]: drop every token position covered by an
+    * n-token span that also appears in at least one OTHER document
+    * (df ≥ 2 over distinct (doc, span) — within-doc repetition is
+    * [[textRepetition]]'s business and is deliberately not removed),
+    * and reassemble the surviving tokens in order. This is the
+    * line/paragraph-dedup step of the CCNet/RefinedWeb family adapted to
+    * the corpus's newline-free token streams: shared spans are mirrors,
+    * license headers, and template boilerplate; removing them (rather
+    * than dropping whole documents) is the standard middle ground
+    * between exact-dedup and near-dup document removal. A fully-shared
+    * document cleans to the empty string — the caller's signal that
+    * document-level dedup should have caught it.
+    *
+    * Scale posture: span df is one partial-aggregated shuffle over the
+    * (doc, span) stream (linear in corpus tokens, the [[spanDupRate]]
+    * shape); hot starts come back per-doc via one semi-join + groupBy —
+    * a bounded integer list per document (≤ its token count), never a
+    * pairwise doc expansion. The removal itself is in-row array
+    * arithmetic over (positions × hot spans), both bounded by document
+    * length, inside whole-stage codegen. */
+  def textClean(spark: SparkSession, dir: String): DataFrame =
+    textCleanOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[textClean]] over any (doc_id, text, ...) relation — the
+    * fixture-testable form. */
+  private[graft] def textCleanOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val starts = base.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(t) >= $n
+         |  THEN transform(sequence(0, size(t) - $n),
+         |         i -> struct(i AS start,
+         |                     concat_ws(' ', slice(t, i + 1, $n)) AS s))
+         |  ELSE array()
+         |END""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.start").as("start"), col("sp.s").as("s"))
+    val shared = starts.select("doc_id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("s")
+    val hotStarts = starts.join(shared, Seq("s"), "left_semi")
+      .groupBy("doc_id").agg(sort_array(collect_set(col("start"))).as("hs"))
+    base.join(hotStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("hs"), expr("CAST(array() AS array<int>)")).as("hs"))
+      .withColumn("kept", expr(
+        s"""filter(sequence(0, size(t) - 1),
+           |  i -> NOT exists(hs, st -> i >= st AND i < st + $n))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          expr("transform(kept, i -> element_at(t, i + 1))")).as("clean_text"))
+  }
+
   /** `lang_id`: stopword-vote language identification — count function
     * words per language, argmax with a deterministic tie-break (en > fr >
     * de > es). A real corpus would use char n-gram profiles; the mechanism

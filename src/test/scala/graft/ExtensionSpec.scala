@@ -222,6 +222,50 @@ class ExtensionSpec extends SparkSpec {
     assert(r(4L) == ((0L, 0L, 0.0, true)))
   }
 
+  test("text_clean: full, partial, and zero removal on constructed docs") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // verbatim pair with 2 → fully removed
+      (2L, "a b c d e f g h i j"),
+      (3L, "q r s t u v w x y z"),   // shares only span@0 with 4
+      (4L, "q r s t u v w x m n"),
+      (5L, "k l m n o p k l m n"),   // unique → untouched
+      (6L, "too short")              // < 8 tokens → no spans, untouched
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.textCleanOf(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((10L, 10L, "")))
+    assert(got(2L) == ((10L, 10L, "")))
+    // shared span "q r s t u v w x" covers positions 0..7 in both docs
+    assert(got(3L) == ((10L, 8L, "y z")))
+    assert(got(4L) == ((10L, 8L, "m n")))
+    // within-doc repetition alone never triggers removal (df counts docs)
+    assert(got(5L) == ((10L, 0L, "k l m n o p k l m n")))
+    assert(got(6L) == ((2L, 0L, "too short")))
+  }
+
+  test("text_clean: consistency with span_dup_rate on the real corpus") {
+    val clean = TextOps.textClean(spark, dir).cache()
+    val rate = TextOps.spanDupRate(spark, dir)
+      .select(col("doc_id"), col("n_dup"))
+    val j = clean.join(rate, "doc_id").cache()
+    // removal fires exactly where the metric sees shared spans
+    assert(j.filter(col("n_dup") === 0 && col("n_removed") > 0).count() == 0)
+    assert(j.filter(col("n_dup") > 0 && col("n_removed") === 0).count() == 0)
+    // a shared span covers >= 8 positions: removal is 0 or >= 8
+    assert(clean.filter(col("n_removed") > 0 && col("n_removed") < 8)
+      .count() == 0)
+    // clean_text token count reconciles with the removal arithmetic
+    // ('' splits to 1 empty token, so guard the fully-removed rows)
+    val bad = clean.filter(col("n_removed") < col("n_tokens") &&
+      size(split(col("clean_text"), " ")) =!=
+        col("n_tokens") - col("n_removed"))
+    assert(bad.count() == 0)
+    assert(clean.filter(col("n_removed") === col("n_tokens") &&
+      col("clean_text") =!= "").count() == 0)
+    j.unpersist(); clean.unpersist()
+  }
+
   test("rec_blend_fixed: cooc/sim contributions equal rec_blend's; parts sum") {
     import graft.operators.Recommend
     // same seeds, same scores, same maxes (s_cooc/s_jacc are zero
