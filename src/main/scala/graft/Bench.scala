@@ -53,9 +53,14 @@ object Bench {
     "sessionize" -> 0.54, "sim_topk" -> 0.3,
     "span_dup_rate" -> 0.3, "split_assign" -> 0.3,
     "text_fingerprint" -> 0.3, "text_quality" -> 0.3,
+    // text_clean/triangle_counts joined late in round 9: quiet TimeQuery
+    // warm medians 2.2 / ~5 s × 1.5 (triangle_counts is the adjacency-
+    // intersection form; the wedge-join first cut timed 10.2 s)
+    "text_clean" -> 3.3,
     "text_repetition" -> 2.27, "text_tokens" -> 0.3,
     "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
-    "tokenize_unk" -> 0.62, "viz_dot" -> 1.2,
+    "tokenize_unk" -> 0.62, "triangle_counts" -> 7.5,
+    "viz_dot" -> 1.2,
     "vocab_build" -> 0.41)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /

@@ -21,25 +21,33 @@ object GraphMetrics {
     * Algorithm: degree-ordered edge orientation (the classic
     * MapReduce-era scheme — Suri & Vassilvitskii, WWW'11; Schank's
     * thesis): orient every edge from its (degree, id)-smaller endpoint
-    * to the larger, making the graph a DAG in which each triangle has
-    * exactly one source vertex; enumerate out-neighbor pairs (wedges)
-    * per source and keep those closed by an edge. Orientation bounds
-    * per-vertex out-degree by O(√(2m)) REGARDLESS of hot vertices — a
-    * celebrity product with degree 10⁶ contributes 10⁶ wedge rows, not
-    * 10¹² — which is what makes the wedge expansion safe at 100 TB
-    * (measured here: max degree 222 → max out-degree 97 at sf0.1, and
-    * per-vertex degrees stay ~flat as the catalog grows, so wedge volume
-    * scales LINEARLY with edges: 7.7M wedges at sf0.01 → 82M at sf0.1,
-    * both ~67× the edge count).
+    * to the larger, making the graph a DAG in which every triangle's
+    * three edges take exactly one shape — source→middle, source→sink,
+    * middle→sink — so each triangle is found exactly once at its
+    * (source, middle) edge as a sink shared by both out-adjacencies.
+    * Orientation bounds per-vertex out-degree by O(√(2m)) REGARDLESS of
+    * hot vertices, so the collected out-adjacency arrays are provably
+    * small (measured here: max degree 222 → max out-degree 97 at sf0.1).
     *
-    * Plan shape: the wedge expansion is in-row ([[Dedup.bucketPairs]]
-    * over the collected out-adjacency — provably bounded arrays, the
-    * orientation IS the hot-bucket guard), so the only joins are the two
-    * vertex-keyed degree attachments and ONE closing equi-join of wedges
-    * against the id-sorted undirected edge list (wedge pairs come out of
-    * bucketPairs id-sorted, so the closing probe needs no orientation
-    * case split). Nothing is hinted: the edge relation grows with the
-    * catalog, so AQE elects broadcast only when it measures small.
+    * Plan shape: per-edge adjacency INTERSECTION, not wedge
+    * materialization — the first cut of this operator expanded each
+    * source's out-pairs ([[Dedup.bucketPairs]]) and equi-joined 82M
+    * wedge rows (sf0.1; ~67× the edge count, ~800M at sf1) against the
+    * edge list to test closure, paying a sort-merge of the wedge stream
+    * every run (10.2 s warm at sf0.1). Intersecting the two endpoints'
+    * out-adjacencies in-row (`array_intersect`, whole-stage codegen)
+    * does the same closure test edge-locally: the joins that remain are
+    * two |E|-row attachments of the out-adjacency onto the oriented edge
+    * list — LINEAR in edges at every scale, while total intersection
+    * work keeps the same Σ min(d⁺(u),d⁺(v)) = O(m^1.5) bound the wedge
+    * count had, without ever shuffling it (~5 s warm at sf0.1 under
+    * matched load, ~2× the wedge-join form; the gap widens with the
+    * wedge ratio at sf1+). The adjacency arrays are deliberately NOT
+    * carried through the second join's shuffle attached to edge rows —
+    * that would put the Σd⁺² byte volume back on the wire; two skinny
+    * equi-joins keep shuffle O(m). Nothing is hinted: edges and
+    * adjacency both grow with the catalog, so AQE elects broadcast only
+    * when it measures small.
     */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame =
     triangleCountsOf(Relational.coocCounts(spark, dir))
@@ -60,22 +68,21 @@ object GraphMetrics {
       .join(deg.select(col("v").as("dst"), col("d").as("d_dst")), Seq("dst"))
       .select(when(srcFirst, col("src")).otherwise(col("dst")).as("u"),
         when(srcFirst, col("dst")).otherwise(col("src")).as("v"))
-    // out-adjacency per source — bounded by O(√(2m)) via the orientation
-    val adj = oriented.groupBy("u")
-      .agg(sort_array(collect_list(col("v"))).as("ds"))
-      .filter(size(col("ds")) >= 2)
-    val wedges = adj.select(col("u"),
-      Dedup.bucketPairs((x, y) => s"struct($x AS a, $y AS b)").as("pr"))
-      .select(col("u"), col("pr.a").as("a"), col("pr.b").as("b"))
-    // a wedge (u; a, b) closes iff the undirected edge {a, b} exists;
-    // (a, b) is id-sorted by construction, matching und's canonical form,
-    // and the orientation DAG gives each triangle exactly one source u —
-    // every triangle is found exactly once
-    val tri = wedges.join(und,
-      wedges("a") === und("src") && wedges("b") === und("dst"))
-      .select(col("u"), col("a"), col("b"))
+    // out-adjacency per vertex — bounded by O(√(2m)) via the orientation
+    val adj = oriented.groupBy("u").agg(collect_list(col("v")).as("ds"))
+    // per-edge closure: w ∈ N⁺(u) ∩ N⁺(v) ⇔ triangle {u→v, u→w, v→w},
+    // each triangle surfacing exactly once at its (source, middle) edge.
+    // Inner joins are sound: an endpoint absent from adj has no
+    // out-neighbors, so its edges close no triangle this way anyway.
+    val tri = oriented
+      .join(adj.select(col("u").as("ju"), col("ds").as("du")),
+        col("u") === col("ju"))
+      .join(adj.select(col("u").as("jv"), col("ds").as("dv")),
+        col("v") === col("jv"))
+      .select(col("u"), col("v"),
+        explode(array_intersect(col("du"), col("dv"))).as("w"))
     val perVertex = tri
-      .select(explode(array(col("u"), col("a"), col("b"))).as("v"))
+      .select(explode(array(col("u"), col("v"), col("w"))).as("v"))
       .groupBy("v").agg(count(lit(1)).as("t"))
     deg.join(perVertex, Seq("v"), "left_outer")
       .select(col("v").as("product_id"), col("d").as("degree"),
