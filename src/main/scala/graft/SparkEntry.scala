@@ -137,6 +137,8 @@ object SparkEntry {
     // graph-structure + boilerplate-removal tier (round 9): per-vertex
     // triadic structure on the co-purchase graph, cross-doc span removal
     "triangle_counts"   -> ((s, d) => GraphMetrics.triangleCounts(s, d)),
+    "graph_stats"       -> ((s, d) => GraphMetrics.graphStats(s, d)),
+    "degree_dist"       -> ((s, d) => GraphMetrics.degreeDist(s, d)),
     "text_clean"        -> ((s, d) => TextOps.textClean(s, d)),
   )
 
@@ -264,6 +266,54 @@ object SparkEntry {
         |FROM seq s LEFT JOIN (SELECT * FROM v WHERE token_id < 50000) v
         |  ON s.u.tok = v.token
         |ORDER BY doc_id, pos""".stripMargin
+
+  /** The co-purchase graph CTE prefix (undirected edge list + degrees),
+    * shared by the `triangle_counts`, `graph_stats`, and `degree_dist`
+    * oracles. */
+  private val coocGraphSql: String =
+      """lp AS MATERIALIZED (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |und AS MATERIALIZED (
+        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+        |                     AND a.l_partkey < b.l_partkey),
+        |deg AS MATERIALIZED (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS d
+        |  FROM (SELECT src AS v FROM und
+        |        UNION ALL SELECT dst FROM und) GROUP BY 1)""".stripMargin
+
+  /** Per-vertex triangles + local clustering coefficient over the
+    * co-purchase graph (no final ORDER BY — `triangle_counts` appends
+    * one; `graph_stats` aggregates the whole table). Degree-ordered
+    * orientation: wedge pairs id-sorted (e1.v < e2.v) so the closing
+    * probe hits the canonical id-sorted undirected edge list — each
+    * triangle counted exactly once from its unique orientation-DAG
+    * source (the enumeration shape differs from the Spark side's
+    * per-edge adjacency intersection, which is the point: two
+    * independent algorithms must agree). */
+  private val triangleCountsSql: String =
+      s"""WITH $coocGraphSql,
+        |ore AS MATERIALIZED (
+        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+        |              THEN e.src ELSE e.dst END AS u,
+        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+        |              THEN e.dst ELSE e.src END AS v
+        |  FROM und e JOIN deg du ON e.src = du.v
+        |             JOIN deg dv ON e.dst = dv.v),
+        |tri AS MATERIALIZED (
+        |  SELECT e1.u AS u, e1.v AS a, e2.v AS b
+        |  FROM ore e1 JOIN ore e2 ON e1.u = e2.u AND e1.v < e2.v
+        |  JOIN und ON und.src = e1.v AND und.dst = e2.v),
+        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
+        |       FROM (SELECT u AS v FROM tri UNION ALL SELECT a FROM tri
+        |             UNION ALL SELECT b FROM tri) GROUP BY 1)
+        |SELECT deg.v AS product_id, deg.d AS degree,
+        |       CAST(COALESCE(tv.t, 0) AS BIGINT) AS triangles,
+        |       CASE WHEN deg.d >= 2
+        |            THEN round((2.0 * COALESCE(tv.t, 0))
+        |                       / (deg.d * (deg.d - 1.0)), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS clust_coeff
+        |FROM deg LEFT JOIN tv ON deg.v = tv.v""".stripMargin
 
   /** DuckDB oracle for `pagerank_fixed`: the reference's power step
     * (`tp1/knoledge_graphs/recommendation.py:150-179`) with a FIXED
@@ -1700,43 +1750,34 @@ object SparkEntry {
         |FROM pc JOIN top ON pc.cell = top.cell ORDER BY pc.cell""".stripMargin,
 
     // per-vertex triangles + clustering coefficient
-    // (GraphMetrics.triangleCounts): degree-ordered orientation, wedge
-    // pairs id-sorted (e1.v < e2.v) so the closing probe hits the
-    // canonical id-sorted undirected edge list — each triangle counted
-    // exactly once from its unique orientation-DAG source
+    // (GraphMetrics.triangleCounts) — see triangleCountsSql
     "triangle_counts" ->
-      """WITH lp AS MATERIALIZED (
-        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |und AS MATERIALIZED (
-        |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-        |  FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
-        |                     AND a.l_partkey < b.l_partkey),
-        |deg AS MATERIALIZED (
-        |  SELECT v, CAST(count(*) AS BIGINT) AS d
-        |  FROM (SELECT src AS v FROM und
-        |        UNION ALL SELECT dst FROM und) GROUP BY 1),
-        |ore AS MATERIALIZED (
-        |  SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
-        |              THEN e.src ELSE e.dst END AS u,
-        |         CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
-        |              THEN e.dst ELSE e.src END AS v
-        |  FROM und e JOIN deg du ON e.src = du.v
-        |             JOIN deg dv ON e.dst = dv.v),
-        |tri AS MATERIALIZED (
-        |  SELECT e1.u AS u, e1.v AS a, e2.v AS b
-        |  FROM ore e1 JOIN ore e2 ON e1.u = e2.u AND e1.v < e2.v
-        |  JOIN und ON und.src = e1.v AND und.dst = e2.v),
-        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
-        |       FROM (SELECT u AS v FROM tri UNION ALL SELECT a FROM tri
-        |             UNION ALL SELECT b FROM tri) GROUP BY 1)
-        |SELECT deg.v AS product_id, deg.d AS degree,
-        |       CAST(COALESCE(tv.t, 0) AS BIGINT) AS triangles,
-        |       CASE WHEN deg.d >= 2
-        |            THEN round((2.0 * COALESCE(tv.t, 0))
-        |                       / (deg.d * (deg.d - 1.0)), 6)
-        |            ELSE CAST(0.0 AS DOUBLE) END AS clust_coeff
-        |FROM deg LEFT JOIN tv ON deg.v = tv.v
+      s"""$triangleCountsSql
         |ORDER BY product_id""".stripMargin,
+
+    // one-row global graph summary (GraphMetrics.graphStats): exact-long
+    // aggregates of the per-vertex triangle table; wedge count via
+    // integer division (d(d-1) always even); transitivity = 3T/W
+    "graph_stats" ->
+      s"""WITH t AS MATERIALIZED ($triangleCountsSql)
+        |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+        |       CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+        |       CAST(sum(triangles) / 3 AS BIGINT) AS n_triangles,
+        |       CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+        |       max(degree) AS max_degree,
+        |       round(sum(degree) / CAST(count(*) AS DOUBLE), 6)
+        |         AS avg_degree,
+        |       CASE WHEN sum(degree * (degree - 1) // 2) > 0
+        |            THEN round(sum(triangles)
+        |                 / CAST(sum(degree * (degree - 1) // 2) AS DOUBLE), 6)
+        |            ELSE CAST(0.0 AS DOUBLE) END AS transitivity
+        |FROM t""".stripMargin,
+
+    // co-purchase degree histogram (GraphMetrics.degreeDist)
+    "degree_dist" ->
+      s"""WITH $coocGraphSql
+        |SELECT d AS degree, CAST(count(*) AS BIGINT) AS n_products
+        |FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // cross-document span removal (TextOps.textClean): span rule must
     // track span_dup_rate's n=8 shingles and df >= 2 over distinct

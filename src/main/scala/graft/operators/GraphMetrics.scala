@@ -50,7 +50,64 @@ object GraphMetrics {
     * when it measures small.
     */
   def triangleCounts(spark: SparkSession, dir: String): DataFrame =
-    triangleCountsOf(Relational.coocCounts(spark, dir))
+    triangleFrame(spark, dir)
+
+  /** The memoized per-vertex triangle table — the builder behind
+    * [[triangleCounts]] and [[graphStats]]: the orientation + intersection
+    * chain runs once per (session, dir), then both declared queries (and
+    * any future cohesion metric) are reads of the 1-row-per-product
+    * cached frame. Same registry pattern as [[Relational.coocCounts]];
+    * the bench gates this chain's cost on the first query to touch it
+    * (sorted order: `graph_stats`). */
+  private def triangleFrame(spark: SparkSession, dir: String): DataFrame =
+    graft.model.BuilderCache.memo(spark, s"triangleCounts:$dir") {
+      triangleCountsOf(Relational.coocCounts(spark, dir))
+    }
+
+  /** `graph_stats`: one-row global structure summary of the co-purchase
+    * graph — vertex/edge/triangle/wedge counts, degree extremes, and
+    * global transitivity 3T/W (the ratio of closed to all wedges —
+    * Newman's clustering coefficient; compare with the per-vertex local
+    * coefficients in [[triangleCounts]]). All inputs are exact longs off
+    * the memoized triangle frame (Σdeg = 2E, Σtri = 3T, W = Σ d(d−1)/2
+    * via integer DIV — always exact since d(d−1) is even); the two
+    * emitted doubles are single correctly-rounded divisions of exact
+    * ints, so the row is engine-deterministic (Det discipline). */
+  def graphStats(spark: SparkSession, dir: String): DataFrame =
+    graphStatsOf(triangleFrame(spark, dir))
+
+  /** [[graphStats]] over any [[triangleCountsOf]]-shaped frame — the
+    * fixture-testable form. */
+  private[graft] def graphStatsOf(tc: DataFrame): DataFrame =
+    tc.agg(
+      count(lit(1)).as("n_vertices"),
+      sum("degree").as("deg_sum"),
+      sum("triangles").as("tri_sum"),
+      sum(expr("(degree * (degree - 1)) DIV 2")).as("n_wedges"),
+      max("degree").as("max_degree"))
+    .select(col("n_vertices"),
+      (col("deg_sum") / 2).cast("long").as("n_edges"),
+      (col("tri_sum") / 3).cast("long").as("n_triangles"),
+      col("n_wedges"), col("max_degree"),
+      round(col("deg_sum") / col("n_vertices").cast("double"), 6)
+        .as("avg_degree"),
+      when(col("n_wedges") > 0,
+        round(col("tri_sum") / col("n_wedges").cast("double"), 6))
+        .otherwise(0.0).as("transitivity"))
+
+  /** `degree_dist`: the co-purchase degree histogram (degree →
+    * product count) — the first chart a graph owner draws, and the
+    * empirical input to the O(√(2m)) orientation-bound argument in
+    * [[triangleCounts]]. Two aggregations, the second over at most
+    * max-degree rows. */
+  def degreeDist(spark: SparkSession, dir: String): DataFrame =
+    degreeDistOf(Relational.coocCounts(spark, dir))
+
+  /** [[degreeDist]] over any symmetric directed neighbor relation. */
+  private[graft] def degreeDistOf(cc: DataFrame): DataFrame =
+    cc.groupBy(col("src").as("v")).agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_products"))
+      .orderBy("degree")
 
   /** [[triangleCounts]] over any symmetric directed (src, dst, …)
     * neighbor relation (one row per orientation of each undirected

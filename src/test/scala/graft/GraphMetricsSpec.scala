@@ -26,6 +26,47 @@ class GraphMetricsSpec extends SparkSpec {
       (4L, 3L, 1L, 0.333333), (5L, 1L, 0L, 0.0)))
   }
 
+  test("graph_stats: hand-computed fixture values") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val cc = (und ++ und.map { case (a, b) => (b, a) })
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    val got = GraphMetrics.graphStatsOf(GraphMetrics.triangleCountsOf(cc))
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    // V=5, E=6, T=2, W = 1+3+3+3+0 = 10, max=3, avg=12/5, trans=6/10
+    assert(got == ((5L, 6L, 2L, 10L, 3L, 2.4, 0.6)))
+  }
+
+  test("degree_dist: fixture histogram and real-graph reconciliation") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val cc = (und ++ und.map { case (a, b) => (b, a) })
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    val hist = GraphMetrics.degreeDistOf(cc)
+      .as[(Long, Long)].collect().toSeq
+    assert(hist == Seq((1L, 1L), (2L, 1L), (3L, 3L)))
+    // real graph: histogram masses reconcile with the per-vertex table
+    val dist = GraphMetrics.degreeDist(spark, dir)
+    val tc = GraphMetrics.triangleCounts(spark, dir)
+    val nV = tc.count()
+    val degSum = tc.agg(sum("degree")).as[Long].collect().head
+    assert(dist.agg(sum("n_products")).as[Long].collect().head == nV)
+    assert(dist.agg(sum(col("degree") * col("n_products")))
+      .as[Long].collect().head == degSum)
+  }
+
+  test("graph_stats: real graph agrees with the per-vertex table") {
+    val tc = GraphMetrics.triangleCounts(spark, dir).cache()
+    val st = GraphMetrics.graphStats(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(st._1 == tc.count())
+    assert(st._2 * 2 == tc.agg(sum("degree")).as[Long].collect().head)
+    assert(st._3 * 3 == tc.agg(sum("triangles")).as[Long].collect().head)
+    assert(st._5 == tc.agg(max("degree")).as[Long].collect().head)
+    // transitivity is a wedge-weighted mean of closures: strictly inside
+    // the local-coefficient extremes, and in [0, 1]
+    assert(st._7 >= 0.0 && st._7 <= 1.0)
+    tc.unpersist()
+  }
+
   test("triangle_counts: real graph equals a brute-force triple-join recount") {
     val out = GraphMetrics.triangleCounts(spark, dir).cache()
     val und = Relational.coocCounts(spark, dir)
