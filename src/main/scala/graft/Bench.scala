@@ -192,8 +192,20 @@ object Bench {
     // "cold_total" carry run1 — so builder first-touch attribution is in
     // the artifact instead of re-litigated from SCALING runs each round.
     val runsN = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // SPARK_GRAFT_SKIP: comma-separated query names to EXCLUDE from the
+    // sweep — for scale runs where a family is measured to exceed the
+    // box (round 9: the exact-jaccard builder at sf10 spills ~40 GB and
+    // fills /tmp, then OOMs retries; see SCALING.md's crossover section).
+    // Never silent: skipped names are listed in the JSON as "skipped",
+    // and the driver's sf0.1 gate runs with the variable unset.
+    val skip = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val skippedJson = skip.toSeq.sorted
+      .map("\"" + _ + "\"").mkString("[", ",", "]")
     val load0 = loadavg
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map {
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1)).map {
       case (name, fn) =>
         val times = scala.collection.mutable.ArrayBuffer.empty[Double]
         var err: Option[String] = None
@@ -368,12 +380,12 @@ object Bench {
     val soloErrs = soloErrors.map { case (k, e) =>
       s"\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     // The driver keeps only the LAST 2000 chars of stdout: the 59-query
     // "queries"/"cold" maps above push the gate fields (value/ok/
     // regressions) past that window (round-5 verdict). Repeat them in a
     // compact FINAL line so truncation can never eat the gate.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
