@@ -1771,7 +1771,7 @@ object SparkEntry {
         |            THEN round(sum(triangles)
         |                 / CAST(sum(degree * (degree - 1) // 2) AS DOUBLE), 6)
         |            ELSE CAST(0.0 AS DOUBLE) END AS transitivity
-        |FROM t""".stripMargin,
+        |FROM t HAVING count(*) > 0""".stripMargin,
 
     // co-purchase degree histogram (GraphMetrics.degreeDist)
     "degree_dist" ->

@@ -94,6 +94,10 @@ object GraphMetrics {
       when(col("n_wedges") > 0,
         round(col("tri_sum") / col("n_wedges").cast("double"), 6))
         .otherwise(0.0).as("transitivity"))
+    // empty-corpus contract (EmptyCorpusSpec): a summary of the empty
+    // graph is zero rows, not a row of nulls — the global aggregate
+    // always emits one row, so drop it when there are no vertices
+    .filter(col("n_vertices") > 0)
 
   /** `degree_dist`: the co-purchase degree histogram (degree →
     * product count) — the first chart a graph owner draws, and the
