@@ -140,6 +140,13 @@ object SparkEntry {
     "graph_stats"       -> ((s, d) => GraphMetrics.graphStats(s, d)),
     "degree_dist"       -> ((s, d) => GraphMetrics.degreeDist(s, d)),
     "text_clean"        -> ((s, d) => TextOps.textClean(s, d)),
+    // round-9 widening: per-vector semantic-dedup verdicts (SemDeDup on
+    // the fixed-centroid cells), PII scrubbing over synthesized contact
+    // notes, and bounded-depth BFS reachability (the Cypher
+    // variable-length-path shape) on the co-purchase graph
+    "semdedup_fixed"    -> ((s, d) => Similarity.semdedupFixed(s, d)),
+    "pii_redact"        -> ((s, d) => TextOps.piiRedact(s, d)),
+    "reach_hops"        -> ((s, d) => GraphMetrics.reachHops(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1810,5 +1817,121 @@ object SparkEntry {
         |         array_to_string(list_transform(kept, i -> t[i+1]), ' '),
         |         '') AS clean_text
         |FROM k ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup verdicts (Similarity.semdedupFixed): knn_ivf_fixed's
+    // fixed-centroid assignment (16 cells, argmin on |c|²−2·c·v, ties
+    // by cell), then in-cell pairwise cosine; drop iff a LOWER-id peer
+    // sits at cosine >= 0.4. The cell-size guard (<= 1000) mirrors
+    // dropHotBuckets and never fires on testdata.
+    "semdedup_fixed" ->
+      """WITH e AS MATERIALIZED (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM embeddings),
+        |cents AS MATERIALIZED (SELECT vec_id AS cell, v AS cv
+        |           FROM e ORDER BY vec_id LIMIT 16),
+        |asg AS (SELECT vec_id, v, cell,
+        |         row_number() OVER (PARTITION BY vec_id
+        |           ORDER BY d2 ASC, cell ASC) AS ark
+        |       FROM (SELECT e.vec_id, e.v, c.cell,
+        |               list_sum(list_transform(c.cv, x -> x*x))
+        |               - 2.0 * list_sum(list_transform(list_zip(c.cv, e.v),
+        |                                               s -> s[1] * s[2]))
+        |                 AS d2
+        |             FROM e CROSS JOIN cents c)),
+        |assigned AS MATERIALIZED (SELECT vec_id, v, cell
+        |           FROM asg WHERE ark = 1),
+        |cool AS MATERIALIZED (SELECT * FROM assigned
+        |        WHERE cell IN (SELECT cell FROM assigned
+        |                       GROUP BY cell HAVING count(*) <= 1000)),
+        |pairs AS (SELECT a.vec_id, b.vec_id AS pid,
+        |            round(list_sum(list_transform(list_zip(a.v, b.v),
+        |                                          s -> s[1] * s[2]))
+        |              / (sqrt(list_sum(list_transform(a.v, x -> x*x)))
+        |                 * sqrt(list_sum(list_transform(b.v, x -> x*x)))),
+        |              6) AS cosine
+        |          FROM cool a JOIN cool b
+        |            ON a.cell = b.cell AND a.vec_id <> b.vec_id),
+        |pv AS (SELECT vec_id, max(cosine) AS max_cos,
+        |         max(CASE WHEN pid < vec_id AND cosine >= 0.4
+        |               THEN 1 ELSE 0 END) AS drp
+        |       FROM pairs GROUP BY vec_id)
+        |SELECT a.vec_id, a.cell, pv.max_cos,
+        |       coalesce(pv.drp, 0) = 0 AS keep
+        |FROM assigned a LEFT JOIN pv ON a.vec_id = pv.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
+
+    // PII scrubbing (TextOps.piiRedact): contact notes synthesized from
+    // customer (integer/string fields only — no float formatting), then
+    // detection counts on the original note + email → IP → phone
+    // replacement. Patterns are alternation-free, so Java and RE2
+    // matching coincide; DuckDB needs the explicit 'g' flag Spark
+    // applies by default.
+    "pii_redact" ->
+      """WITH notes AS (SELECT c_custkey AS customer_id,
+        |         c_name || ' (' || c_mktsegment || ')'
+        |         || CASE WHEN c_custkey % 3 <> 0
+        |              THEN ' email c' || CAST(c_custkey AS VARCHAR)
+        |                   || '@example.com'
+        |              ELSE '' END
+        |         || CASE WHEN c_custkey % 2 = 0
+        |              THEN ' phone +1-555-'
+        |                   || lpad(CAST(c_custkey % 10000 AS VARCHAR),
+        |                           4, '0')
+        |              ELSE '' END
+        |         || CASE WHEN c_custkey % 5 <> 1
+        |              THEN ' ip 10.' || CAST(c_nationkey AS VARCHAR)
+        |                   || '.0.' || CAST(c_custkey % 256 AS VARCHAR)
+        |              ELSE '' END
+        |         || ' account under review' AS note
+        |       FROM customer)
+        |SELECT customer_id,
+        |  CAST(len(regexp_extract_all(note,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        |    AS n_email,
+        |  CAST(len(regexp_extract_all(note,
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(note,
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b'))
+        |    AS BIGINT) AS n_ip,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(note,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |        '<EMAIL>', 'g'),
+        |      '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b',
+        |      '<IP>', 'g'),
+        |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted
+        |FROM notes ORDER BY customer_id""".stripMargin,
+
+    // bounded-depth BFS (GraphMetrics.reachHops): min-hop reachability
+    // within 3 hops of the 5 smallest co-purchase vertices. Levels are
+    // frontier sets with per-level dedup; anti-joins enforce min-hop.
+    "reach_hops" ->
+      """WITH oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |edges AS MATERIALIZED (SELECT a.l_partkey AS src,
+        |           b.l_partkey AS dst
+        |         FROM oi a JOIN oi b ON a.l_orderkey = b.l_orderkey
+        |                            AND a.l_partkey <> b.l_partkey
+        |         GROUP BY 1, 2),
+        |seeds AS (SELECT DISTINCT src AS seed FROM edges
+        |          ORDER BY seed LIMIT 5),
+        |f1 AS MATERIALIZED (SELECT s.seed, e.dst AS v
+        |        FROM seeds s JOIN edges e ON e.src = s.seed
+        |        WHERE e.dst <> s.seed GROUP BY 1, 2),
+        |n2 AS (SELECT f.seed, e.dst AS v
+        |       FROM f1 f JOIN edges e ON e.src = f.v GROUP BY 1, 2),
+        |f2 AS MATERIALIZED (SELECT n2.seed, n2.v FROM n2
+        |        ANTI JOIN f1 ON f1.seed = n2.seed AND f1.v = n2.v
+        |        WHERE n2.v <> n2.seed),
+        |n3 AS (SELECT f.seed, e.dst AS v
+        |       FROM f2 f JOIN edges e ON e.src = f.v GROUP BY 1, 2),
+        |f3 AS (SELECT n3.seed, n3.v FROM n3
+        |        ANTI JOIN f1 ON f1.seed = n3.seed AND f1.v = n3.v
+        |        ANTI JOIN f2 ON f2.seed = n3.seed AND f2.v = n3.v
+        |        WHERE n3.v <> n3.seed)
+        |SELECT seed, v AS product_id, CAST(1 AS BIGINT) AS hops FROM f1
+        |UNION ALL SELECT seed, v, CAST(2 AS BIGINT) FROM f2
+        |UNION ALL SELECT seed, v, CAST(3 AS BIGINT) FROM f3
+        |ORDER BY seed, hops, product_id""".stripMargin,
   )
 }

@@ -103,6 +103,80 @@ object Similarity {
       .limit(limit)
   }
 
+  /** `semdedup_fixed`: semantic deduplication over the embedding space —
+    * the SemDeDup scheme (Abbas et al. 2023, arXiv:2303.09540, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication"): cluster the corpus, then WITHIN each cluster mark
+    * every vector that sits within cosine τ of a higher-priority vector
+    * as a semantic duplicate, keeping one representative per
+    * neighborhood. Complements the exact/near-dup text tier
+    * ([[graft.operators.Dedup]]) and [[dedupEmbedding]]'s top-pairs
+    * report: this is the per-vector KEEP/DROP verdict a curation
+    * pipeline applies, plus `max_cos` — the vector's semantic-redundancy
+    * score (its closest in-cluster neighbor), the quantity SemDeDup
+    * thresholds on. Priority = lower vec_id (deterministic, the repo's
+    * min-id survivor convention, [[Dedup.dedupSurvivors]]); clustering =
+    * the [[knnIvfFixed]] fixed centroids (first `nClusters` vec_ids,
+    * same argmin arithmetic — the three fixed-centroid queries pin each
+    * other), so every step is SQL-expressible and the DuckDB oracle
+    * replays the verdicts bit-for-bit. A vector with no cluster peer
+    * keeps `max_cos` NULL and `keep = true`.
+    *
+    * Scale posture: the published algorithm's whole point is that
+    * clustering BOUNDS the quadratic — pairwise cosine runs only inside
+    * a cell, so cost is Σ|cell|², and `nClusters` is the scale knob
+    * (SemDeDup uses 50k clusters on LAION-440M; cells stay ~10⁴ rows at
+    * any corpus size when nClusters grows with N — here 16 cells match
+    * the test-scale knn_ivf_fixed topology). The cell equi-join carries
+    * no broadcast hint (cell population is data-dependent); the
+    * [[Dedup.dropHotBuckets]] guard excludes degenerate cells (>
+    * `maxCell` rows, e.g. a mass of identical vectors collapsing into
+    * one cell) from pair generation entirely — their members emit
+    * `max_cos` NULL / `keep = true`, the same conservative lower-bound
+    * semantics as [[dedupEmbedding]]'s guard: an oversized cell demands
+    * a finer quantizer, not a quadratic join. sf0.1 max cell is 148, so
+    * the default never fires on oracle-checked data (GuardSpec feeds the
+    * degenerate case). */
+  def semdedupFixed(spark: SparkSession, dir: String, nClusters: Int = 16,
+      tau: Double = 0.4, maxCell: Int = 1000): DataFrame =
+    semdedupFixedOf(vectors(spark, dir), nClusters, tau, maxCell)
+
+  /** [[semdedupFixed]] over any (vec_id, v) relation — the
+    * fixture-testable form (callers must have
+    * [[graft.functions.VectorExpressions]] registered). */
+  private[graft] def semdedupFixedOf(e: DataFrame, nClusters: Int = 16,
+      tau: Double = 0.4, maxCell: Int = 1000): DataFrame = {
+    val cents = e.orderBy("vec_id").limit(nClusters)
+      .select(col("vec_id").as("cell"), col("v").as("cv"))
+    val argmin = Window.partitionBy("vec_id")
+      .orderBy(asc("d2"), asc("cell"))
+    val assigned = e.crossJoin(broadcast(cents))
+      .withColumn("d2",
+        expr("graft_norm2(cv)") - lit(2.0) * expr("graft_dot(cv, v)"))
+      .withColumn("ark", row_number().over(argmin))
+      .filter(col("ark") === 1)
+      .select(col("vec_id"), col("v"), col("cell"))
+    val cool = Dedup.dropHotBuckets(assigned, Seq("cell"), maxCell)
+    // both orientations of each in-cell pair, so the per-vector max and
+    // the lower-id-peer drop test are one groupBy over the same stream
+    val pairs = cool.as("a")
+      .join(cool.select(col("cell"), col("vec_id").as("pid"),
+        col("v").as("pv")).as("b"),
+        col("a.cell") === col("b.cell") && col("vec_id") =!= col("pid"))
+      .select(col("vec_id"), col("pid"),
+        round(expr(dot) /
+          (sqrt(expr(norm2("v"))) * sqrt(expr(norm2("pv")))), 6)
+          .as("cosine"))
+    val perVec = pairs.groupBy("vec_id")
+      .agg(max(col("cosine")).as("max_cos"),
+        max(when(col("pid") < col("vec_id") && col("cosine") >= tau, 1)
+          .otherwise(0)).as("drp"))
+    assigned.join(perVec, Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("max_cos"),
+        (coalesce(col("drp"), lit(0)) === 0).as("keep"))
+      .orderBy("vec_id")
+  }
+
   /** `knn_multiprobe`: ANN with the IVF `nprobe` lever — each probe
     * searches its own sign-bucket PLUS every bucket at hamming distance 1
     * (one flipped quantization bit), the standard multi-probe LSH recall

@@ -440,6 +440,85 @@ object TextOps {
           expr("transform(kept, i -> element_at(t, i + 1))")).as("clean_text"))
   }
 
+  /** PII detection patterns shared by the Spark query and (verbatim —
+    * they are alternation-free, so Java's leftmost-first and DuckDB/RE2's
+    * leftmost-longest matching coincide) the DuckDB oracle. Kept to
+    * constructs both engines implement identically: character classes,
+    * greedy bounded/unbounded repetition, and `\b` word boundaries. */
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+  private[graft] val IpRe =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** `pii_redact`: PII scrubbing — the redaction pass every
+    * training-data pipeline runs before text leaves curation (the
+    * CCNet/Dolma-family rule set: emails, phone numbers, IP addresses →
+    * typed placeholder tokens), declared as per-row detection counts
+    * plus the redacted text. The synthetic corpus is word-soup with no
+    * natural PII, so the declared query runs the operator over CONTACT
+    * NOTES synthesized deterministically from the `customer` dimension —
+    * both engines build identical strings from the same rows (integer
+    * and string fields only — no float formatting crosses the engine
+    * boundary), so the hash gate genuinely exercises the regex
+    * semantics: which spans match, in what order they are replaced, and
+    * how counts are taken. PII presence varies by customer key (mod
+    * gates below), so counts span 0..1 per category rather than
+    * degenerating to a constant column. Redaction order is fixed
+    * email → IP → phone; counts are taken on the ORIGINAL text
+    * independently, so order never affects them.
+    *
+    * Scale posture: embarrassingly parallel — scan → project, zero
+    * shuffles except the deterministic output sort; each row does three
+    * regex scans + three replaces over its own text, inside whole-stage
+    * codegen (`regexp_extract_all` / `regexp_replace` builtins, no
+    * UDF). At 100 TB this is the canonical map-only pass: cost is one
+    * read of the text column, pushdown-prunable to exactly the columns
+    * used. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiRedactOf(piiNotes(spark, dir), "customer_id", "note")
+      .orderBy("customer_id")
+
+  /** Deterministic contact-note synthesis over `customer` — the declared
+    * query's input. Segment gates (custkey mod 3 / 2 / 5) decide which
+    * PII categories a row carries. */
+  private[graft] def piiNotes(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey").as("customer_id"),
+        concat(
+          col("c_name"), lit(" ("), col("c_mktsegment"), lit(")"),
+          when(col("c_custkey") % 3 =!= 0,
+            concat(lit(" email c"), col("c_custkey").cast("string"),
+              lit("@example.com"))).otherwise(""),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit(" phone +1-555-"),
+              lpad((col("c_custkey") % 10000).cast("string"), 4, "0")))
+            .otherwise(""),
+          when(col("c_custkey") % 5 =!= 1,
+            concat(lit(" ip 10."), col("c_nationkey").cast("string"),
+              lit(".0."), (col("c_custkey") % 256).cast("string")))
+            .otherwise(""),
+          lit(" account under review")).as("note"))
+
+  /** [[piiRedact]] over any (id, text) relation — the generic operator
+    * (and the fixture-testable form): detection counts per category on
+    * the original text, then placeholder substitution in fixed order. */
+  private[graft] def piiRedactOf(df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.select(col(idCol),
+      size(regexp_extract_all(t, lit(EmailRe), lit(0)))
+        .cast("long").as("n_email"),
+      size(regexp_extract_all(t, lit(PhoneRe), lit(0)))
+        .cast("long").as("n_phone"),
+      size(regexp_extract_all(t, lit(IpRe), lit(0)))
+        .cast("long").as("n_ip"),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(t, EmailRe, "<EMAIL>"),
+          IpRe, "<IP>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+  }
+
   /** `lang_id`: stopword-vote language identification — count function
     * words per language, argmax with a deterministic tie-break (en > fr >
     * de > es). A real corpus would use char n-gram profiles; the mechanism

@@ -679,6 +679,99 @@ class ExtensionSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("semdedup_fixed: hand-computed fixture (drop near-dup, keep exemplar)") {
+    graft.functions.VectorExpressions.register(spark)
+    // centroids = vecs 0,1; vec 2 joins cell 0 at cos 0.993884 ≥ τ=0.9 →
+    // dropped (lower-id peer 0 survives); vec 1 is alone in cell 1 →
+    // max_cos NULL, keep
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(0.0, 1.0)), (2L, Array(0.9, 0.1)))
+      .toDF("vec_id", "v")
+    val got = Similarity.semdedupFixedOf(e, nClusters = 2, tau = 0.9)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, Some(0.993884), true),
+      (1L, 1L, None, true),
+      (2L, 0L, Some(0.993884), false)))
+  }
+
+  test("semdedup_fixed: real corpus equals a driver-side recount") {
+    val out = Similarity.semdedupFixed(spark, dir)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    // independent reference: collect the vectors, recompute assignment
+    // and verdicts with plain Scala loops (no Spark expressions)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .selectExpr("vec_id", "cast(embedding as array<double>) AS v")
+      .as[(Long, Array[Double])].collect().sortBy(_._1)
+    val cents = vecs.take(16)
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    def cos(a: Array[Double], b: Array[Double]): Double =
+      BigDecimal(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val cellOf = vecs.map { case (id, v) =>
+      val (cid, _) = cents.map { case (c, cv) =>
+        (c, dot(cv, cv) - 2.0 * dot(cv, v)) }.minBy { case (c, d2) => (d2, c) }
+      id -> cid
+    }.toMap
+    val byCell = vecs.groupBy { case (id, _) => cellOf(id) }
+    val expected = vecs.map { case (id, v) =>
+      val peers = byCell(cellOf(id)).filter(_._1 != id)
+      val maxCos =
+        if (peers.isEmpty) None
+        else Some(peers.map(p => cos(v, p._2)).max)
+      val dropped = peers.exists(p => p._1 < id && cos(v, p._2) >= 0.4)
+      (id, cellOf(id), maxCos, !dropped)
+    }.toSeq
+    assert(out.toSeq == expected)
+    assert(out.nonEmpty, "empty embeddings table — recount is vacuous")
+  }
+
+  test("pii_redact: constructed strings — counts, placement, idempotence") {
+    val rows = Seq(
+      ("a", "contact john.doe+spam@mail.example.co.uk and +1-555-0100"),
+      ("b", "server 192.168.0.1 and 10.0.0.255 up"),
+      ("c", "no pii here"),
+      ("d", "x@y.io 1.2.3.4")).toDF("id", "text")
+    val got = TextOps.piiRedactOf(rows, "id", "text")
+      .as[(String, Long, Long, Long, String)].collect()
+      .sortBy(_._1).toSeq
+    assert(got == Seq(
+      ("a", 1L, 1L, 0L, "contact <EMAIL> and <PHONE>"),
+      ("b", 0L, 0L, 2L, "server <IP> and <IP> up"),
+      ("c", 0L, 0L, 0L, "no pii here"),
+      ("d", 1L, 0L, 1L, "<EMAIL> <IP>")))
+    // idempotent: redacting redacted text finds nothing and changes nothing
+    val again = TextOps.piiRedactOf(
+      got.map(r => (r._1, r._5)).toDF("id", "text"), "id", "text")
+      .as[(String, Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    assert(again.map(_._5) == got.map(_._5))
+    assert(again.forall(r => r._2 == 0 && r._3 == 0 && r._4 == 0))
+  }
+
+  test("pii_redact: declared query — counts follow the mod gates, no residue") {
+    val out = TextOps.piiRedact(spark, dir).cache()
+    val custs = spark.read.parquet(s"$dir/customer.parquet").count()
+    assert(out.count() == custs)
+    // counts are exactly the synthesis gates
+    val bad = out.filter(
+      col("n_email") =!= when(col("customer_id") % 3 =!= 0, 1L).otherwise(0L) ||
+      col("n_phone") =!= when(col("customer_id") % 2 === 0, 1L).otherwise(0L) ||
+      col("n_ip") =!= when(col("customer_id") % 5 =!= 1, 1L).otherwise(0L))
+      .count()
+    assert(bad == 0)
+    // nothing PII-shaped survives redaction
+    val residue = out.filter(
+      size(regexp_extract_all(col("redacted"),
+        lit(TextOps.EmailRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit(TextOps.PhoneRe), lit(0))) > 0 ||
+      size(regexp_extract_all(col("redacted"),
+        lit(TextOps.IpRe), lit(0))) > 0).count()
+    assert(residue == 0)
+    out.unpersist()
+  }
+
   test("text_stats consistent with documents.n_chars") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("n_chars"), length(col("text")).as("len"))

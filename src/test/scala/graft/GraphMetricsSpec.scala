@@ -67,6 +67,51 @@ class GraphMetricsSpec extends SparkSpec {
     tc.unpersist()
   }
 
+  test("reach_hops: hand-computed fixture (min-hop wins over longer paths)") {
+    // path 1-2-3-4-5 plus chord 1-3: from seed 1, vertex 3 is 1 hop (the
+    // chord), 4 is 2, 5 is 3 — the 2-hop path to 3 via 2 must not emit
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 3L))
+    val cc = (und ++ und.map { case (a, b) => (b, a) })
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    val got = GraphMetrics.reachHopsOf(cc, nSeeds = 1, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 2L), (1L, 5L, 3L)))
+    // two seeds: seed 2 reaches 1,3 in one hop, 4 in two (via 3 — vertex
+    // 2 itself is excluded as seed), 5 in three
+    val got2 = GraphMetrics.reachHopsOf(cc, nSeeds = 2, maxHops = 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2.filter(_._1 == 2L) == Seq(
+      (2L, 1L, 1L), (2L, 3L, 1L), (2L, 4L, 2L), (2L, 5L, 3L)))
+  }
+
+  test("reach_hops: real graph — BFS invariants vs the edge relation") {
+    val out = GraphMetrics.reachHops(spark, dir).cache()
+    val edges = Relational.coocCounts(spark, dir).select("src", "dst").cache()
+    // hop range, per-seed uniqueness, no self-reach
+    assert(out.filter(col("hops") < 1 || col("hops") > 3).count() == 0)
+    assert(out.groupBy("seed", "product_id").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(out.filter(col("seed") === col("product_id")).count() == 0)
+    // hop-1 rows are exactly the seeds' direct neighborhoods
+    val seeds = out.select("seed").distinct()
+    val direct = seeds.join(edges, col("seed") === col("src"))
+      .filter(col("dst") =!= col("seed"))
+      .select(col("seed"), col("dst").as("product_id")).distinct()
+    val h1 = out.filter(col("hops") === 1).select("seed", "product_id")
+    assert(h1.except(direct).count() == 0 && direct.except(h1).count() == 0)
+    // every hop-h vertex (h ≥ 2) has an edge from some hop-(h−1) vertex
+    for (h <- 2 to 3) {
+      val prev = out.filter(col("hops") === h - 1)
+        .select(col("seed"), col("product_id").as("u"))
+      val cur = out.filter(col("hops") === h).select("seed", "product_id")
+      val reachable = prev.join(edges, col("u") === col("src"))
+        .select(col("seed"), col("dst").as("product_id")).distinct()
+      assert(cur.except(reachable).count() == 0,
+        s"hop-$h vertex with no hop-${h - 1} predecessor")
+    }
+    edges.unpersist(); out.unpersist()
+  }
+
   test("triangle_counts: real graph equals a brute-force triple-join recount") {
     val out = GraphMetrics.triangleCounts(spark, dir).cache()
     val und = Relational.coocCounts(spark, dir)

@@ -123,4 +123,19 @@ class GuardSpec extends SparkSpec {
     assert(out.head._1 == 20001L && out.head._2 == 20002L)
     assert(out.head._3 > 0.99)
   }
+
+  test("semdedup hot-cell guard: 10k-identical-vector cell completes, all kept") {
+    graft.functions.VectorExpressions.register(spark)
+    // every vector identical → one cell of 10k; without the guard the
+    // in-cell pair join is 10⁸ rows. Guarded: pair generation skips the
+    // hot cell, members keep max_cos NULL / keep=true (lower-bound
+    // semantics — an oversized cell demands a finer quantizer)
+    val e = (0L until 10000L).map(i => (i, Array(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val out = graft.operators.Similarity
+      .semdedupFixedOf(e, nClusters = 1, tau = 0.4, maxCell = 1000)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    assert(out.length == 10000)
+    assert(out.forall(r => r._2 == 0L && r._3.isEmpty && r._4))
+  }
 }
