@@ -60,6 +60,13 @@ object Bench {
     // median is a memo read
     "degree_dist" -> 0.9,
     "text_clean" -> 3.3,
+    // round-9 late tiers (observability, semdedup/PII/BFS, retrieval):
+    // quiet QProfile warm medians × 1.5, floored at 0.3 (PROFILE_r09 §7)
+    "domain_stats" -> 0.45, "vocab_coverage" -> 0.72,
+    "cluster_stats" -> 0.98, "semdedup_fixed" -> 0.7,
+    "pii_redact" -> 0.3, "reach_hops" -> 13.5,
+    "bm25_topk" -> 1.35, "unigram_logprob" -> 0.95,
+    "pmi_bigrams" -> 3.75,
     "text_repetition" -> 2.27, "text_tokens" -> 0.3,
     "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
     "tokenize_unk" -> 0.62, "triangle_counts" -> 0.5,

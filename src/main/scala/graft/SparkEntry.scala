@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.algo.PageRank
-import graft.operators.{Corpus, Dedup, EventsOps, GraphMetrics, Multimodal, Recommend, Relational, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, EventsOps, GraphMetrics, Multimodal, Recommend, Relational, Retrieval, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -147,6 +147,12 @@ object SparkEntry {
     "semdedup_fixed"    -> ((s, d) => Similarity.semdedupFixed(s, d)),
     "pii_redact"        -> ((s, d) => TextOps.piiRedact(s, d)),
     "reach_hops"        -> ((s, d) => GraphMetrics.reachHops(s, d)),
+    // retrieval & LM-statistics tier (round 9): BM25 ranking for a
+    // fixed query, unigram-LM surprise (the perplexity-filter proxy),
+    // PMI collocations
+    "bm25_topk"         -> ((s, d) => Retrieval.bm25Topk(s, d)),
+    "unigram_logprob"   -> ((s, d) => Retrieval.unigramLogprob(s, d)),
+    "pmi_bigrams"       -> ((s, d) => Retrieval.pmiBigrams(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -1933,5 +1939,79 @@ object SparkEntry {
         |UNION ALL SELECT seed, v, CAST(2 AS BIGINT) FROM f2
         |UNION ALL SELECT seed, v, CAST(3 AS BIGINT) FROM f3
         |ORDER BY seed, hops, product_id""".stripMargin,
+
+    // Okapi BM25 (Lucene idf variant) for the fixed 4-term query in
+    // Retrieval.QueryTerms; k1/b mirror Retrieval.BmK1/BmB. dl and
+    // avgdl count single-space tokens, same as the Spark side.
+    "bm25_topk" ->
+      """WITH tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+        |                    unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |qt AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok
+        |       WHERE term IN ('spark', 'join', 'filter', 'window')
+        |       GROUP BY 1, 2, 3),
+        |dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        |          FROM qt GROUP BY 1),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |                 CAST(sum(len(string_split(text, ' '))) AS DOUBLE)
+        |                   / count(*) AS avgdl
+        |          FROM documents)
+        |SELECT doc_id,
+        |       round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+        |             * tf * 2.2
+        |             / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6)
+        |         AS bm25,
+        |       CAST(count(*) AS BIGINT) AS n_terms_hit
+        |FROM qt JOIN dfreq ON qt.term = dfreq.term, stats
+        |GROUP BY doc_id
+        |ORDER BY bm25 DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // Laplace-smoothed unigram LM: p(t) = (cnt+1)/(T+V); per-doc
+    // token-weighted mean negative log-likelihood.
+    "unigram_logprob" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+        |        FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_tokens,
+        |               CAST(count(*) AS BIGINT) AS v_size
+        |        FROM cnt)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       round(sum(tf * -ln((cnt + 1.0) / (t_tokens + v_size)))
+        |             / sum(tf), 6) AS avg_nll
+        |FROM tf JOIN cnt ON tf.term = cnt.term, tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // PMI over adjacent token pairs, support filter c_ab >= 5; the PMI
+    // expression mirrors the Spark parse shape character-for-character
+    // (ln((1.0*c_ab*T*T)/(1.0*B*c_a*c_b))) so both engines evaluate the
+    // same IEEE tree. B = sum(len-1), T = sum(len) from the doc scan.
+    "pmi_bigrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |big AS (SELECT unnest(list_transform(range(len(t) - 1),
+        |          i -> struct_pack(w1 := t[i+1], w2 := t[i+2]))) AS bg
+        |        FROM toks),
+        |bcnt AS (SELECT bg.w1 AS w1, bg.w2 AS w2,
+        |                CAST(count(*) AS BIGINT) AS c_ab
+        |         FROM big GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ucnt AS (SELECT unnest(string_split(text, ' ')) AS term
+        |         FROM documents),
+        |uc AS (SELECT term, CAST(count(*) AS BIGINT) AS c
+        |       FROM ucnt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(greatest(len(string_split(text, ' ')) - 1,
+        |                 0)) AS BIGINT) AS b_total,
+        |               CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+        |                 AS t_total
+        |        FROM documents)
+        |SELECT w1, w2, c_ab,
+        |       round(ln((1.0 * c_ab * t_total * t_total)
+        |             / (1.0 * b_total * a.c * b.c)), 6) AS pmi
+        |FROM bcnt JOIN uc a ON bcnt.w1 = a.term
+        |          JOIN uc b ON bcnt.w2 = b.term, tot
+        |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
   )
 }

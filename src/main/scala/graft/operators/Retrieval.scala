@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+
+/** Retrieval scoring and language-model corpus statistics over the
+  * `documents` table — the ranking/quality tier a training-data pipeline
+  * runs after dedup and before packing (extension surface, SURVEY §7.4):
+  *
+  *   - `bm25_topk`: Okapi BM25 document ranking for a fixed query-term
+  *     set (Robertson & Spärck Jones; the Lucene `(N-df+0.5)/(df+0.5)+1`
+  *     idf variant, which is always positive);
+  *   - `unigram_logprob`: per-document average negative log-likelihood
+  *     under a Laplace-smoothed corpus unigram model — the cheap,
+  *     model-free stand-in for perplexity-based quality filtering
+  *     (CCNet-style: rank docs by LM surprise, drop the tails);
+  *   - `pmi_bigrams`: pointwise mutual information of adjacent token
+  *     pairs (Church & Hanks) — collocation strength, the signal behind
+  *     phrase-vocabulary induction and boilerplate detection.
+  *
+  * All three are pure `functions._` expression trees (no UDFs), all
+  * output floats are `round(_, 6)` of arithmetic over exact integer
+  * counts, and every ordering carries a total tie-break — the same
+  * engine-determinism contract as the rest of the text tier.
+  */
+object Retrieval {
+
+  /** The fixed query for `bm25_topk`. Static and small: the per-term
+    * document-frequency relation is semantically bounded by its length
+    * (≤ 4 groups survive the `isin`), but Catalyst cannot PROVE that
+    * bound (`maxRows` is None through a Filter over a file scan), so
+    * under the repo's bounded-relation rule the df join stays unhinted
+    * and AQE elects broadcast from the measured 4-row size at runtime —
+    * same treatment as tfidf's df side (TextOps.scala). */
+  val QueryTerms: Seq[String] = Seq("spark", "join", "filter", "window")
+
+  /** Okapi defaults (Robertson et al., TREC-3). */
+  val BmK1 = 1.2
+  val BmB = 0.75
+
+  private def toks(c: Column): Column = split(c, " ")
+
+  /** `bm25_topk`: top-k documents by BM25 score against [[QueryTerms]].
+    *
+    * Scale: the token stream is filtered to the query terms BEFORE the
+    * tf aggregation, so the one per-doc shuffle carries only matching
+    * tokens (a |query|/|vocab| fraction of the corpus); `dfreq` is
+    * ≤ |QueryTerms| rows but joins unhinted (see [[QueryTerms]]);
+    * corpus length stats are a 1-row agg crossJoined broadcast. Top-k
+    * plans as TakeOrderedAndProject. Documents containing no query term
+    * score 0 and drop out of the ranking by construction — at 100 TB
+    * that early filter is the difference between shuffling the corpus
+    * and shuffling the postings of four terms. */
+  def bm25Topk(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    bm25TopkOf(Tables.documents(spark, dir), QueryTerms, k)
+
+  private[graft] def bm25TopkOf(docs: DataFrame, terms: Seq[String],
+      k: Int): DataFrame = {
+    // Coarse substring prescreen BEFORE the explode: a doc whose text
+    // contains no query term as a substring cannot contribute a scoring
+    // row, so it never pays the tokenize+explode (the exact `isin` after
+    // the explode still decides membership — substring false-positives
+    // like "sparkly" are dropped there). At corpus scale this turns
+    // "explode everything" into "explode the postings superset".
+    // EXCEPT the corpus stats (N, avgdl), which are over ALL docs.
+    val hit = docs.filter(
+      terms.map(t => col("text").contains(t)).reduce(_ || _))
+    val tok = hit.select(col("doc_id"),
+        size(toks(col("text"))).cast("long").as("dl"),
+        explode(toks(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+    // dl is functionally dependent on doc_id; grouping by both keeps it
+    // in scope without a re-join against the documents table
+    val tf = tok.groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).cast("long").as("n_docs"),
+      (sum(size(toks(col("text")))).cast("double") /
+        count(lit(1))).as("avgdl"))
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)) + lit(1.0))
+    val norm = col("tf") + lit(BmK1) *
+      (lit(1.0 - BmB) + lit(BmB) * col("dl") / col("avgdl"))
+    tf.join(dfreq, "term")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(round(sum(idf * col("tf") * lit(BmK1 + 1.0) / norm), 6)
+        .as("bm25"),
+        count(lit(1)).cast("long").as("n_terms_hit"))
+      .orderBy(desc("bm25"), asc("doc_id"))
+      .limit(k)
+  }
+
+  /** `unigram_logprob`: per-document average negative log-likelihood
+    * under a Laplace-smoothed corpus unigram LM —
+    * `p(t) = (cnt(t)+1) / (T+V)`, `avg_nll(d) = Σ tf·(−ln p) / Σ tf`.
+    * High avg_nll = rare-token-heavy (noise, codes, other-language);
+    * low = repetitive boilerplate — both tails are what a quality
+    * filter cuts.
+    *
+    * Scale: one map-side-combined shuffle to per-(doc,term) tf; the
+    * global term counts RE-AGGREGATE the tf frame (shuffle carries
+    * distinct terms, not the token stream); tf ⋈ cnt on term is left
+    * unhinted — the model side scales with vocabulary, so AQE elects
+    * the strategy from measured sizes (bounded-relation rule); the
+    * (T, V) totals are a 1-row crossJoined broadcast. */
+  def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
+    unigramLogprobOf(Tables.documents(spark, dir))
+
+  private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("term").agg(sum("tf").as("cnt"))
+    val tot = cnt.agg(sum("cnt").cast("long").as("t_tokens"),
+      count(lit(1)).cast("long").as("v_size"))
+    val nll = -log((col("cnt") + lit(1.0)) /
+      (col("t_tokens") + col("v_size")))
+    tf.join(cnt, "term")
+      .crossJoin(broadcast(tot))
+      .groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        round(sum(col("tf") * nll) / sum("tf"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+  }
+
+  /** `pmi_bigrams`: top-k adjacent token pairs by pointwise mutual
+    * information, `PMI(a,b) = ln( (c_ab/B) / ((c_a/T)(c_b/T)) )`, with
+    * a minimum-count support filter (Church & Hanks' guard against the
+    * low-count PMI explosion).
+    *
+    * Scale: bigram totals B and token totals T come from the document
+    * scan arithmetically (Σ(len−1), Σ len) — no extra pass over the
+    * exploded stream; the support filter runs BEFORE the unigram joins,
+    * so only collocation candidates (not the full bigram vocabulary)
+    * reach them; both joins are unhinted — unigram counts scale with
+    * vocabulary, AQE decides. The PMI expression keeps one fixed
+    * parse shape, `ln((1.0·c_ab·T·T)/(1.0·B·c_a·c_b))`, mirrored
+    * textually in the DuckDB oracle so both engines evaluate the same
+    * IEEE tree. */
+  def pmiBigrams(spark: SparkSession, dir: String, minCount: Long = 5L,
+      k: Int = 100): DataFrame =
+    pmiBigramsOf(Tables.documents(spark, dir), minCount, k)
+
+  private[graft] def pmiBigramsOf(docs: DataFrame, minCount: Long = 5L,
+      k: Int = 100): DataFrame = {
+    val big = docs.select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) >= 2
+          |  THEN transform(sequence(0, size(split(text, ' ')) - 2),
+          |    i -> struct(element_at(split(text, ' '), i + 1) AS w1,
+          |                element_at(split(text, ' '), i + 2) AS w2))
+          |  ELSE array()
+          |END""".stripMargin)).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val ucnt = docs.select(explode(toks(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val tot = docs.agg(
+      sum(greatest(size(toks(col("text"))) - 1, lit(0))).cast("long")
+        .as("b_total"),
+      sum(size(toks(col("text")))).cast("long").as("t_total"))
+    bcnt
+      .join(ucnt.withColumnRenamed("term", "w1")
+        .withColumnRenamed("c", "c_a"), "w1")
+      .join(ucnt.withColumnRenamed("term", "w2")
+        .withColumnRenamed("c", "c_b"), "w2")
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        round(log((lit(1.0) * col("c_ab") * col("t_total") * col("t_total")) /
+          (lit(1.0) * col("b_total") * col("c_a") * col("c_b"))), 6)
+          .as("pmi"))
+      .orderBy(desc("pmi"), asc("w1"), asc("w2"))
+      .limit(k)
+  }
+}

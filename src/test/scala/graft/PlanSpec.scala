@@ -242,6 +242,25 @@ class PlanSpec extends SparkSpec {
     assert(!pd.contains("Cartesian"), pd)
   }
 
+  test("retrieval tier keeps its scale-relevant plan shapes (round 9)") {
+    // bm25: the substring prescreen must sit UNDER the explode (a
+    // Filter containing Contains below the Generate), and the ranking
+    // plans as TakeOrderedAndProject, not a full sort
+    val pb = plan(graft.operators.Retrieval.bm25Topk(spark, dir))
+    assert(pb.contains("TakeOrderedAndProject"), pb)
+    assert(pb.contains("Contains"), pb)
+    // pmi: top-k ranking; the unigram joins are equi-joins (the only
+    // non-equi operator allowed is the 1-row totals broadcast, which
+    // plans as BroadcastNestedLoopJoin by construction)
+    val pp = plan(graft.operators.Retrieval.pmiBigrams(spark, dir))
+    assert(pp.contains("TakeOrderedAndProject"), pp)
+    assert(!pp.contains("Cartesian"), pp)
+    // unigram LM: no Expand (single aggregate family per shuffle — the
+    // mixed count+countDistinct shape would double the token stream)
+    val pu = plan(graft.operators.Retrieval.unigramLogprob(spark, dir))
+    assert(!pu.contains("Expand"), pu)
+  }
+
   test("round-6 join queries avoid non-equi join physical plans") {
     // event_asof: the as-of join must plan as union + partitioned window
     // — no join operator at all between the touch and purchase sides

@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.Retrieval
+
+/** Hand-checkable fixtures for the retrieval & LM-statistics tier. Each
+  * expected value is re-derived in the test from the published formula
+  * (an independent arithmetic path from the DataFrame expression tree),
+  * then compared post-round(6) — the same contract the DuckDB oracle
+  * enforces at corpus scale.
+  */
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  // --- BM25 -------------------------------------------------------------
+
+  private lazy val bmDocs = Seq(
+    (0L, "spark join spark"),          // dl 3: spark×2, join×1
+    (1L, "filter the the the"),        // dl 4: filter×1
+    (2L, "the a b c"),                 // dl 4: no query term → excluded
+    (3L, "window window join window")  // dl 4: window×3, join×1
+  ).toDF("doc_id", "text")
+
+  private def idf(n: Long, df: Long): Double =
+    math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+
+  private def bmTerm(tf: Long, dl: Long, avgdl: Double, n: Long,
+      df: Long): Double =
+    idf(n, df) * tf * (Retrieval.BmK1 + 1.0) /
+      (tf + Retrieval.BmK1 *
+        (1.0 - Retrieval.BmB + Retrieval.BmB * dl / avgdl))
+
+  test("bm25_topk matches the Okapi formula on a hand corpus") {
+    val out = Retrieval.bm25TopkOf(bmDocs, Retrieval.QueryTerms, 100)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    val avgdl = (3 + 4 + 4 + 4) / 4.0
+    // df over docs CONTAINING the term: spark 1, join 2, filter 1, window 1
+    val exp = Map(
+      0L -> (r6(bmTerm(2, 3, avgdl, 4, 1) + bmTerm(1, 3, avgdl, 4, 2)), 2L),
+      1L -> (r6(bmTerm(1, 4, avgdl, 4, 1)), 1L),
+      3L -> (r6(bmTerm(3, 4, avgdl, 4, 1) + bmTerm(1, 4, avgdl, 4, 2)), 2L))
+    assert(out.map(_._1).toSet == Set(0L, 1L, 3L),
+      "doc 2 has no query term and must drop out of the ranking")
+    out.foreach { case (id, score, hits) =>
+      assert(math.abs(score - exp(id)._1) < 1e-9, s"doc $id score")
+      assert(hits == exp(id)._2, s"doc $id n_terms_hit")
+    }
+    // ranking is by score desc: doc3 (window×3) > doc0 > doc1
+    assert(out.map(_._1).toSeq == Seq(3L, 0L, 1L))
+  }
+
+  // --- unigram LM -------------------------------------------------------
+
+  test("unigram_logprob matches the Laplace-smoothed unigram NLL") {
+    val docs = Seq((0L, "a a b"), (1L, "b c")).toDF("doc_id", "text")
+    val out = Retrieval.unigramLogprobOf(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // counts: a 2, b 2, c 1 → T 5, V 3; p = (cnt+1)/8
+    val nA = -math.log(3 / 8.0); val nC = -math.log(2 / 8.0)
+    val exp = Map(
+      0L -> (3L, r6((2 * nA + 1 * nA) / 3.0)), // a,b share cnt 2
+      1L -> (2L, r6((nA + nC) / 2.0)))
+    out.foreach { case (id, n, nll) =>
+      assert(n == exp(id)._1, s"doc $id n_tokens")
+      assert(math.abs(nll - exp(id)._2) < 1e-9, s"doc $id avg_nll")
+    }
+  }
+
+  // --- PMI --------------------------------------------------------------
+
+  test("pmi_bigrams matches the Church-Hanks formula, support-filtered") {
+    val docs = Seq((0L, "x y x y x"), (1L, "z z")).toDF("doc_id", "text")
+    val out = Retrieval.pmiBigramsOf(docs, minCount = 2L, k = 100)
+      .collect().map(r =>
+        ((r.getString(0), r.getString(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    // bigrams: (x,y)×2 (y,x)×2 (z,z)×1 → B 5; tokens: x3 y2 z2 → T 7
+    // support ≥2 keeps (x,y) and (y,x); (z,z) is filtered out
+    assert(out.keySet == Set(("x", "y"), ("y", "x")))
+    val pXY = r6(math.log((1.0 * 2 * 7 * 7) / (1.0 * 5 * 3 * 2)))
+    assert(out(("x", "y")) == ((2L, pXY)))
+    assert(out(("y", "x")) == ((2L, pXY)))
+  }
+
+  test("pmi_bigrams is empty when no bigram meets the support floor") {
+    val docs = Seq((0L, "p q r")).toDF("doc_id", "text")
+    assert(Retrieval.pmiBigramsOf(docs, minCount = 5L, k = 10).count() == 0)
+  }
+
+  test("single-token and empty docs contribute no bigrams, no crash") {
+    val docs = Seq((0L, "solo"), (1L, "x y x y")).toDF("doc_id", "text")
+    val out = Retrieval.pmiBigramsOf(docs, minCount = 2L, k = 10).collect()
+    assert(out.map(r => (r.getString(0), r.getString(1))).toSet ==
+      Set(("x", "y")))
+  }
+}
