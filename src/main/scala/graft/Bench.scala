@@ -64,7 +64,9 @@ object Bench {
     // quiet QProfile warm medians × 1.5, floored at 0.3 (PROFILE_r09 §7)
     "domain_stats" -> 0.45, "vocab_coverage" -> 0.72,
     "cluster_stats" -> 0.98, "semdedup_fixed" -> 0.7,
-    "pii_redact" -> 0.3, "reach_hops" -> 13.5,
+    // reach_hops: per-level localCheckpoint landed after the first
+    // QProfile pass — warm median 3.2 s × 1.5
+    "pii_redact" -> 0.3, "reach_hops" -> 4.8,
     "bm25_topk" -> 1.35, "unigram_logprob" -> 0.95,
     "pmi_bigrams" -> 3.75,
     "text_repetition" -> 2.27, "text_tokens" -> 0.3,
