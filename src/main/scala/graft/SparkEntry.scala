@@ -153,6 +153,10 @@ object SparkEntry {
     "bm25_topk"         -> ((s, d) => Retrieval.bm25Topk(s, d)),
     "unigram_logprob"   -> ((s, d) => Retrieval.unigramLogprob(s, d)),
     "pmi_bigrams"       -> ((s, d) => Retrieval.pmiBigrams(s, d)),
+    // quality-binning pair: CCNet head/middle/tail by exact global NLL
+    // rank; within-doc distribution entropy
+    "nll_bucket"        -> ((s, d) => Retrieval.nllBucket(s, d)),
+    "text_entropy"      -> ((s, d) => Retrieval.textEntropy(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2013,5 +2017,49 @@ object SparkEntry {
         |FROM bcnt JOIN uc a ON bcnt.w1 = a.term
         |          JOIN uc b ON bcnt.w2 = b.term, tot
         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
+
+    // CCNet-style head/middle/tail binning by EXACT global rank over
+    // the unrounded per-doc NLL (the naive single-partition row_number
+    // form of the distributed range-partition + zipWithIndex rank —
+    // value-identical, same total order). Quartile test is integer
+    // arithmetic: rank*4 vs n_docs.
+    "nll_bucket" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, CAST(sum(tf) AS BIGINT) AS cnt
+        |        FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS t_tokens,
+        |               CAST(count(*) AS BIGINT) AS v_size
+        |        FROM cnt),
+        |nll AS (SELECT doc_id,
+        |          sum(tf * -ln((cnt + 1.0) / (t_tokens + v_size)))
+        |            / sum(tf) AS nll
+        |        FROM tf JOIN cnt ON tf.term = cnt.term, tot
+        |        GROUP BY doc_id),
+        |r AS (SELECT doc_id, nll,
+        |        CAST(row_number() OVER (ORDER BY nll ASC, doc_id ASC) - 1
+        |          AS BIGINT) AS rank,
+        |        CAST(count(*) OVER () AS BIGINT) AS n_docs
+        |      FROM nll)
+        |SELECT doc_id, round(nll, 6) AS avg_nll,
+        |       CASE WHEN rank * 4 < n_docs THEN 'head'
+        |            WHEN rank * 4 >= n_docs * 3 THEN 'tail'
+        |            ELSE 'middle' END AS bucket
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    // single-pass entropy form ln(n) - sum(tf*ln(tf))/n; tf=1 terms
+    // contribute 0 to the sum (ln 1 = 0)
+    "text_entropy" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS distinct_tokens,
+        |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6)
+        |         AS entropy
+        |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -109,7 +109,17 @@ object Retrieval {
   def unigramLogprob(spark: SparkSession, dir: String): DataFrame =
     unigramLogprobOf(Tables.documents(spark, dir))
 
-  private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame = {
+  private[graft] def unigramLogprobOf(docs: DataFrame): DataFrame =
+    unigramNllOf(docs)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("nll"), 6).as("avg_nll"))
+      .orderBy("doc_id")
+
+  /** Shared raw frame: (doc_id, n_tokens, nll UNROUNDED) — the rounding
+    * happens at each consumer's output edge so [[nllBucket]] can rank
+    * on the full-precision value (both engines compute the identical
+    * IEEE tree, so the rank order is engine-stable). */
+  private[graft] def unigramNllOf(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"),
         explode(toks(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
@@ -122,7 +132,73 @@ object Retrieval {
       .crossJoin(broadcast(tot))
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("n_tokens"),
-        round(sum(col("tf") * nll) / sum("tf"), 6).as("avg_nll"))
+        (sum(col("tf") * nll) / sum("tf")).as("nll"))
+  }
+
+  /** `nll_bucket`: CCNet-style corpus quality binning — every document
+    * assigned to the `head` (most fluent quarter by unigram-LM NLL),
+    * `tail` (least fluent quarter), or `middle` of the corpus. CCNet
+    * (Wenzek et al., LREC'20) bins by LM perplexity and trains on the
+    * head/middle; this is that gate with [[unigramLogprob]]'s NLL as
+    * the score.
+    *
+    * Bucketing is by EXACT GLOBAL RANK, not by percentile-value
+    * thresholds: an exact percentile aggregate buffers a value→count
+    * map whose size grows with the number of distinct doubles (≈ every
+    * doc — a driver-memory wall at corpus scale), and interpolated
+    * thresholds reintroduce float-boundary sensitivity. The rank runs
+    * as the vocab_build two-pass (range repartition on (nll, doc_id) +
+    * `zipWithIndex`) — fully distributed, no single-partition window —
+    * and the quartile test is pure integer arithmetic (`4·rank` vs
+    * `n_docs`), replayed identically by the oracle's `row_number`.
+    * Ranking on the unrounded NLL keeps ties to exact-double equality,
+    * where the doc_id tie-break decides deterministically. */
+  def nllBucket(spark: SparkSession, dir: String): DataFrame =
+    nllBucketOf(spark, Tables.documents(spark, dir))
+
+  private[graft] def nllBucketOf(spark: SparkSession,
+      docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val nll = unigramNllOf(docs)
+    val ranked = nll
+      .repartitionByRange(asc("nll"), asc("doc_id"))
+      .sortWithinPartitions(asc("nll"), asc("doc_id"))
+      .select(col("doc_id"), col("nll")).as[(Long, Double)]
+      .rdd.zipWithIndex()
+      .map { case ((id, v), r) => (id, v, r) }
+      .toDF("doc_id", "nll", "rank")
+    val n = nll.agg(count(lit(1)).cast("long").as("n_docs"))
+    ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), round(col("nll"), 6).as("avg_nll"),
+        when(col("rank") * 4 < col("n_docs"), "head")
+          .when(col("rank") * 4 >= col("n_docs") * 3, "tail")
+          .otherwise("middle").as("bucket"))
+      .orderBy("doc_id")
+  }
+
+  /** `text_entropy`: within-document token-distribution Shannon entropy
+    * `H(d) = −Σ (tf/n)·ln(tf/n)`, computed in the single-pass form
+    * `ln(n) − Σ tf·ln(tf) / n` (no second join against the per-doc
+    * total). Low entropy = repetitive/templated text (the within-doc
+    * complement of [[unigramLogprob]]'s corpus-LM surprise and of
+    * text_repetition's bigram slot ratio); the standard cheap filter
+    * axis alongside them.
+    *
+    * Scale: one map-side-combined shuffle to per-(doc,term) tf, one
+    * per-doc aggregate — the tfidf tf shape minus the df join. */
+  def textEntropy(spark: SparkSession, dir: String): DataFrame =
+    textEntropyOf(Tables.documents(spark, dir))
+
+  private[graft] def textEntropyOf(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"),
+        explode(toks(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    tf.groupBy("doc_id")
+      .agg(sum("tf").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("distinct_tokens"),
+        round(log(sum(col("tf"))) -
+          sum(col("tf") * log(col("tf"))) / sum(col("tf")), 6)
+          .as("entropy"))
       .orderBy("doc_id")
   }
 

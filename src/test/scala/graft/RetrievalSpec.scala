@@ -89,6 +89,61 @@ class RetrievalSpec extends SparkSpec {
     assert(Retrieval.pmiBigramsOf(docs, minCount = 5L, k = 10).count() == 0)
   }
 
+  // --- entropy -----------------------------------------------------------
+
+  test("text_entropy matches ln(n) - sum(tf ln tf)/n on hand docs") {
+    val docs = Seq(
+      (0L, "a a b"),     // H = ln3 - (2 ln2)/3
+      (1L, "x y z"),     // uniform: H = ln3
+      (2L, "w w w w")    // constant: H = 0
+    ).toDF("doc_id", "text")
+    val out = Retrieval.textEntropyOf(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(0L) == ((3L, 2L,
+      r6(math.log(3) - 2 * math.log(2) / 3))))
+    assert(out(1L) == ((3L, 3L, r6(math.log(3)))))
+    assert(out(2L) == ((4L, 1L, 0.0)))
+  }
+
+  // --- NLL quality buckets ----------------------------------------------
+
+  test("nll_bucket assigns head/middle/tail by exact global NLL rank") {
+    // 8 docs with strictly increasing rarity mix → distinct NLLs; the
+    // expected buckets are recomputed driver-side from the engine's own
+    // avg_nll output, sorted (avg_nll, doc_id)
+    val docs = (0L to 7L).map { i =>
+      // doc i repeats the common token (8-i) times and its own private
+      // token i times → more private tokens = rarer mass = higher NLL
+      (i, (Seq.fill((8 - i).toInt)("common") ++
+        Seq.fill(i.toInt + 1)(s"rare$i")).mkString(" "))
+    }.toDF("doc_id", "text")
+    val out = Retrieval.nllBucketOf(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(out.length == 8)
+    val byRank = out.sortBy { case (id, nll, _) => (nll, id) }
+    byRank.zipWithIndex.foreach { case ((id, _, bucket), rank) =>
+      val exp = if (rank * 4 < 8) "head"
+        else if (rank * 4 >= 24) "tail" else "middle"
+      assert(bucket == exp, s"doc $id rank $rank")
+    }
+    assert(byRank.count(_._3 == "head") == 2)
+    assert(byRank.count(_._3 == "tail") == 2)
+    assert(byRank.count(_._3 == "middle") == 4)
+  }
+
+  test("nll_bucket quartile arithmetic on a non-divisible corpus (n=5)") {
+    val docs = (0L to 4L).map(i =>
+      (i, (Seq.fill(5)("c") ++ Seq.fill(i.toInt)(s"r$i")).mkString(" ")))
+      .toDF("doc_id", "text")
+    val buckets = Retrieval.nllBucketOf(spark, docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .sortBy { case (id, nll, _) => (nll, id) }.map(_._3).toSeq
+    // rank*4 < 5 → ranks 0,1 (head gets the ceil quarter);
+    // rank*4 >= 15 → rank 4 only
+    assert(buckets == Seq("head", "head", "middle", "middle", "tail"))
+  }
+
   test("single-token and empty docs contribute no bigrams, no crash") {
     val docs = Seq((0L, "solo"), (1L, "x y x y")).toDF("doc_id", "text")
     val out = Retrieval.pmiBigramsOf(docs, minCount = 2L, k = 10).collect()
