@@ -71,6 +71,7 @@ object SparkEntry {
     "event_retention"   -> ((s, d) => EventsOps.eventRetention(s, d)),
     "event_asof"        -> ((s, d) => EventsOps.eventAsof(s, d)),
     "event_window_join" -> ((s, d) => EventsOps.eventWindowJoin(s, d)),
+    "event_anomaly"     -> ((s, d) => EventsOps.eventAnomaly(s, d)),
     // text analysis tier
     "text_tokens"        -> ((s, d) => TextOps.textStats(s, d)),
     "text_quality"      -> ((s, d) => TextOps.textQuality(s, d)),
@@ -2048,6 +2049,28 @@ object SparkEntry {
         |            WHEN rank * 4 >= n_docs * 3 THEN 'tail'
         |            ELSE 'middle' END AS bucket
         |FROM r ORDER BY doc_id""".stripMargin,
+
+    // per-type hourly z-scores: exact-long moments, variance as ONE
+    // double tree, integer zero-variance guard, flag on the rounded z
+    // (all mirrored from EventsOps.eventAnomalyOf's expression shape)
+    "event_anomaly" ->
+      """WITH h AS (SELECT event_type,
+        |             date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour,
+        |             CAST(count(*) AS BIGINT) AS n
+        |           FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, CAST(count(*) AS BIGINT) AS nb,
+        |             CAST(sum(n) AS BIGINT) AS sx,
+        |             CAST(sum(n * n) AS BIGINT) AS sxx
+        |      FROM h GROUP BY 1 HAVING count(*) >= 2),
+        |zz AS (SELECT h.event_type, hour, n,
+        |         CASE WHEN nb * sxx - sx * sx > 0
+        |           THEN round((n - CAST(sx AS DOUBLE) / nb)
+        |                / sqrt(CAST(nb * sxx - sx * sx AS DOUBLE)
+        |                       / (nb * (nb - 1))), 6)
+        |           ELSE 0.0 END AS z
+        |       FROM h JOIN s ON h.event_type = s.event_type)
+        |SELECT event_type, hour, n, z, abs(z) >= 2.0 AS is_anomaly
+        |FROM zz ORDER BY event_type, hour""".stripMargin,
 
     // single-pass entropy form ln(n) - sum(tf*ln(tf))/n; tf=1 terms
     // contribute 0 to the sum (ln 1 = 0)

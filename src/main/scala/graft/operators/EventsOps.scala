@@ -43,6 +43,53 @@ object EventsOps {
         sumCents(col("value")).as("sum_value"))
       .orderBy("hour", "event_type")
 
+  /** `event_anomaly`: per-event-type hourly volume outliers — the
+    * pipeline-monitoring pass over the event stream: for each type,
+    * z-score every hourly bucket count against that type's own
+    * mean/stddev and flag |z| ≥ 2 (bot bursts, ingestion gaps, replay
+    * storms).
+    *
+    * Engine-deterministic variance WITHOUT float accumulation: the
+    * moments Σx and Σx² are EXACT LONGS (per-hour counts are
+    * integers), so sample variance is the single fixed double tree
+    * `(nb·Σx² − (Σx)²) / (nb·(nb−1))` — one cast, one division — and
+    * the zero-variance guard is an INTEGER comparison
+    * (`nb·Σx² − (Σx)² > 0`), immune to float-boundary drift. The
+    * anomaly flag compares the ROUNDED z, so both engines decide the
+    * boundary on the same 6-dp value. Overflow bound: Σx² stays exact
+    * below ~3·10⁹ events per bucket; past that, widen the moment
+    * columns to DECIMAL(38,0) (documented, not hit at any tested sf).
+    *
+    * Scale: one map-side-combined shuffle to (type, hour) counts, one
+    * tiny per-type moment aggregate, one unhinted join back (the
+    * stats side is #types rows — data-dependent, so AQE elects the
+    * strategy; bounded-relation rule). Types with a single bucket have
+    * no sample variance and are excluded by the `nb ≥ 2` filter. */
+  def eventAnomaly(spark: SparkSession, dir: String,
+      zThresh: Double = 2.0): DataFrame =
+    eventAnomalyOf(Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n")), zThresh)
+
+  /** [[eventAnomaly]] over any (event_type, hour, n) bucket-count
+    * relation — the fixture-testable form. */
+  private[graft] def eventAnomalyOf(hourly: DataFrame,
+      zThresh: Double = 2.0): DataFrame = {
+    val stats = hourly.groupBy("event_type")
+      .agg(count(lit(1)).as("nb"), sum("n").as("sx"),
+        sum(col("n") * col("n")).as("sxx"))
+      .filter(col("nb") >= 2)
+    val num = col("nb") * col("sxx") - col("sx") * col("sx")
+    val variance = num.cast("double") / (col("nb") * (col("nb") - lit(1)))
+    val mean = col("sx").cast("double") / col("nb")
+    val z = when(num > 0,
+      round((col("n") - mean) / sqrt(variance), 6)).otherwise(0.0)
+    hourly.join(stats, "event_type")
+      .select(col("event_type"), col("hour"), col("n"), z.as("z"))
+      .withColumn("is_anomaly", abs(col("z")) >= lit(zThresh))
+      .orderBy("event_type", "hour")
+  }
+
   /** `event_sliding`: sliding-window aggregation (1 h window, 30 min
     * slide) in batch form: each event belongs to exactly two window
     * starts — its 30-min-floor and the one before — so the window

@@ -194,6 +194,24 @@ class ExtensionSpec extends SparkSpec {
     clusters.unpersist(); surv.unpersist()
   }
 
+  test("event_anomaly: hand moments, zero-variance and single-bucket guards") {
+    // "spike": counts 1×7 + one 13 → mean 2.5, σ² = 1008/56 = 18,
+    // z(13) = 10.5/√18 ≈ 2.474874 (anomaly), z(1) ≈ −0.353553;
+    // "flat": identical counts → integer guard → z 0, no anomaly;
+    // "solo": one bucket → excluded by nb ≥ 2
+    val hourly = ((1L to 7L).map(h => ("spike", h, 1L)) ++
+      Seq(("spike", 8L, 13L), ("flat", 1L, 5L), ("flat", 2L, 5L),
+        ("solo", 1L, 9L))).toDF("event_type", "hour", "n")
+    val out = graft.operators.EventsOps.eventAnomalyOf(hourly).collect()
+      .map(r => ((r.getString(0), r.getLong(1)),
+        (r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(!out.contains(("solo", 1L)))
+    assert(out(("flat", 1L)) == ((0.0, false)))
+    assert(out(("spike", 8L)) == ((2.474874, true)))
+    assert(out(("spike", 1L)) == ((-0.353553, false)))
+    assert(out.size == 10)
+  }
+
   test("event_funnel: strict step ordering; bounded by purchasing users") {
     val f = EventsOps.eventFunnel(spark, dir).cache()
     assert(f.filter(col("first_view_us") >= col("first_click_us") ||

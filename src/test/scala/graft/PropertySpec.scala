@@ -222,6 +222,48 @@ class PropertySpec extends SparkSpec {
   } yield rows.zipWithIndex.map { case ((u, us, ty), i) =>
     (i.toLong, u, ty, us) }
 
+  private val randomDocs: Gen[List[(Long, String)]] = for {
+    n <- Gen.choose(1, 10)
+    texts <- Gen.listOfN(n, for {
+      len <- Gen.choose(1, 20)
+      ts <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    } yield ts.mkString(" "))
+  } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+
+  test("text_entropy ∈ [0, ln(distinct)]; extremes exact on random docs") {
+    samples(randomDocs, 10).foreach { docs =>
+      val rows = graft.operators.Retrieval
+        .textEntropyOf(docs.toDF("doc_id", "text")).collect()
+      assert(rows.length == docs.length)
+      rows.foreach { r =>
+        val (n, d, h) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+        assert(h >= 0.0 && h <= math.log(d.toDouble) + 1e-9,
+          s"entropy $h outside [0, ln($d)]")
+        if (d == 1) assert(h == 0.0, "constant doc must have entropy 0")
+        if (d == n) assert(math.abs(h - math.log(n.toDouble)) < 1e-6,
+          "all-distinct doc must have entropy ln(n)")
+      }
+    }
+  }
+
+  test("nll_bucket: exact quartile sizes, buckets ordered by NLL (random docs)") {
+    samples(randomDocs, 8).foreach { docs =>
+      val out = graft.operators.Retrieval
+        .nllBucketOf(spark, docs.toDF("doc_id", "text")).collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      val n = out.length
+      assert(n == docs.length)
+      // rank·4 < n ⇔ rank < ⌈n/4⌉; rank·4 ≥ 3n ⇔ rank ≥ ⌈3n/4⌉
+      assert(out.count(_._3 == "head") == (n + 3) / 4, s"n=$n")
+      assert(out.count(_._3 == "tail") == n - (3 * n + 3) / 4, s"n=$n")
+      // bucket boundaries respect the (nll, doc_id) total order
+      val byRank = out.sortBy { case (id, nll, _) => (nll, id) }.map(_._3)
+      val order = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+      assert(byRank.map(order).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)), byRank.mkString(","))
+    }
+  }
+
   test("eventAsofOf ≡ driver-side last-touch on random streams (ties included)") {
     samples(eventStream, 12).foreach { rows =>
       val df = rows.toDF("event_id", "user_id", "event_type", "us")
