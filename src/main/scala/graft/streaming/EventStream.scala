@@ -202,6 +202,91 @@ object EventStream {
       }
   }
 
+  /** Per-type monitor state: still-open hourly bucket counts, the
+    * event-time high watermark, the highest already-closed bucket start
+    * (buckets close strictly in ascending hour order, so one Long marks
+    * the closed frontier), and the EXACT-LONG moments (count / Σn / Σn²)
+    * over all closed buckets — the same integer-moment discipline as the
+    * batch operator, so no float accumulates across the unbounded
+    * stream. */
+  final case class AnomalyState(open: Map[Long, Long], hwUs: Long,
+      closedThrough: Long, nb: Long, sx: Long, sxx: Long)
+  /** One verdict per CLOSED bucket: its count, the baseline size it was
+    * judged against, and the z decision. */
+  final case class AnomalyVerdict(event_type: String, hour_us: Long,
+      n: Long, baseline_nb: Long, z: Double, is_anomaly: Boolean)
+
+  /** Streaming twin of `EventsOps.eventAnomaly` — the live monitoring
+    * form: per event type, hourly bucket counts accumulate in keyed
+    * state (buckets may span micro-batches); a bucket CLOSES when the
+    * type's event-time high watermark passes its end plus `graceUs`,
+    * and closing emits a z-score verdict against the moments of the
+    * buckets closed BEFORE it (prequential semantics — a live monitor
+    * can only judge against history, where the batch operator judges
+    * against the whole day retrospectively; with fewer than 2 prior
+    * buckets the verdict is the neutral z = 0). The closed bucket then
+    * folds into the moments — exact longs, so the arithmetic is
+    * identical to the batch operator's at any stream length.
+    *
+    * Late events for an already-closed bucket (out-of-order beyond the
+    * grace) are DROPPED from monitoring — standard watermark semantics;
+    * widen `graceUs` to trade state for completeness. State per type is
+    * O(open buckets) = O(grace/1 h + concurrent hours) plus three longs
+    * — bounded regardless of stream length; at 100 TB/day the group
+    * would also carry an event-time timeout like the other stateful
+    * twins. StreamingSpec drives the cross-batch bucket accumulation
+    * and the prequential chain against hand-computed moments. */
+  def anomalyStream(events: DataFrame, zThresh: Double = 2.0,
+      graceUs: Long = 0L)
+      : org.apache.spark.sql.Dataset[AnomalyVerdict] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = events.sparkSession
+    import spark.implicits._
+    val HourUs = 3600000000L
+    val typed = events
+      .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[AnomalyState, AnomalyVerdict](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (ty: String, rows: Iterator[(String, Long)],
+         state: GroupState[AnomalyState]) =>
+          val st = state.getOption.getOrElse(
+            AnomalyState(Map.empty, Long.MinValue, Long.MinValue, 0L, 0L, 0L))
+          var open = st.open
+          var hw = st.hwUs
+          // fold the whole micro-batch before closing anything, so a
+          // bucket closed this batch has already absorbed every
+          // same-batch event regardless of iterator order
+          rows.foreach { case (_, us) =>
+            if (us > hw) hw = us
+            val hour = Math.floorDiv(us, HourUs) * HourUs
+            if (hour > st.closedThrough)
+              open = open.updated(hour, open.getOrElse(hour, 0L) + 1L)
+            // else: late beyond grace for a closed bucket — dropped
+          }
+          var (nb, sx, sxx) = (st.nb, st.sx, st.sxx)
+          var closedThrough = st.closedThrough
+          val out = Array.newBuilder[AnomalyVerdict]
+          open.keys.toSeq.sorted
+            .takeWhile(h => h + HourUs + graceUs <= hw).foreach { h =>
+              val n = open(h)
+              val num = nb * sxx - sx * sx
+              val z = if (nb >= 2 && num > 0)
+                BigDecimal((n - sx.toDouble / nb) /
+                    math.sqrt(num.toDouble / (nb * (nb - 1))))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+              else 0.0
+              out += AnomalyVerdict(ty, h, n, nb, z, math.abs(z) >= zThresh)
+              nb += 1; sx += n; sxx += n * n
+              closedThrough = h
+              open -= h
+            }
+          state.update(AnomalyState(open, hw, closedThrough, nb, sx, sxx))
+          out.result().iterator
+      }
+  }
+
   /** Streaming RANGE JOIN — the twin of `EventsOps.eventWindowJoin`'s
     * candidate stage, on Spark's NATIVE stream-stream interval join:
     * each purchase joined to the same user's view/click events in the

@@ -238,6 +238,71 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly monitor: cross-batch buckets, prequential z chain") {
+    val base = java.nio.file.Files.createTempDirectory("graft-anom-xbatch")
+    val watched = s"$base/in"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("view").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+    }
+    val hNs = 3600L * 1000000000L
+    val t0 = 1700000000000000000L / hNs * hNs // hour-aligned base (ns)
+    // hour counts: H0=2 H1=3 H2=2 H3=10 (H4's single event only closes
+    // H3 and stays open). H2 SPLITS across the two batches — the
+    // cross-batch bucket-count accumulation under test.
+    write("a", Seq(
+      (1L, t0), (2L, t0 + 1000000000L),                       // H0 ×2
+      (3L, t0 + hNs), (4L, t0 + hNs + 1000000000L),
+      (5L, t0 + hNs + 2000000000L),                           // H1 ×3
+      (6L, t0 + 2 * hNs)))                                    // H2 first
+    write("b", Seq(
+      (7L, t0 + 2 * hNs + 1000000000L)) ++                    // H2 second
+      (10L to 19L).map(i => (i, t0 + 3 * hNs + i * 1000000L)) ++ // H3 ×10
+      Seq((30L, t0 + 4 * hNs)))                               // H4 (open)
+    new java.io.File(s"$watched/a.parquet")
+      .setLastModified(System.currentTimeMillis() - 60000)
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema(org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.anomalyStream(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName("anom_xbatch")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("anom_xbatch").collect()
+        .map(r => r.getAs[Long]("hour_us") ->
+          ((r.getAs[Long]("n"), r.getAs[Long]("baseline_nb"),
+            r.getAs[Double]("z"), r.getAs[Boolean]("is_anomaly"))))
+      assert(rows.length == 4, rows.mkString(";")) // H4 never closes
+      val m = rows.toMap
+      val h0 = t0 / 1000L
+      def z(n: Long, nb: Long, sx: Long, sxx: Long): Double =
+        BigDecimal((n - sx.toDouble / nb) /
+            math.sqrt((nb * sxx - sx * sx).toDouble / (nb * (nb - 1))))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // prequential: each close judged against the PRIOR buckets only
+      assert(m(h0) == ((2L, 0L, 0.0, false)))          // no baseline
+      assert(m(h0 + 3600000000L) == ((3L, 1L, 0.0, false))) // nb < 2
+      // H2 count is 1(batch a) + 1(batch b) = 2 — cross-batch state
+      assert(m(h0 + 2 * 3600000000L) ==
+        ((2L, 2L, z(2, 2, 5, 13), false)))             // baseline {2,3}
+      val z3 = z(10, 3, 7, 17)                         // baseline {2,3,2}
+      assert(z3 > 2.0)
+      assert(m(h0 + 3 * 3600000000L) == ((10L, 3L, z3, true)))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join reconciles with the batch range join") {
     val q = EventStream.windowJoinStream(EventStream.readEvents(spark, dir))
       .writeStream
