@@ -124,6 +124,29 @@ class GuardSpec extends SparkSpec {
     assert(out.head._3 > 0.99)
   }
 
+  test("retrieval tier is linear on the 10k-identical-doc corpus (no pairwise surface)") {
+    import graft.operators.Retrieval
+    // the identical mass degenerates every bucket-style surface; the
+    // retrieval tier has no pairwise operator AT ALL, so its contract
+    // on this corpus is completion with linear row counts (this test
+    // pins that a future change doesn't introduce a pair expansion) —
+    // and nll_bucket's rank must stay exact-quartile even when 10k of
+    // the 10 002 NLL values are bit-identical (doc_id breaks the ties)
+    val docs = spark.read.parquet(s"$docsDir/documents.parquet")
+    assert(Retrieval.textEntropyOf(docs).count() == 10002)
+    val buckets = Retrieval.nllBucketOf(spark, docs)
+      .groupBy("bucket").count().as[(String, Long)].collect().toMap
+    assert(buckets("head") == (10002 + 3) / 4)
+    assert(buckets("tail") == 10002 - (3 * 10002 + 3) / 4)
+    // the mass shares no query term → bm25 excludes it by construction
+    assert(Retrieval.bm25TopkOf(docs, Retrieval.QueryTerms, 100)
+      .count() == 0)
+    // bigram counts collapse to the distinct bigrams of the mass doc
+    // (support-filtered, top-k bounded)
+    assert(Retrieval.pmiBigramsOf(docs, minCount = 5L, k = 100)
+      .count() <= 100)
+  }
+
   test("semdedup hot-cell guard: 10k-identical-vector cell completes, all kept") {
     graft.functions.VectorExpressions.register(spark)
     // every vector identical → one cell of 10k; without the guard the
