@@ -158,6 +158,8 @@ object SparkEntry {
     // rank; within-doc distribution entropy
     "nll_bucket"        -> ((s, d) => Retrieval.nllBucket(s, d)),
     "text_entropy"      -> ((s, d) => Retrieval.textEntropy(s, d)),
+    // robust winnowing (MOSS) — positional local fingerprints
+    "winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2071,6 +2073,35 @@ object SparkEntry {
         |       FROM h JOIN s ON h.event_type = s.event_type)
         |SELECT event_type, hour, n, z, abs(z) >= 2.0 AS is_anomaly
         |FROM zz ORDER BY event_type, hour""".stripMargin,
+
+    // robust winnowing, k=3 w=4: positioned 3-gram h32 hashes, window
+    // min over [pos, pos+3], rightmost minimizer via the 4-way fan-out
+    // join; mirrors Dedup.winnowOf shape-for-shape
+    "winnow_fingerprints" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id, pos,
+        |        CAST(('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2]
+        |               || ' ' || t[pos+3]), 1, 8)) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, t,
+        |              CAST(unnest(range(len(t) - 2)) AS BIGINT) AS pos
+        |            FROM toks)),
+        |m AS (SELECT doc_id, pos AS s,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        |          AS mn,
+        |        count(*) OVER (PARTITION BY doc_id) AS np
+        |      FROM g),
+        |starts AS (SELECT doc_id, s, mn FROM m WHERE s <= np - 4),
+        |cand AS (SELECT doc_id, s, mn, s + off AS pos
+        |         FROM starts,
+        |              (SELECT CAST(unnest(range(4)) AS BIGINT) AS off)),
+        |w AS (SELECT c.doc_id, c.s, c.mn, max(g.pos) AS pos
+        |      FROM cand c JOIN g ON g.doc_id = c.doc_id
+        |                        AND g.pos = c.pos AND g.h = c.mn
+        |      GROUP BY 1, 2, 3)
+        |SELECT DISTINCT doc_id, pos, mn AS fingerprint
+        |FROM w ORDER BY doc_id, pos""".stripMargin,
 
     // single-pass entropy form ln(n) - sum(tf*ln(tf))/n; tf=1 terms
     // contribute 0 to the sum (ln 1 = 0)

@@ -72,6 +72,67 @@ object Dedup {
          |  ELSE array()
          |END""".stripMargin))).as("sh"))
 
+  /** `winnow_fingerprints`: robust winnowing (Schleimer, Wilkerson &
+    * Aiken, SIGMOD'03 — the MOSS fingerprinting scheme): hash every
+    * k-token gram, slide a w-gram window, and record each window's
+    * MINIMUM hash at its RIGHTMOST minimizing position. The guarantee
+    * that makes it the standard local dedup signature: any shared
+    * substring of ≥ w+k−1 tokens yields at least one shared
+    * fingerprint, while density stays ~2/(w+1) of the gram stream —
+    * positional, unlike MinHash's set sketch, so matches localize.
+    *
+    * Plan shape: positions come from one `posexplode`; the per-window
+    * minimum is a doc-partitioned bounded window frame (CURRENT ROW …
+    * w−1 FOLLOWING — never unpartitioned, never unbounded); the
+    * rightmost-minimizer selection is a w-way `sequence` fan-out
+    * equi-join back to the gram relation (the event_window_join
+    * pattern: the range condition becomes an equi-key, so no
+    * nested-loop join exists at any scale) + one max aggregation.
+    * Everything is keyed by doc_id — embarrassingly parallel across
+    * documents. Docs with fewer than w complete windows emit nothing
+    * (no complete window exists; byte-identical short docs belong to
+    * `dedup_exact`). */
+  def winnowFingerprints(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4): DataFrame =
+    winnowOf(Tables.documents(spark, dir), k, w)
+
+  private[graft] def winnowOf(docs: DataFrame, k: Int = 3,
+      w: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // (doc_id, pos, h): positioned k-gram hashes — NOT array_distinct
+    // (winnowing is positional; repeats are distinct grams)
+    val grams = docs.select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(split(text, ' ')) >= $k
+           |  THEN transform(sequence(0, size(split(text, ' ')) - $k),
+           |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))
+           |  ELSE array()
+           |END""".stripMargin)))
+      // posexplode emits an Int position; the contract (and the
+      // DuckDB oracle) is BIGINT
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        h32(col("col")).as("h"))
+    val frame = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.currentRow, w - 1)
+    val perDoc = Window.partitionBy("doc_id")
+    val starts = grams
+      .withColumn("mn", min("h").over(frame))
+      .withColumn("np", count(lit(1)).over(perDoc))
+      .filter(col("pos") <= col("np") - w) // complete windows only
+      .select(col("doc_id"), col("pos").as("s"), col("mn"))
+    val cand = starts
+      .select(col("doc_id"), col("s"), col("mn"),
+        explode(expr(s"sequence(0, ${w - 1})")).as("off"))
+      .select(col("doc_id"), col("s"), col("mn"),
+        (col("s") + col("off")).as("pos"))
+    cand.join(grams, Seq("doc_id", "pos"))
+      .filter(col("h") === col("mn"))
+      .groupBy("doc_id", "s", "mn")
+      .agg(max("pos").as("pos")) // rightmost minimizer of each window
+      .select(col("doc_id"), col("pos"), col("mn").as("fingerprint"))
+      .distinct() // adjacent windows often elect the same (pos, hash)
+      .orderBy("doc_id", "pos")
+  }
+
   /** MinHash parameters: k affine permutations of the 32-bit shingle hash
     * modulo a prime. Multipliers must be LARGE (≈p) so aᵢ·h wraps the
     * modulus ~10⁹ times — small multipliers keep the permutations

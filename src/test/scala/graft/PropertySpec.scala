@@ -264,6 +264,43 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("winnowOf ≡ driver-side robust winnowing on random docs") {
+    def h32ref(s: String): Long =
+      java.lang.Long.parseLong(java.security.MessageDigest
+        .getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    def ref(tokens: Seq[String], k: Int, w: Int): Set[(Long, Long)] = {
+      val hs =
+        if (tokens.length < k) Vector.empty[Long]
+        else tokens.sliding(k).map(g => h32ref(g.mkString(" "))).toVector
+      (0 to hs.length - w).map { s =>
+        val win = hs.slice(s, s + w)
+        val mn = win.min
+        ((s + win.lastIndexOf(mn)).toLong, mn) // rightmost minimizer
+      }.toSet
+    }
+    samples(randomDocs, 10).foreach { docs =>
+      val got = graft.operators.Dedup
+        .winnowOf(docs.toDF("doc_id", "text"), k = 3, w = 4)
+        .as[(Long, Long, Long)].collect()
+        .groupBy(_._1).map { case (id, rs) =>
+          id -> rs.map(r => (r._2, r._3)).toSet }
+      val want = docs.map { case (id, text) =>
+        id -> ref(text.split(" ").toSeq, 3, 4) }.filter(_._2.nonEmpty).toMap
+      assert(got == want, s"docs=$docs")
+    }
+    // the winnowing guarantee, pinned on a constructed pair: two docs
+    // sharing a (w+k-1)-token substring share at least one fingerprint
+    val shared = "p q r s t u" // 6 = w+k-1 tokens
+    val pair = Seq((1L, s"a b c d e $shared"), (2L, s"$shared x y z w2 v"))
+    val fps = graft.operators.Dedup
+      .winnowOf(pair.toDF("doc_id", "text"), k = 3, w = 4)
+      .as[(Long, Long, Long)].collect()
+    val f1 = fps.filter(_._1 == 1L).map(_._3).toSet
+    val f2 = fps.filter(_._1 == 2L).map(_._3).toSet
+    assert((f1 & f2).nonEmpty, s"guarantee violated: $f1 vs $f2")
+  }
+
   test("eventAsofOf ≡ driver-side last-touch on random streams (ties included)") {
     samples(eventStream, 12).foreach { rows =>
       val df = rows.toDF("event_id", "user_id", "event_type", "us")
