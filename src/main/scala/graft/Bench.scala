@@ -70,6 +70,9 @@ object Bench {
     "bm25_topk" -> 1.35, "unigram_logprob" -> 0.95,
     "pmi_bigrams" -> 3.75, "nll_bucket" -> 2.7, "text_entropy" -> 0.44,
     "event_anomaly" -> 1.02, "winnow_fingerprints" -> 3.9,
+    // winnow_pairs reads the memoized fingerprint sets after
+    // winnow_fingerprints in sorted order → warm median is the pairing
+    "winnow_pairs" -> 2.4,
     "text_repetition" -> 2.27, "text_tokens" -> 0.3,
     "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
     "tokenize_unk" -> 0.62, "triangle_counts" -> 0.5,

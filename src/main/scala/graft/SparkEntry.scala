@@ -158,8 +158,10 @@ object SparkEntry {
     // rank; within-doc distribution entropy
     "nll_bucket"        -> ((s, d) => Retrieval.nllBucket(s, d)),
     "text_entropy"      -> ((s, d) => Retrieval.textEntropy(s, d)),
-    // robust winnowing (MOSS) — positional local fingerprints
+    // robust winnowing (MOSS) — positional local fingerprints + the
+    // fingerprint-set near-dup pairing over them
     "winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
+    "winnow_pairs"        -> ((s, d) => Dedup.winnowPairs(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2102,6 +2104,43 @@ object SparkEntry {
         |      GROUP BY 1, 2, 3)
         |SELECT DISTINCT doc_id, pos, mn AS fingerprint
         |FROM w ORDER BY doc_id, pos""".stripMargin,
+
+    // fingerprint-set jaccard over the winnowed signatures (guard
+    // omitted like ngram_jaccard's oracle: no fingerprint approaches
+    // df 1000 on the synthetic corpora — verified at sf0.01 and sf1).
+    // The rightmost-minimizer join of the winnow_fingerprints oracle is
+    // skipped here deliberately: the distinct fingerprint VALUES per
+    // doc are exactly the distinct complete-window minimums, whichever
+    // position each window elects.
+    "winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |g AS (SELECT doc_id, pos,
+        |        CAST(('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2]
+        |               || ' ' || t[pos+3]), 1, 8)) AS BIGINT) AS h
+        |      FROM (SELECT doc_id, t,
+        |              CAST(unnest(range(len(t) - 2)) AS BIGINT) AS pos
+        |            FROM toks)),
+        |m AS (SELECT doc_id, pos AS s,
+        |        min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+        |          AS mn,
+        |        count(*) OVER (PARTITION BY doc_id) AS np
+        |      FROM g),
+        |sets AS (SELECT DISTINCT doc_id, mn AS fp
+        |         FROM m WHERE s <= np - 4),
+        |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+        |          FROM sets GROUP BY 1),
+        |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
+        |                  CAST(count(*) AS BIGINT) AS common
+        |           FROM sets x JOIN sets y
+        |             ON x.fp = y.fp AND x.doc_id < y.doc_id
+        |           GROUP BY 1, 2)
+        |SELECT p1, p2, common,
+        |       round(common / (s1.sz + s2.sz - common), 6) AS jaccard
+        |FROM common JOIN sizes s1 ON p1 = s1.doc_id
+        |            JOIN sizes s2 ON p2 = s2.doc_id
+        |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 200""".stripMargin,
 
     // single-pass entropy form ln(n) - sum(tf*ln(tf))/n; tf=1 terms
     // contribute 0 to the sum (ln 1 = 0)

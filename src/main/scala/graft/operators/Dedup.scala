@@ -133,6 +133,45 @@ object Dedup {
       .orderBy("doc_id", "pos")
   }
 
+  /** `winnow_pairs`: near-duplicate candidates from the winnowed
+    * fingerprint SETS — fingerprint-set jaccard via the same guarded
+    * inverted-index shape as [[ngramJaccard]], but over a signature
+    * ~2/(w+1) the size of the shingle surface (the winnowing density
+    * bound), which is exactly why MOSS pairs documents this way at
+    * repository scale. Sizes are computed over the UNGUARDED sets
+    * (exact); the hot-fingerprint guard drops only pairing mass, so
+    * scores are exact for pairs sharing no hot fingerprint and lower
+    * bounds otherwise (the [[ngramJaccard]] contract). */
+  def winnowPairs(spark: SparkSession, dir: String, k: Int = 3,
+      w: Int = 4, limit: Int = 200, maxDf: Int = 1000): DataFrame = {
+    val sets = BuilderCache.memo(spark, s"winnowSets:$dir:$k:$w") {
+      winnowOf(Tables.documents(spark, dir), k, w)
+        .select("doc_id", "fingerprint").distinct()
+    }
+    winnowPairsOf(sets, limit, maxDf)
+  }
+
+  private[graft] def winnowPairsOf(sets: DataFrame, limit: Int,
+      maxDf: Int): DataFrame = {
+    val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val idx = dropHotBuckets(sets, Seq("fingerprint"), maxDf)
+    val common = idx.as("x").join(idx.as("y"),
+        col("x.fingerprint") === col("y.fingerprint") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("p1"), col("y.doc_id").as("p2"))
+      .agg(count(lit(1)).as("common"))
+    // sizes is corpus-sized (one row per doc) — plain equi-joins, AQE
+    // decides (same note as ngramJaccard)
+    common
+      .join(sizes.as("s1"), col("p1") === col("s1.doc_id"))
+      .join(sizes.as("s2"), col("p2") === col("s2.doc_id"))
+      .select(col("p1"), col("p2"), col("common"),
+        round(col("common") /
+          (col("s1.sz") + col("s2.sz") - col("common")), 6).as("jaccard"))
+      .orderBy(desc("jaccard"), asc("p1"), asc("p2"))
+      .limit(limit)
+  }
+
   /** MinHash parameters: k affine permutations of the 32-bit shingle hash
     * modulo a prime. Multipliers must be LARGE (≈p) so aᵢ·h wraps the
     * modulus ~10⁹ times — small multipliers keep the permutations

@@ -124,6 +124,23 @@ class GuardSpec extends SparkSpec {
     assert(out.head._3 > 0.99)
   }
 
+  test("winnow hot-fingerprint guard: mass pairs dropped, near pair survives") {
+    // the identical mass elects identical fingerprints in all 10k docs
+    // → fingerprint df 10k ≫ maxDf, guard drops them from pairing; the
+    // near-dup pair's fingerprints are rare and pair exactly
+    val sets = graft.operators.Dedup
+      .winnowOf(spark.read.parquet(s"$docsDir/documents.parquet"),
+        k = 3, w = 2)
+      .select("doc_id", "fingerprint").distinct()
+    val out = graft.operators.Dedup
+      .winnowPairsOf(sets, limit = 1000000, maxDf = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.forall { case (a, b, _, _) => a > 10000L && b > 10000L },
+      s"mass pair leaked: ${out.take(5).mkString(",")}")
+    assert(out.exists { case (a, b, _, j) =>
+      a == 20001L && b == 20002L && j > 0 }, out.take(5).mkString(","))
+  }
+
   test("retrieval tier is linear on the 10k-identical-doc corpus (no pairwise surface)") {
     import graft.operators.Retrieval
     // the identical mass degenerates every bucket-style surface; the
