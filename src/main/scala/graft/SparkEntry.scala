@@ -2024,10 +2024,13 @@ object SparkEntry {
         |ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 100""".stripMargin,
 
     // CCNet-style head/middle/tail binning by EXACT global rank over
-    // the unrounded per-doc NLL (the naive single-partition row_number
-    // form of the distributed range-partition + zipWithIndex rank —
-    // value-identical, same total order). Quartile test is integer
-    // arithmetic: rank*4 vs n_docs.
+    // the ROUNDED per-doc NLL (a float sum's accumulation order is
+    // fixed in neither engine — at 6 dp the rank key is
+    // engine-identical, doc_id breaks residual ties; this is the naive
+    // single-partition row_number form of the distributed
+    // range-partition + zipWithIndex rank — value-identical, same
+    // total order). Quartile test is integer arithmetic: rank*4 vs
+    // n_docs.
     "nll_bucket" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
         |             FROM documents),
@@ -2039,16 +2042,16 @@ object SparkEntry {
         |               CAST(count(*) AS BIGINT) AS v_size
         |        FROM cnt),
         |nll AS (SELECT doc_id,
-        |          sum(tf * -ln((cnt + 1.0) / (t_tokens + v_size)))
-        |            / sum(tf) AS nll
+        |          round(sum(tf * -ln((cnt + 1.0) / (t_tokens + v_size)))
+        |            / sum(tf), 6) AS avg_nll
         |        FROM tf JOIN cnt ON tf.term = cnt.term, tot
         |        GROUP BY doc_id),
-        |r AS (SELECT doc_id, nll,
-        |        CAST(row_number() OVER (ORDER BY nll ASC, doc_id ASC) - 1
-        |          AS BIGINT) AS rank,
+        |r AS (SELECT doc_id, avg_nll,
+        |        CAST(row_number() OVER (ORDER BY avg_nll ASC, doc_id ASC)
+        |          - 1 AS BIGINT) AS rank,
         |        CAST(count(*) OVER () AS BIGINT) AS n_docs
         |      FROM nll)
-        |SELECT doc_id, round(nll, 6) AS avg_nll,
+        |SELECT doc_id, avg_nll,
         |       CASE WHEN rank * 4 < n_docs THEN 'head'
         |            WHEN rank * 4 >= n_docs * 3 THEN 'tail'
         |            ELSE 'middle' END AS bucket
@@ -2105,10 +2108,13 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, pos, mn AS fingerprint
         |FROM w ORDER BY doc_id, pos""".stripMargin,
 
-    // fingerprint-set jaccard over the winnowed signatures (guard
-    // omitted like ngram_jaccard's oracle: no fingerprint approaches
-    // df 1000 on the synthetic corpora — verified at sf0.01 and sf1).
-    // The rightmost-minimizer join of the winnow_fingerprints oracle is
+    // fingerprint-set jaccard over the winnowed signatures. Unlike
+    // ngram_jaccard's oracle, the maxDf=1000 hot-fingerprint guard IS
+    // mirrored (the `keep` CTE), so engine and oracle agree even on a
+    // corpus where boilerplate pushes a fingerprint past the df cap —
+    // sizes stay unguarded-exact on both sides, matching
+    // Dedup.winnowPairsOf's lower-bound contract. The
+    // rightmost-minimizer join of the winnow_fingerprints oracle is
     // skipped here deliberately: the distinct fingerprint VALUES per
     // doc are exactly the distinct complete-window minimums, whichever
     // position each window elects.
@@ -2131,9 +2137,12 @@ object SparkEntry {
         |         FROM m WHERE s <= np - 4),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
         |          FROM sets GROUP BY 1),
+        |keep AS (SELECT fp FROM sets GROUP BY fp
+        |         HAVING count(*) <= 1000),
+        |i AS (SELECT s.doc_id, s.fp FROM sets s JOIN keep USING (fp)),
         |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
         |                  CAST(count(*) AS BIGINT) AS common
-        |           FROM sets x JOIN sets y
+        |           FROM i x JOIN i y
         |             ON x.fp = y.fp AND x.doc_id < y.doc_id
         |           GROUP BY 1, 2)
         |SELECT p1, p2, common,

@@ -47,6 +47,14 @@ object BuilderCache {
     * only — the frames built inside re-derive shared work per call. */
   def uncached[T](body: => T): T = bypass.withValue(true)(body)
 
+  /** True inside an [[uncached]] block. Operators that would otherwise
+    * truncate their logical plan at build time (an eager
+    * `localCheckpoint` replaces the subtree with a `LogicalRDD` leaf —
+    * the same detector-blinding as a cached builder, with no cache to
+    * evict) consult this to keep the full plan visible to the
+    * PlanSpec sweeps. */
+  private[graft] def inspecting: Boolean = bypass.value
+
   /** (sessionKey, builderKey) → the shared cached DataFrame. */
   private val entries = TrieMap.empty[(String, String), DataFrame]
 

@@ -157,23 +157,28 @@ object GraphMetrics {
     // cut each reference re-executes the whole join chain back to the
     // seeds — measured 2.8× slower at sf0.1 (8.9 s → 3.2 s warm).
     // Frames are level sets (≤ nSeeds·|V| rows), never path sets, so
-    // the materialization is bounded.
-    val h1 = seeds.join(edges, col("seed") === col("src"))
+    // the materialization is bounded. Under plan inspection
+    // (BuilderCache.uncached) the checkpoint is SKIPPED: an eager
+    // checkpoint both executes the BFS at build time and truncates the
+    // logical plan to LogicalRDD leaves — blinding the PlanSpec
+    // banned-shape sweeps exactly like a cached builder would.
+    val cut: DataFrame => DataFrame =
+      if (graft.model.BuilderCache.inspecting) identity
+      else _.localCheckpoint()
+    val h1 = cut(seeds.join(edges, col("seed") === col("src"))
       .filter(col("dst") =!= col("seed"))
       .select(col("seed"), col("dst").as("v")).distinct()
-      .withColumn("hops", lit(1L))
-      .localCheckpoint()
+      .withColumn("hops", lit(1L)))
     var visited = h1.select("seed", "v")
     var frontier = h1
     var acc = h1
     for (h <- 2 to maxHops) {
-      val next = frontier.select(col("seed"), col("v").as("u"))
+      val next = cut(frontier.select(col("seed"), col("v").as("u"))
         .join(edges, col("u") === col("src"))
         .filter(col("dst") =!= col("seed"))
         .select(col("seed"), col("dst").as("v")).distinct()
         .join(visited, Seq("seed", "v"), "left_anti")
-        .withColumn("hops", lit(h.toLong))
-        .localCheckpoint()
+        .withColumn("hops", lit(h.toLong)))
       acc = acc.unionByName(next)
       visited = visited.unionByName(next.select("seed", "v"))
       frontier = next

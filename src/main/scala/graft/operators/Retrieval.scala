@@ -115,10 +115,11 @@ object Retrieval {
         round(col("nll"), 6).as("avg_nll"))
       .orderBy("doc_id")
 
-  /** Shared raw frame: (doc_id, n_tokens, nll UNROUNDED) — the rounding
-    * happens at each consumer's output edge so [[nllBucket]] can rank
-    * on the full-precision value (both engines compute the identical
-    * IEEE tree, so the rank order is engine-stable). */
+  /** Shared raw frame: (doc_id, n_tokens, nll UNROUNDED) — each
+    * consumer rounds at its own output edge ([[unigramLogprob]] for
+    * display, [[nllBucket]] BEFORE ranking: the per-doc sum's
+    * accumulation order is engine-dependent in the last ulp, so only
+    * the 6-dp value is a cross-engine-stable sort key). */
   private[graft] def unigramNllOf(docs: DataFrame): DataFrame = {
     val tf = docs.select(col("doc_id"),
         explode(toks(col("text"))).as("term"))
@@ -151,8 +152,12 @@ object Retrieval {
     * `zipWithIndex`) — fully distributed, no single-partition window —
     * and the quartile test is pure integer arithmetic (`4·rank` vs
     * `n_docs`), replayed identically by the oracle's `row_number`.
-    * Ranking on the unrounded NLL keeps ties to exact-double equality,
-    * where the doc_id tie-break decides deterministically. */
+    * The rank key is the ROUNDED 6-dp NLL (like every other ordered
+    * float output): a per-doc NLL is a float SUM whose accumulation
+    * order is fixed in neither engine, so ranking unrounded would let
+    * last-ulp differences reorder near-ties differently than the
+    * oracle; at 6 dp the values are engine-identical and the doc_id
+    * tie-break decides every residual tie the same way on both sides. */
   def nllBucket(spark: SparkSession, dir: String): DataFrame =
     nllBucketOf(spark, Tables.documents(spark, dir))
 
@@ -160,16 +165,20 @@ object Retrieval {
       docs: DataFrame): DataFrame = {
     import spark.implicits._
     val nll = unigramNllOf(docs)
+      .select(col("doc_id"), round(col("nll"), 6).as("avg_nll"))
     val ranked = nll
-      .repartitionByRange(asc("nll"), asc("doc_id"))
-      .sortWithinPartitions(asc("nll"), asc("doc_id"))
-      .select(col("doc_id"), col("nll")).as[(Long, Double)]
+      .repartitionByRange(asc("avg_nll"), asc("doc_id"))
+      .sortWithinPartitions(asc("avg_nll"), asc("doc_id"))
+      .select(col("doc_id"), col("avg_nll")).as[(Long, Double)]
       .rdd.zipWithIndex()
       .map { case ((id, v), r) => (id, v, r) }
-      .toDF("doc_id", "nll", "rank")
-    val n = nll.agg(count(lit(1)).cast("long").as("n_docs"))
+      .toDF("doc_id", "avg_nll", "rank")
+    // every doc yields at least one token row, so |docs| = |nll|; count
+    // the cheap scan, not the NLL pipeline (which would re-execute the
+    // explode + both shuffles a second time just for one number)
+    val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
     ranked.crossJoin(broadcast(n))
-      .select(col("doc_id"), round(col("nll"), 6).as("avg_nll"),
+      .select(col("doc_id"), col("avg_nll"),
         when(col("rank") * 4 < col("n_docs"), "head")
           .when(col("rank") * 4 >= col("n_docs") * 3, "tail")
           .otherwise("middle").as("bucket"))

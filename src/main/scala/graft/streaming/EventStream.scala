@@ -228,14 +228,23 @@ object EventStream {
     * folds into the moments — exact longs, so the arithmetic is
     * identical to the batch operator's at any stream length.
     *
+    * Zero-variance baselines get an explicit integer escape: after a
+    * CONSTANT history (counts 5,5,5) no finite z exists (σ = 0), yet a
+    * burst bucket (500) is the clearest anomaly there is — it flags
+    * via the exact integer test `n·nb ≠ Σn` with z reported as 0. The
+    * batch operator cannot hit this case (a deviating bucket is inside
+    * its global stats, making the variance nonzero), so the escape is
+    * the streaming-only completion of its semantics, not a divergence.
+    *
     * Late events for an already-closed bucket (out-of-order beyond the
     * grace) are DROPPED from monitoring — standard watermark semantics;
     * widen `graceUs` to trade state for completeness. State per type is
     * O(open buckets) = O(grace/1 h + concurrent hours) plus three longs
     * — bounded regardless of stream length; at 100 TB/day the group
     * would also carry an event-time timeout like the other stateful
-    * twins. StreamingSpec drives the cross-batch bucket accumulation
-    * and the prequential chain against hand-computed moments. */
+    * twins. StreamingSpec drives the cross-batch bucket accumulation,
+    * the prequential chain against hand-computed moments, and the
+    * constant-history burst escape. */
   def anomalyStream(events: DataFrame, zThresh: Double = 2.0,
       graceUs: Long = 0L)
       : org.apache.spark.sql.Dataset[AnomalyVerdict] = {
@@ -277,7 +286,11 @@ object EventStream {
                     math.sqrt(num.toDouble / (nb * (nb - 1))))
                   .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
               else 0.0
-              out += AnomalyVerdict(ty, h, n, nb, z, math.abs(z) >= zThresh)
+              // zero-variance escape: any count off a constant baseline
+              // is anomalous even though no finite z exists (σ = 0)
+              val flagged = math.abs(z) >= zThresh ||
+                (nb >= 2 && num == 0 && n * nb != sx)
+              out += AnomalyVerdict(ty, h, n, nb, z, flagged)
               nb += 1; sx += n; sxx += n * n
               closedThrough = h
               open -= h

@@ -303,6 +303,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly monitor flags a burst after a CONSTANT history (zero-variance escape)") {
+    // counts 5,5,5 then 500: the baseline has σ = 0 so no finite z
+    // exists, yet the burst is the clearest anomaly there is — the
+    // integer escape n·nb ≠ Σn must flag it (z stays the neutral 0);
+    // a conforming bucket (another 5) must NOT flag
+    val hNs = 3600L * 1000000000L
+    val t0 = 1710000000000000000L / hNs * hNs
+    val rows = (0 until 3).flatMap(h =>
+      (1 to 5).map(i => (h * 10L + i, t0 + h * hNs + i * 1000000000L))) ++
+      (1 to 500).map(i => (1000L + i, t0 + 3 * hNs + i * 1000000L)) ++
+      (1 to 5).map(i => (2000L + i, t0 + 4 * hNs + i * 1000000000L)) ++
+      Seq((3000L, t0 + 5 * hNs)) // closes the conforming bucket
+    val df = rows.toDF("event_id", "ts")
+      .select(col("event_id"), expr("timestamp_micros(ts div 1000)").as("ts"),
+        lit(1L).as("user_id"), lit("view").as("event_type"),
+        lit(0.0).as("value"), lit("{}").as("props"))
+    // single batch suffices: all closes happen at one high watermark
+    val tmp = java.nio.file.Files.createTempDirectory("graft-anom-burst")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$tmp/ev")
+    val stream = spark.readStream
+      .schema(df.schema).parquet(s"$tmp/ev")
+    val q = EventStream.anomalyStream(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName("anom_burst")
+      .start()
+    try {
+      q.processAllAvailable()
+      val m = spark.table("anom_burst").collect()
+        .map(r => r.getAs[Long]("hour_us") ->
+          ((r.getAs[Long]("n"), r.getAs[Double]("z"),
+            r.getAs[Boolean]("is_anomaly")))).toMap
+      val h0 = t0 / 1000L
+      assert(m(h0 + 3 * 3600000000L) == ((500L, 0.0, true)),
+        "burst after constant history must flag via the integer escape")
+      // the post-burst conforming bucket has nonzero variance now (the
+      // 500 is in the moments) → ordinary small-|z| pass
+      val (n4, z4, f4) = m(h0 + 4 * 3600000000L)
+      assert(n4 == 5L && !f4 && math.abs(z4) < 2.0, s"($n4, $z4, $f4)")
+      // constant-history closes (hours 1,2) must NOT flag
+      assert(m(h0 + 3600000000L)._3 == false)
+      assert(m(h0 + 2 * 3600000000L)._3 == false)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join reconciles with the batch range join") {
     val q = EventStream.windowJoinStream(EventStream.readEvents(spark, dir))
       .writeStream
