@@ -70,6 +70,8 @@ object Bench {
     "bm25_topk" -> 1.35, "unigram_logprob" -> 0.95,
     "pmi_bigrams" -> 3.75, "nll_bucket" -> 2.7, "text_entropy" -> 0.44,
     "event_anomaly" -> 1.02, "winnow_fingerprints" -> 3.9,
+    // timed under loadavg ~4-6 → the ×1.5 sits on an inflated median
+    "bigram_nll" -> 4.9,
     // winnow_pairs reads the memoized fingerprint sets after
     // winnow_fingerprints in sorted order → warm median is the pairing
     "winnow_pairs" -> 2.4,

@@ -158,6 +158,7 @@ object SparkEntry {
     // rank; within-doc distribution entropy
     "nll_bucket"        -> ((s, d) => Retrieval.nllBucket(s, d)),
     "text_entropy"      -> ((s, d) => Retrieval.textEntropy(s, d)),
+    "bigram_nll"        -> ((s, d) => Retrieval.bigramNll(s, d)),
     // robust winnowing (MOSS) — positional local fingerprints + the
     // fingerprint-set near-dup pairing over them
     "winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
@@ -2150,6 +2151,32 @@ object SparkEntry {
         |FROM common JOIN sizes s1 ON p1 = s1.doc_id
         |            JOIN sizes s2 ON p2 = s2.doc_id
         |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 200""".stripMargin,
+
+    // Laplace bigram LM: p(w2|w1) = (c_ab+1)/(c_ctx+V), c_ctx the
+    // exact prefix-context count re-aggregated from the bigram counts
+    "bigram_nll" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+        |              FROM documents),
+        |dbg AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2,
+        |               CAST(count(*) AS BIGINT) AS tf
+        |        FROM (SELECT doc_id,
+        |                unnest(list_transform(range(len(t) - 1),
+        |                  i -> struct_pack(w1 := t[i+1], w2 := t[i+2])))
+        |                  AS bg
+        |              FROM toks)
+        |        GROUP BY 1, 2, 3),
+        |bcnt AS (SELECT w1, w2, CAST(sum(tf) AS BIGINT) AS c_ab
+        |         FROM dbg GROUP BY 1, 2),
+        |ctx AS (SELECT w1, CAST(sum(c_ab) AS BIGINT) AS c_ctx
+        |        FROM bcnt GROUP BY 1),
+        |v AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v_size
+        |      FROM (SELECT unnest(string_split(text, ' ')) AS term
+        |            FROM documents))
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+        |       round(sum(tf * -ln((c_ab + 1.0) / (c_ctx + v_size)))
+        |             / sum(tf), 6) AS avg_nll2
+        |FROM dbg JOIN bcnt USING (w1, w2) JOIN ctx USING (w1), v
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // single-pass entropy form ln(n) - sum(tf*ln(tf))/n; tf=1 terms
     // contribute 0 to the sum (ln 1 = 0)

@@ -68,6 +68,37 @@ class RetrievalSpec extends SparkSpec {
     }
   }
 
+  test("bigram_nll matches the Laplace bigram LM with exact context counts") {
+    // corpus: d0 "a b a b" → (a,b)×2 (b,a)×1; d1 "b c" → (b,c)×1
+    // bigram counts: ab 2, ba 1, bc 1; contexts: a → 2, b → 2;
+    // V = 4 (a, b, c, solo — the bigram-less doc still adds vocabulary)
+    val docs = Seq((0L, "a b a b"), (1L, "b c"), (2L, "solo"))
+      .toDF("doc_id", "text")
+    val out = Retrieval.bigramNllOf(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val pAb = 3 / 6.0; val pBa = 2 / 6.0; val pBc = 2 / 6.0
+    assert(out(0L) == ((3L,
+      r6((2 * -math.log(pAb) + 1 * -math.log(pBa)) / 3.0))))
+    assert(out(1L) == ((1L, r6(-math.log(pBc)))))
+    // a single-token doc has no bigram and emits no row
+    assert(!out.contains(2L))
+  }
+
+  test("bigram surprise separates scrambled text from fluent text") {
+    // same unigram profile, different bigram structure: the fluent doc
+    // repeats the corpus-dominant transitions, the scrambled one never
+    // follows them — unigram NLL ties, bigram NLL must not
+    val docs = Seq(
+      (0L, "x y x y x y x y"), (1L, "x y x y x y x y"),
+      (2L, "x x y y x x y y")).toDF("doc_id", "text")
+    val uni = Retrieval.unigramLogprobOf(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    val bi = Retrieval.bigramNllOf(docs).collect()
+      .map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(uni(0L) == uni(2L), "unigram NLL cannot separate these")
+    assert(bi(2L) > bi(0L), "bigram NLL must flag the scrambled doc")
+  }
+
   // --- PMI --------------------------------------------------------------
 
   test("pmi_bigrams matches the Church-Hanks formula, support-filtered") {
