@@ -71,7 +71,7 @@ object Bench {
     "pmi_bigrams" -> 3.75, "nll_bucket" -> 2.7, "text_entropy" -> 0.44,
     "event_anomaly" -> 1.02, "winnow_fingerprints" -> 3.9,
     // timed under loadavg ~4-6 → the ×1.5 sits on an inflated median
-    "bigram_nll" -> 4.9,
+    "bigram_nll" -> 4.9, "source_kl" -> 1.1,
     // winnow_pairs reads the memoized fingerprint sets after
     // winnow_fingerprints in sorted order → warm median is the pairing
     "winnow_pairs" -> 2.4,

@@ -159,6 +159,7 @@ object SparkEntry {
     "nll_bucket"        -> ((s, d) => Retrieval.nllBucket(s, d)),
     "text_entropy"      -> ((s, d) => Retrieval.textEntropy(s, d)),
     "bigram_nll"        -> ((s, d) => Retrieval.bigramNll(s, d)),
+    "source_kl"         -> ((s, d) => Retrieval.sourceKl(s, d)),
     // robust winnowing (MOSS) — positional local fingerprints + the
     // fingerprint-set near-dup pairing over them
     "winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
@@ -2151,6 +2152,28 @@ object SparkEntry {
         |FROM common JOIN sizes s1 ON p1 = s1.doc_id
         |            JOIN sizes s2 ON p2 = s2.doc_id
         |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 200""".stripMargin,
+
+    // per-source KL drift from the corpus token distribution; the
+    // ratio keeps one parse shape ((1.0*c_st*t_all)/(1.0*t_src*c_t)),
+    // mirrored from Retrieval.sourceKlOf
+    "source_kl" ->
+      """WITH st AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |            FROM documents),
+        |sc AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c_st
+        |       FROM st GROUP BY 1, 2),
+        |ct AS (SELECT term, CAST(sum(c_st) AS BIGINT) AS c_t
+        |       FROM sc GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS t_all FROM ct),
+        |stot AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS t_src
+        |         FROM sc GROUP BY 1)
+        |SELECT sc.source, CAST(sum(c_st) AS BIGINT) AS n_tokens,
+        |       CAST(count(*) AS BIGINT) AS n_terms,
+        |       round(sum((CAST(c_st AS DOUBLE) / t_src)
+        |             * ln((1.0 * c_st * t_all) / (1.0 * t_src * c_t))),
+        |         6) AS kl_nats
+        |FROM sc JOIN ct ON sc.term = ct.term
+        |        JOIN stot ON sc.source = stot.source, tot
+        |GROUP BY sc.source ORDER BY sc.source""".stripMargin,
 
     // Laplace bigram LM: p(w2|w1) = (c_ab+1)/(c_ctx+V), c_ctx the
     // exact prefix-context count re-aggregated from the bigram counts

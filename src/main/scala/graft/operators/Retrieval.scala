@@ -278,6 +278,48 @@ object Retrieval {
       .orderBy("doc_id")
   }
 
+  /** `source_kl`: per-source token-distribution drift — the KL
+    * divergence `KL(p_src ‖ p_corpus) = Σ_t p_src(t)·ln(p_src(t)/p(t))`
+    * of each source's token distribution from the whole corpus's. The
+    * curation audit behind mixture decisions: a source whose KL rises
+    * release-over-release is drifting (template change, scraper
+    * breakage, language shift) — count-level reports
+    * (domain_stats) can't see it. KL ≥ 0 always; 0 iff identical
+    * distributions. No smoothing is needed: a source's support is a
+    * subset of the corpus's by construction, so p(t) > 0 wherever
+    * p_src(t) > 0.
+    *
+    * Scale: one (source, term) map-side-combined count shuffle, a
+    * corpus re-aggregate of it (distinct terms), one unhinted model
+    * join, per-source totals carried by a window-free group
+    * aggregation. Every ratio is exact-integer counts through one
+    * fixed double tree; the per-source sum runs over the vocabulary —
+    * the one float accumulation, same contract as tfidf/NLL. */
+  def sourceKl(spark: SparkSession, dir: String): DataFrame =
+    sourceKlOf(Tables.documents(spark, dir))
+
+  private[graft] def sourceKlOf(docs: DataFrame): DataFrame = {
+    val st = docs.select(col("source"),
+        explode(toks(col("text"))).as("term"))
+      .groupBy("source", "term").agg(count(lit(1)).as("c_st"))
+    val ct = st.groupBy("term").agg(sum("c_st").as("c_t"))
+    val tot = ct.agg(sum("c_t").cast("long").as("t_all"))
+    val stot = st.groupBy("source").agg(sum("c_st").as("t_src"))
+    // p_src(t)/p(t) = (c_st/t_src)/(c_t/t_all) = (1.0*c_st*t_all)/(1.0*t_src*c_t)
+    // — the pmi parse-shape discipline, mirrored textually in the oracle
+    val ratio = (lit(1.0) * col("c_st") * col("t_all")) /
+      (lit(1.0) * col("t_src") * col("c_t"))
+    st.join(ct, "term")
+      .join(stot, "source")
+      .crossJoin(broadcast(tot))
+      .groupBy("source")
+      .agg(sum("c_st").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_terms"),
+        round(sum((col("c_st").cast("double") / col("t_src")) *
+          log(ratio)), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
   /** `pmi_bigrams`: top-k adjacent token pairs by pointwise mutual
     * information, `PMI(a,b) = ln( (c_ab/B) / ((c_a/T)(c_b/T)) )`, with
     * a minimum-count support filter (Church & Hanks' guard against the

@@ -264,6 +264,27 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("source_kl is nonnegative and zero only at identical distributions (random)") {
+    val gen = for {
+      n <- Gen.choose(2, 10)
+      rows <- Gen.listOfN(n, for {
+        len <- Gen.choose(1, 15)
+        ts <- Gen.listOfN(len, Gen.oneOf("a", "b", "c", "d"))
+        src <- Gen.oneOf("s0", "s1", "s2")
+      } yield (ts.mkString(" "), src))
+    } yield rows.zipWithIndex.map { case ((t, s), i) => (i.toLong, t, s) }
+    samples(gen, 10).foreach { docs =>
+      val out = graft.operators.Retrieval
+        .sourceKlOf(docs.toDF("doc_id", "text", "source")).collect()
+      assert(out.nonEmpty)
+      out.foreach { r =>
+        // Gibbs' inequality; float summation can dip a true-zero KL to
+        // ~-1e-15, which round(·,6) takes to -0.0 — and -0.0 >= 0.0
+        assert(r.getDouble(3) >= 0.0, s"negative KL: $r")
+      }
+    }
+  }
+
   test("winnowOf ≡ driver-side robust winnowing on random docs") {
     def h32ref(s: String): Long =
       java.lang.Long.parseLong(java.security.MessageDigest

@@ -99,6 +99,23 @@ class RetrievalSpec extends SparkSpec {
     assert(bi(2L) > bi(0L), "bigram NLL must flag the scrambled doc")
   }
 
+  test("source_kl: hand divergence, zero for identical distributions") {
+    // A: x×3 y×1, B: y×3 x×1 → corpus p(x)=p(y)=1/2
+    val docs = Seq((0L, "x x x y", "A"), (1L, "y y y x", "B"))
+      .toDF("doc_id", "text", "source")
+    val out = Retrieval.sourceKlOf(docs).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val kl = r6(0.75 * math.log(0.75 / 0.5) + 0.25 * math.log(0.25 / 0.5))
+    assert(out("A") == ((4L, 2L, kl)))
+    assert(out("B") == ((4L, 2L, kl))) // symmetric construction
+    // identical per-source distributions → KL exactly 0
+    val same = Seq((0L, "x y", "A"), (1L, "x y", "B"))
+      .toDF("doc_id", "text", "source")
+    Retrieval.sourceKlOf(same).collect()
+      .foreach(r => assert(r.getDouble(3) == 0.0, r.toString))
+  }
+
   // --- PMI --------------------------------------------------------------
 
   test("pmi_bigrams matches the Church-Hanks formula, support-filtered") {
