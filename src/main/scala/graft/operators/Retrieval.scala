@@ -42,6 +42,19 @@ object Retrieval {
 
   private def toks(c: Column): Column = split(c, " ")
 
+  /** Adjacent-pair extraction shared by [[pmiBigrams]] and
+    * [[bigramNll]] — one definition so the guard, sequence bounds and
+    * 1-based offsets can never drift apart between the two consumers.
+    * The `size >= 2` guard is load-bearing: Spark's
+    * `sequence(0, negative)` DESCENDS rather than returning empty. */
+  private def bigramsOf(textCol: String): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) >= 2
+       |  THEN transform(sequence(0, size(split($textCol, ' ')) - 2),
+       |    i -> struct(element_at(split($textCol, ' '), i + 1) AS w1,
+       |                element_at(split($textCol, ' '), i + 2) AS w2))
+       |  ELSE array()
+       |END""".stripMargin)
+
   /** `bm25_topk`: top-k documents by BM25 score against [[QueryTerms]].
     *
     * Scale: the token stream is filtered to the query terms BEFORE the
@@ -251,22 +264,22 @@ object Retrieval {
     * crossJoined broadcast. Docs with fewer than 2 tokens have no
     * bigram and emit no row (the length gate upstream owns them). */
   def bigramNll(spark: SparkSession, dir: String): DataFrame =
-    bigramNllOf(Tables.documents(spark, dir))
+    // V from the memoized per-(doc,term) tf frame — an aggregate over
+    // the cached counts instead of a second full-corpus explode
+    bigramNllImpl(Tables.documents(spark, dir), vocabSizeOfTf(docTf(spark, dir)))
 
-  private[graft] def bigramNllOf(docs: DataFrame): DataFrame = {
-    val dbg = docs.select(col("doc_id"), explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 2
-          |  THEN transform(sequence(0, size(split(text, ' ')) - 2),
-          |    i -> struct(element_at(split(text, ' '), i + 1) AS w1,
-          |                element_at(split(text, ' '), i + 2) AS w2))
-          |  ELSE array()
-          |END""".stripMargin)).as("bg"))
+  private[graft] def bigramNllOf(docs: DataFrame): DataFrame =
+    bigramNllImpl(docs, vocabSizeOfTf(tfOf(docs)))
+
+  private def vocabSizeOfTf(tf: DataFrame): DataFrame =
+    tf.agg(count_distinct(col("term")).cast("long").as("v_size"))
+
+  private def bigramNllImpl(docs: DataFrame, v: DataFrame): DataFrame = {
+    val dbg = docs.select(col("doc_id"), explode(bigramsOf("text")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val bcnt = dbg.groupBy("w1", "w2").agg(sum("tf").as("c_ab"))
     val ctx = bcnt.groupBy("w1").agg(sum("c_ab").as("c_ctx"))
-    val v = docs.select(explode(toks(col("text"))).as("term"))
-      .agg(count_distinct(col("term")).cast("long").as("v_size"))
     val nll2 = -log((col("c_ab") + lit(1.0)) /
       (col("c_ctx") + col("v_size")))
     dbg.join(bcnt, Seq("w1", "w2"))
@@ -340,13 +353,7 @@ object Retrieval {
 
   private[graft] def pmiBigramsOf(docs: DataFrame, minCount: Long = 5L,
       k: Int = 100): DataFrame = {
-    val big = docs.select(explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 2
-          |  THEN transform(sequence(0, size(split(text, ' ')) - 2),
-          |    i -> struct(element_at(split(text, ' '), i + 1) AS w1,
-          |                element_at(split(text, ' '), i + 2) AS w2))
-          |  ELSE array()
-          |END""".stripMargin)).as("bg"))
+    val big = docs.select(explode(bigramsOf("text")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)
