@@ -209,10 +209,15 @@ object Retrieval {
       .rdd.zipWithIndex()
       .map { case ((id, v), r) => (id, v, r) }
       .toDF("doc_id", "avg_nll", "rank")
-    // every doc yields at least one token row, so |docs| = |nll|; count
-    // the cheap scan, not the NLL pipeline (which would re-execute the
-    // explode + both shuffles a second time just for one number)
-    val n = docs.agg(count(lit(1)).cast("long").as("n_docs"))
+    // n must equal |nll| (the oracle ranks and counts the same frame):
+    // a doc yields token rows — and so an NLL row — exactly when its
+    // text is non-NULL (split('') still emits one '' token; split(NULL)
+    // explodes to nothing in both engines), so count the scan under
+    // that predicate rather than re-executing the NLL pipeline (the
+    // explode + both shuffles) a second time just for one number. The
+    // filter reaches the parquet scan as an IsNotNull pushdown.
+    val n = docs.filter(col("text").isNotNull)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
     ranked.crossJoin(broadcast(n))
       .select(col("doc_id"), col("avg_nll"),
         when(col("rank") * 4 < col("n_docs"), "head")

@@ -239,12 +239,22 @@ object EventStream {
     * Late events for an already-closed bucket (out-of-order beyond the
     * grace) are DROPPED from monitoring — standard watermark semantics;
     * widen `graceUs` to trade state for completeness. State per type is
-    * O(open buckets) = O(grace/1 h + concurrent hours) plus three longs
-    * — bounded regardless of stream length; at 100 TB/day the group
-    * would also carry an event-time timeout like the other stateful
-    * twins. StreamingSpec drives the cross-batch bucket accumulation,
-    * the prequential chain against hand-computed moments, and the
-    * constant-history burst escape. */
+    * O(open buckets) = O(grace/1 h + concurrent hours) plus three longs;
+    * a STALLED type (its source stops emitting, so its own event-time
+    * high watermark never advances) is evicted by an EVENT-TIME TIMEOUT
+    * against the STREAM-GLOBAL watermark: when the global watermark
+    * passes an open bucket's end + grace, the timeout callback closes it
+    * with the same prequential verdict the type's own frontier would
+    * have issued — so state is bounded even for types that go silent,
+    * like the other stateful twins' scale notes require. Carrying the
+    * watermarked `ts` into the stateful operator (the event-time-timeout
+    * contract) also engages Spark's standard late-row pre-filter: rows
+    * behind the global watermark by more than the grace drop before the
+    * function, the cross-TYPE completion of the per-type
+    * `closedThrough` + grace rule. StreamingSpec drives the
+    * cross-batch bucket accumulation, the prequential chain against
+    * hand-computed moments, the constant-history burst escape, and the
+    * stalled-type timeout eviction. */
   def anomalyStream(events: DataFrame, zThresh: Double = 2.0,
       graceUs: Long = 0L)
       : org.apache.spark.sql.Dataset[AnomalyVerdict] = {
@@ -252,33 +262,48 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     val HourUs = 3600000000L
+    // the watermark delay mirrors the operator's own grace: the global
+    // watermark may close a stalled type's bucket no earlier than the
+    // type's own frontier would have, had it kept emitting
+    // the watermarked ts column must reach the stateful operator's input
+    // (the event-time-timeout analysis contract); `us` is the value the
+    // fold actually uses
     val typed = events
-      .select(col("event_type"), unix_micros(col("ts")).as("us"))
-      .as[(String, Long)]
+      .withWatermark("ts", s"$graceUs microseconds")
+      .select(col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .as[(String, java.sql.Timestamp, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[AnomalyState, AnomalyVerdict](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (ty: String, rows: Iterator[(String, Long)],
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (ty: String, rows: Iterator[(String, java.sql.Timestamp, Long)],
          state: GroupState[AnomalyState]) =>
           val st = state.getOption.getOrElse(
             AnomalyState(Map.empty, Long.MinValue, Long.MinValue, 0L, 0L, 0L))
           var open = st.open
           var hw = st.hwUs
-          // fold the whole micro-batch before closing anything, so a
-          // bucket closed this batch has already absorbed every
-          // same-batch event regardless of iterator order
-          rows.foreach { case (_, us) =>
-            if (us > hw) hw = us
-            val hour = Math.floorDiv(us, HourUs) * HourUs
-            if (hour > st.closedThrough)
-              open = open.updated(hour, open.getOrElse(hour, 0L) + 1L)
-            // else: late beyond grace for a closed bucket — dropped
-          }
+          if (!state.hasTimedOut)
+            // fold the whole micro-batch before closing anything, so a
+            // bucket closed this batch has already absorbed every
+            // same-batch event regardless of iterator order
+            rows.foreach { case (_, _, us) =>
+              if (us > hw) hw = us
+              val hour = Math.floorDiv(us, HourUs) * HourUs
+              if (hour > st.closedThrough)
+                open = open.updated(hour, open.getOrElse(hour, 0L) + 1L)
+              // else: late beyond grace for a closed bucket — dropped
+            }
           var (nb, sx, sxx) = (st.nb, st.sx, st.sxx)
           var closedThrough = st.closedThrough
           val out = Array.newBuilder[AnomalyVerdict]
+          // closing frontier: the type's own event-time high watermark
+          // on a data batch; the stream-global watermark when the
+          // timeout fired (the stalled-type path — its own hw is stuck)
+          val frontier =
+            if (state.hasTimedOut) state.getCurrentWatermarkMs() * 1000L
+            else hw
           open.keys.toSeq.sorted
-            .takeWhile(h => h + HourUs + graceUs <= hw).foreach { h =>
+            .takeWhile(h => h + HourUs + graceUs <= frontier).foreach { h =>
               val n = open(h)
               val num = nb * sxx - sx * sx
               val z = if (nb >= 2 && num > 0)
@@ -296,6 +321,18 @@ object EventStream {
               open -= h
             }
           state.update(AnomalyState(open, hw, closedThrough, nb, sx, sxx))
+          // arm the eviction alarm for the oldest still-open bucket; a
+          // type with nothing open keeps only its three-long moments (no
+          // alarm needed — nothing unbounded remains). setTimeoutTimestamp
+          // requires a value strictly past the current watermark, so an
+          // already-due bucket (first events of a type arriving behind
+          // the global watermark) re-arms 1 ms ahead and closes on the
+          // next watermark advance.
+          open.keys.minOption.foreach { oldest =>
+            val dueMs = (oldest + HourUs + graceUs) / 1000L
+            state.setTimeoutTimestamp(
+              math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
+          }
           out.result().iterator
       }
   }

@@ -243,22 +243,29 @@ class PlanSpec extends SparkSpec {
   }
 
   test("retrieval tier keeps its scale-relevant plan shapes (round 9)") {
-    // bm25: the substring prescreen must sit UNDER the explode (a
-    // Filter containing Contains below the Generate), and the ranking
-    // plans as TakeOrderedAndProject, not a full sort
-    val pb = plan(graft.operators.Retrieval.bm25Topk(spark, dir))
-    assert(pb.contains("TakeOrderedAndProject"), pb)
-    assert(pb.contains("Contains"), pb)
-    // pmi: top-k ranking; the unigram joins are equi-joins (the only
-    // non-equi operator allowed is the 1-row totals broadcast, which
-    // plans as BroadcastNestedLoopJoin by construction)
-    val pp = plan(graft.operators.Retrieval.pmiBigrams(spark, dir))
-    assert(pp.contains("TakeOrderedAndProject"), pp)
-    assert(!pp.contains("Cartesian"), pp)
-    // unigram LM: no Expand (single aggregate family per shuffle — the
-    // mixed count+countDistinct shape would double the token stream)
-    val pu = plan(graft.operators.Retrieval.unigramLogprob(spark, dir))
-    assert(!pu.contains("Expand"), pu)
+    // uncachedSweep, like every query-wide sweep: unigram_logprob (and
+    // the others) read the memoized docTf builder, which would otherwise
+    // surface as an InMemoryRelation leaf — hiding the token-stream
+    // aggregate the no-Expand assertion pins (the round-8 masking), and
+    // side-effectfully populating the cache from inside a plan test
+    uncachedSweep {
+      // bm25: the substring prescreen must sit UNDER the explode (a
+      // Filter containing Contains below the Generate), and the ranking
+      // plans as TakeOrderedAndProject, not a full sort
+      val pb = plan(graft.operators.Retrieval.bm25Topk(spark, dir))
+      assert(pb.contains("TakeOrderedAndProject"), pb)
+      assert(pb.contains("Contains"), pb)
+      // pmi: top-k ranking; the unigram joins are equi-joins (the only
+      // non-equi operator allowed is the 1-row totals broadcast, which
+      // plans as BroadcastNestedLoopJoin by construction)
+      val pp = plan(graft.operators.Retrieval.pmiBigrams(spark, dir))
+      assert(pp.contains("TakeOrderedAndProject"), pp)
+      assert(!pp.contains("Cartesian"), pp)
+      // unigram LM: no Expand (single aggregate family per shuffle — the
+      // mixed count+countDistinct shape would double the token stream)
+      val pu = plan(graft.operators.Retrieval.unigramLogprob(spark, dir))
+      assert(!pu.contains("Expand"), pu)
+    }
   }
 
   test("round-6 join queries avoid non-equi join physical plans") {

@@ -346,6 +346,60 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly monitor evicts a STALLED type via the event-time timeout") {
+    // type "view" emits only in H0 then goes silent; type "click" keeps
+    // the GLOBAL watermark advancing through H3/H4. Without the
+    // event-time timeout the stalled type's H0 bucket stays open forever
+    // (its own hw never passes H0's end); with it, the global watermark
+    // closes the bucket and emits the same prequential verdict.
+    val base = java.nio.file.Files.createTempDirectory("graft-anom-stall")
+    val watched = s"$base/in"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def write(name: String, rows: Seq[(Long, Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("event_id", "ts", "event_type")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+    }
+    val hNs = 3600L * 1000000000L
+    val t0 = 1720000000000000000L / hNs * hNs
+    write("a", Seq((1L, t0, "view"), (2L, t0 + 1000000000L, "view"),
+      (3L, t0 + 1000L, "click")))
+    write("b", (10L to 12L).map(i => (i, t0 + 3 * hNs + i * 1000000L, "click")))
+    write("c", Seq((20L, t0 + 4 * hNs, "click")))
+    (Seq("a", "b") zip Seq(120000, 60000)).foreach { case (n, ago) =>
+      new java.io.File(s"$watched/$n.parquet")
+        .setLastModified(System.currentTimeMillis() - ago)
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema(org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.anomalyStream(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName("anom_stall")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("anom_stall").collect()
+        .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("hour_us"),
+          r.getAs[Long]("n")))
+      val h0 = t0 / 1000L
+      // the stalled type's H0 bucket closed via the global watermark
+      // (its own frontier never left H0), with its full 2-event count
+      assert(rows.contains(("view", h0, 2L)), rows.mkString(";"))
+      // the live type's own frontier closed its H0 and H3 as usual
+      assert(rows.contains(("click", h0, 1L)), rows.mkString(";"))
+      assert(rows.contains(("click", h0 + 3 * 3600000000L, 3L)),
+        rows.mkString(";"))
+    } finally q.stop()
+  }
+
   test("stream-stream interval join reconciles with the batch range join") {
     val q = EventStream.windowJoinStream(EventStream.readEvents(spark, dir))
       .writeStream
