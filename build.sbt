@@ -23,12 +23,26 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Driver heap COUPLED TO SCALE: 8g measured FASTER than 16g/48g at
+// sf0.1 and below (A/B under equal load: 99.7 / 120.4 / 136.2 s —
+// Dataset caches degrade gracefully to disk while big-heap G1 pauses
+// hit every one of the many small local[32] tasks; the same pathology
+// re-measured PER-QUERY at sf10: pmi_bigrams 171 s standalone under
+// 48g vs 16.6 s under 8g), but the sf10 exact-pairing/adjacency chains
+// OOM an 8g driver — so the default follows SPARK_GRAFT_SF_DIR: 8g
+// through sf0.1, 16g at sf1, 48g at sf10+. SPARK_DRIVER_MEM still
+// overrides; graft.Bench records the heap it actually ran under in its
+// JSON artifact ("heap_gb").
+val heapForScale: String = {
+  val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "")
+    .split('/').filter(_.nonEmpty).lastOption.getOrElse("")
+  val n = if (sf.startsWith("sf"))
+    scala.util.Try(sf.stripPrefix("sf").toDouble).getOrElse(0.0)
+  else 0.0
+  if (n >= 10) "48g" else if (n >= 1) "16g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // 8g measured FASTER than 16g/48g for this workload (A/B under equal
-  // load: 99.7 / 120.4 / 136.2 s at sf0.1) — Dataset caches degrade
-  // gracefully to disk while big-heap G1 pauses hit every one of the
-  // many small local[32] tasks. Override via SPARK_DRIVER_MEM.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", heapForScale)}",
 )

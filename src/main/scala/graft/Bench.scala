@@ -282,12 +282,21 @@ object Bench {
     // in "regressions". Budgets only mean anything at the baseline's
     // scale (sf0.1): on any other sfDir the budget comparisons are
     // skipped entirely and only FORCE_EXCEED-named queries adjudicate.
-    // Test hooks: SPARK_GRAFT_FORCE_EXCEED routes named queries through
+    // ROUND 10 tightening (two phantom confirms in two rounds —
+    // text_repetition r8, jaccard_sim r9): a draining 32-core box
+    // recovers its 1-MIN loadavg under the old 4.0 gate while co-tenant
+    // work is still unwinding (r9's confirming attempt started at 1-min
+    // 1.81 and still timed 2.15× budget; quiet re-time 0.62 s). Quiet
+    // now means BOTH the 1-min AND the 5-min loadavg at or under 2.0 —
+    // the 5-min average is the drain detector the 1-min cannot be — and
+    // confirmation takes the MIN of up to THREE spaced attempts, any
+    // one under-budget attempt clearing. Test hooks:
+    // SPARK_GRAFT_FORCE_EXCEED routes named queries through
     // adjudication (sweep time reported as the sentinel 9999 s);
     // SPARK_GRAFT_QUIET_LOAD / SPARK_GRAFT_SOLO_WAIT_SECS override the
-    // quiet threshold (default 4.0 — the level the round-8 verdict
-    // flags as needing manual re-timing) and the total sleep budget
-    // (default 180 s across the whole adjudication phase).
+    // quiet threshold (default 2.0, applied to both loadavg horizons)
+    // and the total sleep budget (default 240 s across the whole
+    // adjudication phase).
     val forced = sys.env.get("SPARK_GRAFT_FORCE_EXCEED")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(Set.empty[String])
@@ -309,28 +318,41 @@ object Bench {
         (k, swept, budget, isCold)
     }
     val quietLoad =
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "4.0").toDouble
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
     var sleepBudget =
-      sys.env.getOrElse("SPARK_GRAFT_SOLO_WAIT_SECS", "180").toDouble
-    def load1min: Double = loadavg.headOption.getOrElse(0.0)
+      sys.env.getOrElse("SPARK_GRAFT_SOLO_WAIT_SECS", "240").toDouble
+    // quiet = 1-min AND 5-min loadavg both at/under the threshold: the
+    // 1-min recovers within seconds of a co-tenant draining while the
+    // 5-min still carries the drain — gating on both is what keeps a
+    // "solo" run from timing against work that is still unwinding
+    def loadPair: (Double, Double) = loadavg match {
+      case Seq(l1, l5, _*) => (l1, l5)
+      case Seq(l1) => (l1, l1)
+      case _ => (0.0, 0.0)
+    }
+    def isQuiet(l: (Double, Double)): Boolean =
+      l._1 <= quietLoad && l._2 <= quietLoad
     def nap(secs: Double): Unit = {
       val s = math.min(secs, sleepBudget)
       if (s > 0) { Thread.sleep((s * 1000).toLong); sleepBudget -= s }
     }
-    def awaitQuiet(): Double = {
-      var l = load1min
-      while (l > quietLoad && sleepBudget > 0) { nap(30); l = load1min }
+    def awaitQuiet(): (Double, Double) = {
+      var l = loadPair
+      while (!isQuiet(l) && sleepBudget > 0) { nap(30); l = loadPair }
       l
     }
     val soloErrors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    val soloLoads = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val soloLoads =
+      scala.collection.mutable.LinkedHashMap.empty[String, Seq[(Double, Double)]]
     val adjudicated = exceeded.map { case (k, swept, budget, isCold) =>
-      // (attempt_sec, loadavg_1min at attempt start); confirmation
-      // requires BOTH attempts over budget, clearing needs only one under
-      val attempts = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      // (attempt_sec, (loadavg_1min, loadavg_5min) at attempt start);
+      // confirmation requires EVERY attempt over budget, clearing needs
+      // only one under
+      val attempts =
+        scala.collection.mutable.ArrayBuffer.empty[(Double, (Double, Double))]
       var attempt = 0
       var cleared = false
-      while (attempt < 2 && !cleared && !soloErrors.contains(k)) {
+      while (attempt < 3 && !cleared && !soloErrors.contains(k)) {
         if (attempt > 0) nap(30) // space the re-try: draining load decays
         val lStart = awaitQuiet()
         // memoized chains would replay as ~0.1 s memo reads: drop exactly
@@ -370,7 +392,8 @@ object Bench {
         if (soloErrors.contains(k) || attempts.isEmpty) Double.PositiveInfinity
         else attempts.map(_._1).min
       // valid confirmation evidence = at least one attempt started quiet
-      val quietRun = attempts.exists(_._2 <= quietLoad)
+      // on BOTH loadavg horizons
+      val quietRun = attempts.exists(a => isQuiet(a._2))
       (k, swept, solo, budget, quietRun)
     }
     val load2 = loadavg
@@ -392,8 +415,9 @@ object Bench {
     val unadjudicated = adjudicated.collect {
       case (k, swept, solo, b, quietRun)
           if solo > 2 * b && !confirmed(k, solo, b, quietRun) =>
-        val l = soloLoads.getOrElse(k, Seq.empty).lastOption.getOrElse(-1.0)
-        f""""$k":[$swept%.3f,$solo%.3f,$l%.2f]"""
+        val (l1, l5) =
+          soloLoads.getOrElse(k, Seq.empty).lastOption.getOrElse((-1.0, -1.0))
+        f""""$k":[$swept%.3f,$solo%.3f,$l1%.2f,$l5%.2f]"""
     }.mkString("{", ",", "}")
     val regs = adjudicated.collect {
       case (k, _, solo, b, quietRun) if confirmed(k, solo, b, quietRun) =>
@@ -401,18 +425,24 @@ object Bench {
         if (solo.isInfinity) s""""$k":-1"""
         else f""""$k":${solo / b}%.2f"""
     }.mkString("{", ",", "}")
+    // per attempt: [loadavg_1min, loadavg_5min] at attempt start
     val soloLoad = soloLoads.map { case (k, ls) =>
-      s"\"" + k + "\":" + ls.map(l => f"$l%.2f").mkString("[", ",", "]")
+      s"\"" + k + "\":" + ls.map { case (l1, l5) =>
+        f"[$l1%.2f,$l5%.2f]" }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val soloErrs = soloErrors.map { case (k, e) =>
       s"\"" + k + "\":\"" + esc(e) + "\"" }.mkString("{", ",", "}")
     val la = (l: Seq[Double]) => l.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    // the JVM heap this sweep actually ran under (build.sbt couples the
+    // default -Xmx to the sf dir; recording it makes scale artifacts
+    // self-describing instead of env-var archaeology)
+    val heapGb = f"${Runtime.getRuntime.maxMemory / 1073741824.0}%.1f"
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     // The driver keeps only the LAST 2000 chars of stdout: the 59-query
     // "queries"/"cold" maps above push the gate fields (value/ok/
     // regressions) past that window (round-5 verdict). Repeat them in a
     // compact FINAL line so truncation can never eat the gate.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -8,13 +8,19 @@ import org.apache.spark.sql.SparkSession
   * whole surface with budgets; this answers the narrower question
   * "did THIS query get faster under THIS code change" without paying
   * for a sweep, so variants can be swapped in place and compared on a
-  * load-gated box (gate on 1-min loadavg yourself before trusting the
-  * numbers — see the bench-isolation note in the verify skill).
+  * load-gated box (gate on the 1-min AND 5-min loadavg yourself before
+  * trusting the numbers — see the bench-isolation note in the verify
+  * skill). The JVM heap comes from build.sbt's scale coupling, which
+  * reads SPARK_GRAFT_SF_DIR (not argv) — export it alongside the argv
+  * sfDir when timing sf1+/sf10 so the fork gets the matching heap; the
+  * header line records what the run actually got.
   * Usage: runMain graft.tools.TimeQuery <sfDir> <query> [runs=4]
   */
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    println(f"heap_gb ${Runtime.getRuntime.maxMemory / 1073741824.0}%.1f " +
+      s"sf ${args(0)}")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
