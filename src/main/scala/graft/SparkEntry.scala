@@ -1042,6 +1042,9 @@ object SparkEntry {
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
         |ORDER BY hamming, p1, p2""".stripMargin,
 
+    // the corpus-relative stop-shingle guard is mirrored (keep CTE,
+    // same GREATEST(100, ⌈n/10⁴⌉) integer ceil as winnow_pairs);
+    // sizes stay unguarded-exact — the lower-bound contract
     "ngram_jaccard" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
@@ -1051,9 +1054,14 @@ object SparkEntry {
         |         FROM toks)),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
         |          FROM sh GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sizes),
+        |keep AS (SELECT sh FROM sh GROUP BY sh
+        |         HAVING count(*) <= GREATEST(100,
+        |           (SELECT (n_docs + 9999) // 10000 FROM nd))),
+        |i AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
         |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
         |                  CAST(count(*) AS BIGINT) AS common
-        |           FROM sh x JOIN sh y
+        |           FROM i x JOIN i y
         |             ON x.sh = y.sh AND x.doc_id < y.doc_id
         |           GROUP BY 1, 2)
         |SELECT p1, p2,
@@ -2110,11 +2118,12 @@ object SparkEntry {
         |SELECT DISTINCT doc_id, pos, mn AS fingerprint
         |FROM w ORDER BY doc_id, pos""".stripMargin,
 
-    // fingerprint-set jaccard over the winnowed signatures. Unlike
-    // ngram_jaccard's oracle, the maxDf=1000 hot-fingerprint guard IS
-    // mirrored (the `keep` CTE), so engine and oracle agree even on a
-    // corpus where boilerplate pushes a fingerprint past the df cap —
-    // sizes stay unguarded-exact on both sides, matching
+    // fingerprint-set jaccard over the winnowed signatures. The
+    // corpus-relative hot-fingerprint guard IS mirrored (the `keep`
+    // CTE: df ≤ GREATEST(100, ⌈n_docs/10⁴⌉), integer ceil — the exact
+    // Dedup.dropHotBucketsRel arithmetic), so engine and oracle agree
+    // even on a corpus where boilerplate pushes a fingerprint past the
+    // df cap — sizes stay unguarded-exact on both sides, matching
     // Dedup.winnowPairsOf's lower-bound contract. The
     // rightmost-minimizer join of the winnow_fingerprints oracle is
     // skipped here deliberately: the distinct fingerprint VALUES per
@@ -2139,8 +2148,10 @@ object SparkEntry {
         |         FROM m WHERE s <= np - 4),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
         |          FROM sets GROUP BY 1),
+        |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sizes),
         |keep AS (SELECT fp FROM sets GROUP BY fp
-        |         HAVING count(*) <= 1000),
+        |         HAVING count(*) <= GREATEST(100,
+        |           (SELECT (n_docs + 9999) // 10000 FROM nd))),
         |i AS (SELECT s.doc_id, s.fp FROM sets s JOIN keep USING (fp)),
         |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
         |                  CAST(count(*) AS BIGINT) AS common

@@ -26,16 +26,31 @@ import graft.operators.TextOps.h32
   *     skew-join salt would: a degenerate bucket (10k byte-identical docs
   *     land every band in one cell) would otherwise go O(bucket²);
   *   - ngram jaccard: the inverted-index self-join is bounded per shingle;
-  *     high-document-frequency shingles are dropped first (maxDf) — they
-  *     carry no discriminative signal and are exactly the rows that blow
-  *     up the self-join (a corpus-wide stop-shingle pairs every doc with
-  *     every doc).
+  *     high-document-frequency shingles are dropped first — they carry no
+  *     discriminative signal and are exactly the rows that blow up the
+  *     self-join (a corpus-wide stop-shingle pairs every doc with every
+  *     doc). The drop threshold is CORPUS-RELATIVE (round-10, from the
+  *     sf10 DNF finding): `df > max(maxDf, ⌈n_docs/10⁴⌉)` — the classic
+  *     0.01 %-of-documents stop rule with an absolute floor, so a fixed
+  *     threshold can't silently stop firing as the corpus grows (sf10's
+  *     fixed 40-token vocabulary put avg fingerprint df at 371 with max
+  *     985, ALL under the old absolute 1000 — 3.22 billion candidate
+  *     pairs with the guard dark). Integer arithmetic on both sides
+  *     (`(n + 9999) div 10⁴`), so engine and oracle compute the
+  *     identical cap at any n.
   * Guard defaults are far above anything the testdata produces (measured
   * sf0.1 maxima: shingle df 25, minhash bucket 12), so guarded and
   * unguarded results agree on every oracle-checked scale; the guards exist
   * for the degenerate corners at corpus scale (GuardSpec exercises them).
   */
 object Dedup {
+
+  /** Denominator of the corpus-relative stop-element rule: an element
+    * (shingle / winnow fingerprint) present in more than 1-in-10⁴
+    * documents is boilerplate at any scale (the CCNet/MOSS stop-gram
+    * intuition). Mirrored as the literal 9999/10000 integer-ceil in the
+    * DuckDB oracles — change in lockstep. */
+  val RelDfDenom = 10000L
 
   /** `dedup_exact`: group by full-content hash, keep the minimum doc_id as
     * the canonical representative (deterministic survivor policy), count
@@ -139,11 +154,13 @@ object Dedup {
     * ~2/(w+1) the size of the shingle surface (the winnowing density
     * bound), which is exactly why MOSS pairs documents this way at
     * repository scale. Sizes are computed over the UNGUARDED sets
-    * (exact); the hot-fingerprint guard drops only pairing mass, so
-    * scores are exact for pairs sharing no hot fingerprint and lower
-    * bounds otherwise (the [[ngramJaccard]] contract). */
+    * (exact); the hot-fingerprint guard — corpus-relative,
+    * `df > max(maxDf, ⌈n/10⁴⌉)` with n the fingerprinted-doc count
+    * ([[dropHotBucketsRel]]) — drops only pairing mass, so scores are
+    * exact for pairs sharing no hot fingerprint and lower bounds
+    * otherwise (the [[ngramJaccard]] contract). */
   def winnowPairs(spark: SparkSession, dir: String, k: Int = 3,
-      w: Int = 4, limit: Int = 200, maxDf: Int = 1000): DataFrame = {
+      w: Int = 4, limit: Int = 200, maxDf: Int = 100): DataFrame = {
     val sets = BuilderCache.memo(spark, s"winnowSets:$dir:$k:$w") {
       winnowOf(Tables.documents(spark, dir), k, w)
         .select("doc_id", "fingerprint").distinct()
@@ -154,7 +171,10 @@ object Dedup {
   private[graft] def winnowPairsOf(sets: DataFrame, limit: Int,
       maxDf: Int): DataFrame = {
     val sizes = sets.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val idx = dropHotBuckets(sets, Seq("fingerprint"), maxDf)
+    // n = docs with ≥1 fingerprint (= |sizes|) — the corpus the df
+    // fractions are relative to; the oracle counts its sizes CTE
+    val nDocs = sizes.agg(count(lit(1)).as("n_docs"))
+    val idx = dropHotBucketsRel(sets, Seq("fingerprint"), nDocs, maxDf)
     val common = idx.as("x").join(idx.as("y"),
         col("x.fingerprint") === col("y.fingerprint") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -224,6 +244,29 @@ object Dedup {
     val hot = rows.groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("bucket_sz"))
       .filter(col("bucket_sz") > maxBucket)
+      .select(keys.map(col): _*)
+    rows.join(broadcast(hot), keys, "left_anti")
+  }
+
+  /** Corpus-RELATIVE variant of [[dropHotBuckets]] for the document-
+    * frequency guards: drop every row whose key's df exceeds
+    * `max(floorDf, ⌈n_docs/RelDfDenom⌉)`, where `nDocs` is a 1-row
+    * (n_docs BIGINT) frame counting the corpus the keys were drawn from —
+    * the audited 1-row-totals cross (BroadcastNestedLoopJoin by
+    * construction, same shape as nll_bucket's n_docs and bigram_nll's
+    * V). `floorDf` keeps small corpora (where 0.01 % < 1 doc) from
+    * dropping everything; the relative term keeps the guard LIVE as the
+    * corpus grows — a fixed absolute threshold goes dark exactly when
+    * the quadratic it guards becomes fatal (the sf10 lesson). The ceil
+    * is integer ((n + denom−1) div denom), replayed exactly by the
+    * DuckDB oracles. */
+  private[operators] def dropHotBucketsRel(rows: DataFrame,
+      keys: Seq[String], nDocs: DataFrame, floorDf: Long): DataFrame = {
+    val hot = rows.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("bucket_sz"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("bucket_sz") > greatest(lit(floorDf),
+        expr(s"(n_docs + ${RelDfDenom - 1}) div $RelDfDenom")))
       .select(keys.map(col): _*)
     rows.join(broadcast(hot), keys, "left_anti")
   }
@@ -548,19 +591,24 @@ object Dedup {
   /** `ngram_jaccard`: exact 3-gram-shingle Jaccard for every pair sharing
     * at least one shingle (inverted-index self-join + inclusion-exclusion
     * on exact set sizes — same shape as [[Recommend.jaccardPairs]]).
-    * Shingles appearing in more than `maxDf` documents are dropped from
+    * Shingles appearing in more than `max(maxDf, ⌈n/10⁴⌉)` documents
+    * ([[dropHotBucketsRel]] — n the shingled-doc count) are dropped from
     * the INDEX side only (sizes stay exact): a corpus-wide stop-shingle
     * ("the of the") pairs every document with every document — quadratic —
-    * while contributing nothing to near-dup discrimination. When the
-    * guard fires, `common` (and so jaccard) is a lower bound for pairs
-    * sharing hot shingles; the sf0.1 maximum df is 25, so the default
-    * never fires on oracle-checked data. */
+    * while contributing nothing to near-dup discrimination, and the
+    * Σdf² candidate volume it drives grows with the corpus, which is why
+    * the threshold must scale with it (sf10 formerly filled 75 GB of
+    * disk with every df under the old fixed cap). When the guard fires,
+    * `common` (and so jaccard) is a lower bound for pairs sharing hot
+    * shingles; the sf0.1 maximum df is 25, so the default never fires on
+    * oracle-checked data. */
   def ngramJaccard(spark: SparkSession, dir: String, limit: Int = 200,
-      maxDf: Int = 1000): DataFrame = {
+      maxDf: Int = 100): DataFrame = {
     val sh = shingles(spark, dir) // BuilderCache'd — never re-mark it
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
-    val idx = BuilderCache.memo(spark, s"ngramIdx:$dir:$maxDf") {
-      dropHotBuckets(sh, Seq("sh"), maxDf)
+    val nDocs = sizes.agg(count(lit(1)).as("n_docs"))
+    val idx = BuilderCache.memo(spark, s"ngramIdx:$dir:$maxDf:rel") {
+      dropHotBucketsRel(sh, Seq("sh"), nDocs, maxDf)
     }
     val common = idx.as("x").join(idx.as("y"),
         col("x.sh") === col("y.sh") && col("x.doc_id") < col("y.doc_id"))

@@ -124,6 +124,64 @@ class GuardSpec extends SparkSpec {
     assert(out.head._3 > 0.99)
   }
 
+  test("flat-df corpus: the corpus-relative df cap fires where a large absolute cap stays dark") {
+    // the sf10 DNF shape in miniature: a FIXED tiny vocabulary keeps
+    // every shingle's df high (here 200 — over the 100 floor, under
+    // 1000, the old absolute default that stayed dark at sf10), so only
+    // a threshold the corpus count can't outgrow fires. 1600 docs in 8
+    // identity classes of 200: unguarded pairing goes ~within-class
+    // all-pairs (8·C(200,2) = 159 200 — the quadratic the guard exists
+    // to stop); guarded, every shingle is over the cap and the pairing
+    // collapses.
+    val d = Files.createTempDirectory("graft-guard-flat").toString
+    val vocab = Array("w0", "w1", "w2", "w3", "w4", "w5", "w6", "w7")
+    val docs = (1L to 1600L).map { i =>
+      val toks = (0 until 24).map(j => vocab(((i + j * j) % 8).toInt))
+      (i, toks.mkString(" "))
+    }
+    docs.toDF("doc_id", "text")
+      .coalesce(2).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val guarded = Dedup.ngramJaccard(spark, d, limit = 1000000)
+      .as[(Long, Long, Double)].collect()
+    val unguarded = Dedup
+      .ngramJaccard(spark, d, limit = 1000000, maxDf = Int.MaxValue)
+      .as[(Long, Long, Double)].collect()
+    assert(unguarded.length > 100000, s"fixture too tame: ${unguarded.length}")
+    assert(guarded.length < unguarded.length / 10,
+      s"relative cap never fired: ${guarded.length} vs ${unguarded.length}")
+    val wg = Dedup.winnowPairsOf(
+      Dedup.winnowOf(spark.read.parquet(s"$d/documents.parquet"), k = 3, w = 2)
+        .select("doc_id", "fingerprint").distinct(),
+      limit = 1000000, maxDf = 100)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(wg.length < unguarded.length / 10,
+      s"winnow relative cap never fired: ${wg.length}")
+  }
+
+  test("the relative term RAISES the cap above a tiny floor (n > 10^4 docs)") {
+    // on the 10 002-doc corpus the effective cap is
+    // max(floor=1, ceil(10002/10^4)=2) = 2: the near-dup pair's df-2
+    // shingles/fingerprints survive a floor that would drop them, while
+    // the df-10^4 mass still goes. A purely absolute cap of 1 would
+    // return NOTHING (pairing needs df >= 2) — the pair's presence is
+    // the integer-ceil arithmetic working.
+    val ng = Dedup.ngramJaccard(spark, docsDir, limit = 1000000, maxDf = 1)
+      .as[(Long, Long, Double)].collect()
+    assert(ng.exists { case (a, b, j) =>
+      a == 20001L && b == 20002L && math.abs(j - 5.0 / 7) < 1e-6 },
+      ng.take(5).mkString(","))
+    assert(ng.forall { case (a, b, _) => a > 10000L && b > 10000L })
+    val sets = Dedup
+      .winnowOf(spark.read.parquet(s"$docsDir/documents.parquet"),
+        k = 3, w = 2)
+      .select("doc_id", "fingerprint").distinct()
+    val wp = Dedup.winnowPairsOf(sets, limit = 1000000, maxDf = 1)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(wp.exists { case (a, b, _, j) =>
+      a == 20001L && b == 20002L && j > 0 }, wp.take(5).mkString(","))
+    assert(wp.forall { case (a, b, _, _) => a > 10000L && b > 10000L })
+  }
+
   test("winnow hot-fingerprint guard: mass pairs dropped, near pair survives") {
     // the identical mass elects identical fingerprints in all 10k docs
     // → fingerprint df 10k ≫ maxDf, guard drops them from pairing; the
