@@ -138,6 +138,7 @@ object SparkEntry {
     // graph-structure + boilerplate-removal tier (round 9): per-vertex
     // triadic structure on the co-purchase graph, cross-doc span removal
     "triangle_counts"   -> ((s, d) => GraphMetrics.triangleCounts(s, d)),
+    "triangle_est"      -> ((s, d) => GraphMetrics.triangleEst(s, d)),
     "graph_stats"       -> ((s, d) => GraphMetrics.graphStats(s, d)),
     "degree_dist"       -> ((s, d) => GraphMetrics.degreeDist(s, d)),
     "text_clean"        -> ((s, d) => TextOps.textClean(s, d)),
@@ -1804,6 +1805,30 @@ object SparkEntry {
         |                 / CAST(sum(degree * (degree - 1) // 2) AS DOUBLE), 6)
         |            ELSE CAST(0.0 AS DOUBLE) END AS transitivity
         |FROM t HAVING count(*) > 0""".stripMargin,
+
+    // DOULION edge-sampled triangle estimate (GraphMetrics.triangleEst):
+    // hash-deterministic p=1/2 edge sampling (h32("src:dst") even), exact
+    // triangle count on the sparsified graph — here by the canonical
+    // 3-way self-join, independent of the Spark side's oriented
+    // intersection — scaled by 2³. All longs, so hash-exact.
+    "triangle_est" ->
+      s"""WITH $coocGraphSql,
+        |s AS MATERIALIZED (
+        |  SELECT src, dst FROM und
+        |  WHERE CAST(('0x' || substr(md5(CAST(src AS VARCHAR) || ':' ||
+        |                                 CAST(dst AS VARCHAR)), 1, 8))
+        |             AS BIGINT) % 2 = 0),
+        |tri AS (SELECT CAST(count(*) AS BIGINT) AS t
+        |        FROM s e1
+        |        JOIN s e2 ON e1.src = e2.src AND e1.dst < e2.dst
+        |        JOIN s e3 ON e3.src = e1.dst AND e3.dst = e2.dst)
+        |SELECT CAST((SELECT count(*) FROM und) AS BIGINT)
+        |         AS n_edges_total,
+        |       CAST((SELECT count(*) FROM s) AS BIGINT)
+        |         AS n_edges_sampled,
+        |       t AS tri_sampled,
+        |       CAST(t * 8 AS BIGINT) AS est_triangles
+        |FROM tri WHERE (SELECT count(*) FROM und) > 0""".stripMargin,
 
     // co-purchase degree histogram (GraphMetrics.degreeDist)
     "degree_dist" ->

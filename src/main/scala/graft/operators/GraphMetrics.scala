@@ -187,6 +187,58 @@ object GraphMetrics {
       .orderBy("seed", "hops", "product_id")
   }
 
+  /** `triangle_est`: DOULION edge-sampled triangle ESTIMATE (Tsourakakis,
+    * Kang, Miller & Faloutsos, KDD'09) — the 100 TB twin of the exact
+    * [[triangleCounts]]/[[graphStats]] chain, whose O(m^1.5)
+    * intersection work is inherent to exact enumeration: keep each
+    * undirected edge with probability p = 1/pDenom, count triangles
+    * exactly on the sparsified graph (the same orientation +
+    * intersection operator), scale by pDenom³ (each triangle survives
+    * with p³, so the estimate is unbiased with variance that vanishes
+    * as T grows — the regime where the exact operator is unaffordable
+    * is exactly the regime where the estimate is tight). Sampling is by
+    * HASH, not RNG — an edge is kept iff h32("src:dst") ≡ 0 (mod
+    * pDenom) — so the result is deterministic, replayable by the DuckDB
+    * oracle bit-for-bit, and consistent across executors/retries at any
+    * scale; the estimator's expectation argument holds for a hash that
+    * spreads uniformly, which GraphMetricsSpec checks empirically
+    * against the exact count. One row:
+    * (n_edges_total, n_edges_sampled, tri_sampled, est_triangles) —
+    * all exact longs (est = tri·pDenom³), the Det discipline.
+    * Work: sampling is a filter on the edge list (the m-row scan is the
+    * only full-data pass); the intersection chain then runs on ~m/pDenom
+    * edges, cutting its superlinear term by ~pDenom^1.5. */
+  def triangleEst(spark: SparkSession, dir: String,
+      pDenom: Int = 2): DataFrame =
+    triangleEstOf(Relational.coocCounts(spark, dir), pDenom)
+
+  /** [[triangleEst]] over any symmetric directed neighbor relation —
+    * the fixture-testable form. */
+  private[graft] def triangleEstOf(cc: DataFrame, pDenom: Int): DataFrame = {
+    require(pDenom >= 1, "pDenom must be >= 1 (1 = no sampling)")
+    val und = cc.filter(col("src") < col("dst")).select("src", "dst")
+    val s = und.filter(
+      graft.operators.TextOps.h32(
+        concat_ws(":", col("src"), col("dst"))) % pDenom === 0)
+    // exact enumeration on the sparsified graph via the SAME oriented-
+    // intersection operator as the exact twin (symmetrized back to the
+    // (src,dst)+(dst,src) shape it expects)
+    val sym = s.unionAll(s.select(col("dst").as("src"), col("src").as("dst")))
+    val triSum = triangleCountsOf(sym)
+      .agg(coalesce(sum("triangles"), lit(0L)).as("tri3"))
+    val nAll = und.agg(count(lit(1)).as("n_edges_total"))
+    val nS = s.agg(count(lit(1)).as("n_edges_sampled"))
+    // three 1-row totals — the audited broadcast crosses
+    nAll.crossJoin(broadcast(nS)).crossJoin(broadcast(triSum))
+      .select(col("n_edges_total"), col("n_edges_sampled"),
+        (col("tri3") / 3).cast("long").as("tri_sampled"),
+        ((col("tri3") / 3).cast("long") *
+          lit(pDenom.toLong * pDenom * pDenom)).as("est_triangles"))
+      // empty-corpus contract: a summary of the empty graph is zero
+      // rows (same rule as graphStats)
+      .filter(col("n_edges_total") > 0)
+  }
+
   /** [[triangleCounts]] over any symmetric directed (src, dst, …)
     * neighbor relation (one row per orientation of each undirected
     * edge, no self-loops) — the fixture-testable form. */

@@ -53,6 +53,43 @@ class GraphMetricsSpec extends SparkSpec {
       .as[Long].collect().head == degSum)
   }
 
+  test("triangle_est: pDenom=1 is EXACTLY the exact count; p=1/2 estimates within bounds") {
+    // unsampled (p=1): the estimator pipeline must reproduce the exact
+    // twin bit-for-bit — sampling is the ONLY approximation in it
+    val cc = Relational.coocCounts(spark, dir)
+    val exact = GraphMetrics.graphStats(spark, dir)
+      .select("n_edges", "n_triangles").as[(Long, Long)].collect().head
+    val full = GraphMetrics.triangleEstOf(cc, 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(full == ((exact._1, exact._1, exact._2, exact._2)), full)
+    // p=1/2 (the declared query): est = 8·tri_sampled by construction,
+    // roughly half the edges survive, and the estimate lands within a
+    // generous ±50% of the exact count on the real graph (deterministic
+    // hash sampling → this is a stable regression pin, not a flaky
+    // statistical one; the estimator's variance shrinks with T, and
+    // sf0.001's T is the smallest we ever run it on)
+    val est = GraphMetrics.triangleEst(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(est._1 == exact._1)
+    assert(est._2 > est._1 / 3 && est._2 < 2 * est._1 / 3,
+      s"sampling rate off: ${est._2} of ${est._1} edges")
+    assert(est._4 == 8 * est._3)
+    val relErr = math.abs(est._4 - exact._2).toDouble / exact._2
+    assert(relErr < 0.5, s"est ${est._4} vs exact ${exact._2} (err $relErr)")
+  }
+
+  test("triangle_est: fixture — sampling drops triangles, scaling stays exact-integer") {
+    val und = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+    val cc = (und ++ und.map { case (a, b) => (b, a) })
+      .map { case (a, b) => (a, b, 1L) }.toDF("src", "dst", "cnt")
+    val r = GraphMetrics.triangleEstOf(cc, 1)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(r == ((6L, 6L, 2L, 2L)), r)
+    // empty graph → zero rows (the graphStats contract)
+    assert(GraphMetrics.triangleEstOf(cc.filter(col("src") > 99L), 2)
+      .count() == 0L)
+  }
+
   test("graph_stats: real graph agrees with the per-vertex table") {
     val tc = GraphMetrics.triangleCounts(spark, dir).cache()
     val st = GraphMetrics.graphStats(spark, dir)
