@@ -13,10 +13,14 @@ import graft.model.Tables
   * and true pixel resampling. The AUDIO codec is REAL too
   * (`javax.sound.sampled` WAV/AU/AIFF PCM parsing — also pure JDK):
   * decodable payloads yield duration/RMS/zero-crossing/envelope
-  * features. VIDEO is REAL for the one family the JDK covers end to
-  * end — MJPEG-in-AVI ([[aviFrames]]: RIFF demux + per-frame JPEG
-  * decode); every other codec takes the deterministic byte-level
-  * STUB extractor, clearly marked below. Payloads that don't decode
+  * features. VIDEO is REAL on two surfaces: full decode for the one
+  * family the JDK covers end to end — MJPEG-in-AVI ([[aviFrames]]:
+  * RIFF demux + per-frame JPEG decode) — and decode-free FRAME
+  * SEGMENTATION for raw H.264 Annex-B streams ([[annexBFrames]]:
+  * start-code walk + access-unit boundary syntax, the split/count/
+  * fingerprint surface a 100 TB video corpus needs before any decoder
+  * runs); everything else takes the deterministic byte-level STUB
+  * extractor, clearly marked below. Payloads that don't decode
   * (e.g. the testdata's text stand-ins) take the same fallback, so the
   * oracle-checked rows are unchanged while MultimodalSpec proves the
   * pixel, PCM and demux paths on synthetic PNGs/WAVs/AVIs.
@@ -217,8 +221,71 @@ object Multimodal {
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** ==== STUB ==== (fallback only: non-AVI video, plus undecodable
-    * audio/image payloads)
+  /** REAL frame-boundary detection for raw H.264 ANNEX-B byte streams —
+    * no decoder needed, which is the point: access-unit segmentation is
+    * a pure syntax walk over the stream (ITU-T H.264 §B.1 byte-stream
+    * NAL framing + §7.4.1.2.4 first-slice detection), so a Spark
+    * pipeline can split, count, size and fingerprint frames of a codec
+    * it cannot decode. NAL units are delimited by 00 00 01 / 00 00 00 01
+    * start codes; a new access unit (frame) begins at an access-unit
+    * delimiter NAL (type 9) or at a VCL slice NAL (types 1–5) whose
+    * `first_mb_in_slice` is 0 — ue(v)=0 is the single bit '1', so the
+    * test is the MSB of the first RBSP byte, no exp-Golomb loop needed.
+    * Head-of-stream non-VCL units (SPS/PPS/SEI) ride with frame 0
+    * (which starts at byte 0); mid-stream ones attach to the preceding
+    * frame — the cut lands exactly at the detected boundary NAL's start
+    * code, a deterministic convention either way. Returns the frame
+    * byte ranges in stream order; None when the payload is not Annex-B (no
+    * start code at byte 0, or a NAL header with the forbidden bit set —
+    * ASCII stand-ins contain no NUL bytes, so they can never
+    * false-positive) — the caller falls through to the byte slicer. */
+  private[graft] def annexBFrames(
+      payload: Array[Byte]): Option[Seq[Array[Byte]]] = {
+    // start-code length at offset o (3 or 4), or 0
+    def sc(o: Int): Int =
+      if (o + 3 <= payload.length && payload(o) == 0 && payload(o + 1) == 0) {
+        if (payload(o + 2) == 1) 3
+        else if (o + 4 <= payload.length && payload(o + 2) == 0 &&
+          payload(o + 3) == 1) 4
+        else 0
+      } else 0
+    if (payload.length < 5 || sc(0) == 0) None
+    else {
+      // (start-code offset, NAL header offset) for every NAL unit
+      val nals = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      var o = 0
+      var valid = true
+      while (o + 2 < payload.length && valid) {
+        val n = sc(o)
+        if (n > 0) {
+          val h = o + n
+          // forbidden_zero_bit must be 0 in every NAL header
+          if (h >= payload.length || (payload(h) & 0x80) != 0) valid = false
+          else { nals += ((o, h)); o = h + 1 }
+        } else o += 1
+      }
+      if (!valid || nals.isEmpty) None
+      else {
+        def newAu(h: Int): Boolean = {
+          val t = payload(h) & 0x1f
+          t == 9 || (t >= 1 && t <= 5 && h + 1 < payload.length &&
+            (payload(h + 1) & 0x80) != 0)
+        }
+        val cuts = nals.indices.filter(i => newAu(nals(i)._2))
+        if (cuts.isEmpty) Some(Seq.empty) // valid stream, no frame starts
+        else {
+          // frame 0 absorbs any leading SPS/PPS/SEI before the first cut
+          val starts = 0 +: cuts.drop(1).map(i => nals(i)._1)
+          val ends = starts.drop(1) :+ payload.length
+          Some(starts.zip(ends).map { case (s, e) =>
+            java.util.Arrays.copyOfRange(payload, s, e) })
+        }
+      }
+    }
+  }
+
+  /** ==== STUB ==== (fallback only: video that is neither MJPEG-AVI nor
+    * H.264 Annex-B, plus undecodable audio/image payloads)
     * Deterministic byte-level extractor: a 16-bin byte histogram,
     * normalized. A real implementation would decode the payload with an
     * audio/video codec here (partition-local, no Spark API in the hot
@@ -290,7 +357,9 @@ object Multimodal {
   /** `multimodal_frames`: frame sampling for video assets — every
     * `every`-th frame becomes one row. An MJPEG-AVI payload is REALLY
     * demuxed ([[aviFrames]]): frame rows are the actual JPEG stream
-    * chunks (true sizes, fingerprints of real frame bytes). Any other
+    * chunks (true sizes, fingerprints of real frame bytes); an H.264
+    * Annex-B payload is REALLY segmented ([[annexBFrames]]: true
+    * access-unit boundaries without a decoder). Any other
     * payload takes the byte-slicer stand-in (every `every`-th
     * fixed-size byte window) with identical data movement. The plumbing
     * is the production shape either way — `mapPartitions` over the
@@ -319,11 +388,13 @@ object Multimodal {
         java.lang.Long.parseLong(hex.substring(0, 8), 16)
       }
       it.flatMap { a =>
-        // 'parsed AVI, zero stream chunks' (Some(empty)) is a genuinely
-        // empty video → emit no rows; only 'not an AVI at all' (None)
-        // takes the byte-window stand-in — a well-formed empty container
-        // must not fabricate frames from its own header bytes
-        aviFrames(a.payload) match {
+        // 'parsed container, zero stream chunks' (Some(empty)) is a
+        // genuinely empty video → emit no rows; only 'no container
+        // recognized it' (None from both the AVI demux and the Annex-B
+        // segmenter) takes the byte-window stand-in — a well-formed
+        // empty container must not fabricate frames from its own
+        // header bytes
+        aviFrames(a.payload).orElse(annexBFrames(a.payload)) match {
           case Some(frames) => // real MJPEG demux (possibly zero frames)
             Iterator.range(0, frames.length, every).map { i =>
               Frame(a.asset_id, i.toLong, frames(i).length.toLong,

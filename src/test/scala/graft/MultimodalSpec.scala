@@ -220,6 +220,69 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).frame_fp == expFp)
   }
 
+  /** Minimal H.264 Annex-B stream assembler: each NAL = 4-byte start
+    * code + header byte + body. */
+  private def annexB(nals: Seq[Array[Byte]]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    nals.foreach { n =>
+      out.write(Array[Byte](0, 0, 0, 1)); out.write(n)
+    }
+    out.toByteArray
+  }
+  // NAL builders: header = nal_ref_idc<<5 | type; body first byte's MSB
+  // is first_mb_in_slice's ue(v) leading bit (1 ⇔ first_mb == 0)
+  private def sps = Array[Byte](0x67, 0x42, 0x00, 0x0a)
+  private def pps = Array[Byte](0x68, 0x3c, 0x00 /* MSB 0: no AU cut */)
+  private def idrFirst(tag: Byte) = Array[Byte](0x65, 0x88.toByte, tag)
+  private def sliceFirst(tag: Byte) = Array[Byte](0x41, 0x9a.toByte, tag)
+  private def sliceCont(tag: Byte) = Array[Byte](0x41, 0x3a, tag)
+
+  test("annexBFrames: access-unit boundaries by first_mb_in_slice, no decoder") {
+    // SPS+PPS ride with frame 0 (IDR + a continuation slice); frames 1
+    // and 2 start at first-slice NALs; the continuation slice (MSB 0)
+    // must NOT cut
+    val stream = annexB(Seq(
+      sps, pps, idrFirst(1), sliceCont(1), sliceFirst(2), sliceFirst(3)))
+    val frames = Multimodal.annexBFrames(stream).get
+    assert(frames.length == 3, frames.map(_.length))
+    // frame 0 = SPS+PPS+IDR+cont = 4 NALs × (4-byte sc) + 4+3+3+3 bytes
+    assert(frames(0).length == 16 + 13, frames(0).length)
+    assert(frames(1).length == 4 + 3 && frames(2).length == 4 + 3)
+    // frames concatenate back to the exact stream (no byte lost)
+    assert(frames.flatten.toSeq == stream.toSeq)
+    // an AUD (type 9) also cuts
+    val withAud = annexB(Seq(sps, idrFirst(1),
+      Array[Byte](0x09, 0x10), sliceCont(9)))
+    assert(Multimodal.annexBFrames(withAud).get.length == 2)
+  }
+
+  test("annexBFrames rejects non-streams and forbidden-bit corruption; never throws") {
+    assert(Multimodal.annexBFrames("plain text doc".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.annexBFrames(Array.emptyByteArray).isEmpty)
+    // valid start code but forbidden_zero_bit set in a later NAL header
+    val bad = annexB(Seq(idrFirst(1), Array[Byte](0xe5.toByte, 0x00)))
+    assert(Multimodal.annexBFrames(bad).isEmpty)
+    // parameter sets only: a valid stream with ZERO frames
+    assert(Multimodal.annexBFrames(annexB(Seq(sps, pps))).exists(_.isEmpty))
+  }
+
+  test("frameSampleOf segments an H.264 Annex-B payload into real access units") {
+    // 5 frames, stride 2 → indices 0, 2, 4 with TRUE access-unit sizes
+    val stream = annexB(Seq(sps, pps, idrFirst(0), sliceFirst(1),
+      sliceFirst(2), sliceFirst(3), sliceFirst(4)))
+    val out = Multimodal.frameSampleOf(
+      Seq(Asset(31L, "video", "h264", stream)).toDS()).collect()
+      .sortBy(_.frame_idx)
+    assert(out.map(_.frame_idx).toSeq == Seq(0L, 2L, 4L), out.toSeq)
+    // frame 0 = 4+4 (sps) + 4+3 (pps) + 4+3 (idr) = 22; others 4+3
+    assert(out.map(_.n_bytes).toSeq == Seq(22L, 7L, 7L), out.toSeq)
+    // a parameter-sets-only stream is a parsed-but-empty video: no rows
+    val psOnly = Multimodal.frameSampleOf(
+      Seq(Asset(32L, "video", "h264", annexB(Seq(sps, pps)))).toDS())
+      .collect()
+    assert(psOnly.isEmpty, psOnly.toSeq)
+  }
+
   test("featuresOf decodes the first MJPEG frame's pixels for video") {
     // JPEG-encode a synthetic image, wrap in AVI: the video features
     // must equal decodeImage on that same JPEG (real pixel path), not
