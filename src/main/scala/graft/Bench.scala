@@ -44,7 +44,9 @@ object Bench {
     "lang_id" -> 0.3, "lang_id_ngram" -> 0.3,
     "multimodal_features" -> 0.48, "multimodal_frames" -> 0.3,
     "multimodal_resize" -> 0.3, "ngram_counts" -> 3.27,
-    "ngram_jaccard" -> 2.82, "orderfreq_topk" -> 1.08,
+    // re-derived round 10 with the corpus-relative guard chain (quiet
+    // sweep loadavg 1.08 at start): median 1.94 × 1.5
+    "ngram_jaccard" -> 2.9, "orderfreq_topk" -> 1.08,
     "pack_assign" -> 0.53, "pack_manifest" -> 0.61,
     "pack_tokens" -> 0.78, "popularity_approx" -> 2.61,
     "popularity_topk" -> 0.87, "rec_blend" -> 0.76,
@@ -73,15 +75,21 @@ object Bench {
     // warm median no longer contains the token-stream shuffle a
     // regression would hit (the round-5 memoization rule)
     "pmi_bigrams" -> 3.75, "text_entropy" -> 0.44,
-    "event_anomaly" -> 1.02, "winnow_fingerprints" -> 3.9,
-    // timed under loadavg ~4-6 → the ×1.5 sits on an inflated median
-    "bigram_nll" -> 4.9, "source_kl" -> 1.1,
+    // winnow_fingerprints / bigram_nll / source_kl RE-DERIVED round 10
+    // on a quiet box (r9 had set them under loadavg ~4-6, verdict item
+    // 6): quiet sweep medians 2.80 / 3.22 / 0.44 × 1.5
+    "event_anomaly" -> 1.02, "winnow_fingerprints" -> 4.2,
+    "bigram_nll" -> 4.8, "source_kl" -> 0.66,
     // winnow_pairs reads the memoized fingerprint sets after
     // winnow_fingerprints in sorted order → warm median is the pairing
-    "winnow_pairs" -> 2.4,
+    // (quiet median 1.91 × 1.5 under the round-10 relative guard)
+    "winnow_pairs" -> 2.9,
     "text_repetition" -> 2.27, "text_tokens" -> 0.3,
     "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
     "tokenize_unk" -> 0.62, "triangle_counts" -> 0.5,
+    // triangle_est re-runs its sampled chain every run (only the cooc
+    // builder is shared): quiet median 1.64 × 1.5
+    "triangle_est" -> 2.45,
     "viz_dot" -> 1.2,
     "vocab_build" -> 0.41)
 
