@@ -12,6 +12,11 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # Bound the oracle itself: at sf10 a recursive/self-join CTE can
+    # otherwise grow past the box (observed: dedup_clusters' transitive
+    # closure at 95 GB RSS). Spill to disk instead of dying.
+    con.execute("SET memory_limit='40GB'")
+    con.execute("SET temp_directory='.tmp'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(p):
