@@ -121,6 +121,7 @@ object SparkEntry {
     "pack_tokens"       -> ((s, d) => Corpus.packTokens(s, d)),
     "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
     "tokenize_unk"      -> ((s, d) => TextOps.tokenizeUnk(s, d)),
+    "bpe_merges"        -> ((s, d) => TextOps.bpeMerges(s, d)),
     // quantized-ANN query path: approximates exact cosine (recall
     // pinned in ScalaTest) but the quantized computation itself is
     // deterministic → oracle-checked like the rest of the ANN tier
@@ -291,6 +292,46 @@ object SparkEntry {
         |FROM seq s LEFT JOIN (SELECT * FROM v WHERE token_id < 50000) v
         |  ON s.u.tok = v.token
         |ORDER BY doc_id, pos""".stripMargin
+
+  /** DuckDB oracle for `bpe_merges`: the BPE merge loop unrolled to
+    * `iters` steps (the pagerank_fixed pattern — fixed iteration count →
+    * chained MATERIALIZED CTEs, hash-exact longs/strings throughout).
+    * Each step counts adjacent pairs from the split token list, picks
+    * the (cnt DESC, a, b) winner, and rewrites the corpus with the
+    * doubled-space replace trick: double every separator so each token
+    * owns a space on both sides, string-replace ` a␣␣b ` (left-to-right,
+    * non-overlapping — replace()'s scan order IS BPE's greedy rule once
+    * spaces are doubled), then collapse runs of spaces back. Provably
+    * the same semantics as the Spark side's per-document fold (see
+    * TextOps.bpeMerges scaladoc). */
+  private def bpeMergesSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val apply =
+        if (k == iters) "" else s""",
+           |d${k + 1} AS MATERIALIZED (
+           |  SELECT trim(regexp_replace(
+           |           replace(' ' || replace(s, ' ', '  ') || ' ',
+           |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
+           |                   (SELECT ' ' || m || ' ' FROM w$k)),
+           |           ' +', ' ', 'g')) AS s
+           |  FROM d$k)""".stripMargin
+      s"""p$k AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT string_split(s, ' ') AS t FROM d$k))
+         |  GROUP BY 1, 2),
+         |w$k AS MATERIALIZED (
+         |  SELECT a, b, a || '_' || b AS m, cnt
+         |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)$apply""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map { k =>
+      s"SELECT $k AS step, a AS lhs, b AS rhs, m AS merged, cnt AS pair_count FROM w$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH d1 AS MATERIALIZED (SELECT text AS s FROM documents),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
 
   /** The co-purchase graph CTE prefix (undirected edge list + degrees),
     * shared by the `triangle_counts`, `graph_stats`, and `degree_dist`
@@ -1520,6 +1561,12 @@ object SparkEntry {
     // tokenize_ids with the reserve-index-0 UNK convention: left join +
     // coalesce, in-vocab ids shift by one, every position yields a row
     "tokenize_unk" -> tokenizeUnkSql,
+
+    // BPE merge learning (TextOps.bpeMerges): 4 unrolled merge rounds,
+    // winner + corpus rewrite per round — counts are exact longs, the
+    // winner rule a deterministic (cnt DESC, a, b) sort, so the merge
+    // table hash-matches across engines
+    "bpe_merges" -> bpeMergesSql(4),
 
     // the pipeline terminal (Corpus.packTokens): the UNK-tokenized
     // token stream of every pipeline survivor, tagged with its

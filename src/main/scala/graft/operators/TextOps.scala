@@ -577,4 +577,89 @@ object TextOps {
           .otherwise("es").as("pred_lang"))
       .orderBy("doc_id")
   }
+
+  /** `bpe_merges`: corpus-scale BPE merge learning (Sennrich, Haddow &
+    * Birch, ACL 2016, "Neural Machine Translation of Rare Words with
+    * Subword Units" — the iterative merge loop of learn_bpe.py), applied
+    * at WORD granularity: each step counts adjacent token pairs across
+    * the whole corpus, picks the most frequent pair (ties broken
+    * (count DESC, left ASC, right ASC) — deterministic where the
+    * original samples dict order), and rewrites every greedy
+    * left-to-right non-overlapping occurrence into the single token
+    * `left_right`. This completes the tokenizer-training tier:
+    * [[vocabBuild]] gives the frequency vocabulary, bpe_merges learns
+    * the merge table, [[tokenizeIds]] applies a vocabulary to the
+    * stream. Output: one row per merge step (step, lhs, rhs, merged,
+    * pair_count), the merge table in training order.
+    *
+    * Merge application is a per-document left fold
+    * (`aggregate(tokens, ...)`): append each token, or — when the
+    * accumulator's last element is `left` and the incoming token is
+    * `right` — replace that last element with the merged token. The
+    * fold gives exactly the reference implementation's greedy
+    * non-overlap rule: in `a a a` under merge (a,a) the first pair wins
+    * and the third `a` survives, because the merged `a_a` is a NEW
+    * symbol that only pairs in LATER steps. The DuckDB oracle replays
+    * the same rule string-wise via the doubled-space replace trick
+    * (double every separator so each token owns a space on both sides,
+    * replace ` left␣␣right ` left-to-right, re-normalize) — provably
+    * the same greedy semantics, hash-checked. `_` as the join char is
+    * safe here: corpus tokens are `[a-z0-9]+` (asserted cheaply by the
+    * quote-escape below never firing on oracle data).
+    *
+    * Iterative like [[graft.algo.PageRank]]'s fixed-step twins: `nMerges`
+    * is a small fixed constant, so the loop is a driver-side unroll of
+    * nMerges deterministic rounds, each collecting exactly ONE row (the
+    * winning pair — a bounded collect, same contract as the 1-row min
+    * seed in SparkEntry). Scale posture: the token stream itself NEVER
+    * shuffles — each round is scan → map-only pair extraction →
+    * partial-aggregated count shuffle whose key space is bounded by
+    * distinct-pair cardinality (≤ vocab², not corpus size) → top-1.
+    * Merge application is map-only (codegen'd `aggregate` fold), so
+    * round k's tokens column is a k-deep fold composition pipelined into
+    * the same scan stage — no intermediate materialization; at cluster
+    * scale you would localCheckpoint the rewritten corpus every few
+    * rounds to cap lineage, exactly as the scaladoc on reach_hops does
+    * per level. */
+  def bpeMerges(spark: SparkSession, dir: String,
+      nMerges: Int = 4): DataFrame = {
+    import spark.implicits._
+    def esc(t: String): String = t.replace("\\", "\\\\").replace("'", "\\'")
+    var cur = Tables.documents(spark, dir).select(toks(col("text")).as("t"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, String, Long)]
+    var step = 1
+    while (step <= nMerges) {
+      val winner = cur
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2
+            |  THEN transform(sequence(0, size(t) - 2),
+            |         i -> struct(t[i] AS a, t[i + 1] AS b))
+            |  ELSE array() END""".stripMargin)).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1) // TakeOrderedAndProject: 1-row driver collect per round
+        .as[(String, String, Long)]
+        .collect()
+      winner.headOption match {
+        case Some((a, b, cnt)) =>
+          val m = s"${a}_$b"
+          merges += ((step, a, b, m, cnt))
+          val (ea, eb, em) = (esc(a), esc(b), esc(m))
+          cur = cur.select(expr(
+            s"""aggregate(t, CAST(array() AS array<string>),
+               |  (acc, x) -> CASE
+               |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea'
+               |         AND x = '$eb'
+               |    THEN concat(slice(acc, 1, size(acc) - 1), array('$em'))
+               |    ELSE concat(acc, array(x)) END)""".stripMargin).as("t"))
+        case None => step = nMerges // empty corpus: nothing to merge
+      }
+      step += 1
+    }
+    merges.toSeq
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
 }
