@@ -853,25 +853,30 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     // last-touch attribution as-of join (EventsOps.eventAsof); the
-    // oracle uses the naive per-purchase rank over the inequality join —
-    // the Spark union+window form must reproduce it exactly
+    // oracle uses DuckDB's NATIVE ASOF JOIN — a third formulation,
+    // independent of both the Spark union+window form and the naive
+    // per-purchase rank over the inequality join (round ≤9 oracle; its
+    // per-user cross product spilled 27 GB and DNF'd at sf10, while the
+    // native as-of checks the same semantics there in seconds). ASOF
+    // picks the greatest t.us ≤ p.us; equal-us ties are pre-reduced to
+    // one row via max(event_id)/arg_max so the match is deterministic —
+    // the same "highest event_id wins at equal time" rule the Spark
+    // window's (us, kind, event_id) sort encodes. Verified identical to
+    // the rank-form oracle at sf0.01 and sf0.1 before the swap.
     "event_asof" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
         |             epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
         |p AS (SELECT event_id, user_id, us FROM e
         |      WHERE event_type = 'purchase'),
-        |t AS (SELECT event_id, user_id, event_type, us FROM e
-        |      WHERE event_type IN ('view', 'click')),
-        |m AS (SELECT p.event_id, t.event_id AS touch_event_id,
-        |             t.event_type AS touch_type, t.us AS touch_us,
-        |             row_number() OVER (PARTITION BY p.event_id
-        |               ORDER BY t.us DESC, t.event_id DESC) AS rn
-        |      FROM p JOIN t ON t.user_id = p.user_id AND t.us <= p.us)
+        |t AS (SELECT user_id, us, max(event_id) AS touch_event_id,
+        |             arg_max(event_type, event_id) AS touch_type
+        |      FROM e WHERE event_type IN ('view', 'click')
+        |      GROUP BY user_id, us)
         |SELECT p.event_id, p.user_id, p.us AS purchase_us,
-        |       m.touch_event_id, m.touch_type, m.touch_us,
-        |       p.us - m.touch_us AS gap_us
-        |FROM p LEFT JOIN (SELECT * FROM m WHERE rn = 1) m
-        |  ON p.event_id = m.event_id
+        |       t.touch_event_id, t.touch_type, t.us AS touch_us,
+        |       p.us - t.us AS gap_us
+        |FROM p ASOF LEFT JOIN t
+        |  ON p.user_id = t.user_id AND t.us <= p.us
         |ORDER BY p.event_id""".stripMargin,
 
     // attribution-window range join (EventsOps.eventWindowJoin); the
