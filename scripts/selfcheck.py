@@ -16,7 +16,10 @@ def main():
     # otherwise grow past the box (observed: dedup_clusters' transitive
     # closure at 95 GB RSS). Spill to disk instead of dying.
     con.execute("SET memory_limit='40GB'")
-    con.execute("SET temp_directory='.tmp'")
+    # Anchor the spill dir to the verify-output dir (always writable,
+    # never a surprise cwd): 40 GB-scale temp files must not land in
+    # whatever directory the caller happened to invoke us from.
+    con.execute(f"SET temp_directory='{os.path.join(out_dir, '.tmp')}'")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(p):

@@ -1090,10 +1090,12 @@ object SparkEntry {
         |ORDER BY hamming, p1, p2""".stripMargin,
 
     // the corpus-relative stop-shingle guard is mirrored (keep CTE,
-    // same GREATEST(100, ⌈n/10⁴⌉) integer ceil as winnow_pairs);
-    // sizes stay unguarded-exact — the lower-bound contract
+    // same GREATEST(floor, ⌈n/10⁴⌉) integer ceil as winnow_pairs); the
+    // floor and denominator interpolate from Dedup.DfFloor/RelDfDenom so
+    // engine and oracle cannot drift; sizes stay unguarded-exact — the
+    // lower-bound contract
     "ngram_jaccard" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
         |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
@@ -1103,8 +1105,9 @@ object SparkEntry {
         |          FROM sh GROUP BY 1),
         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sizes),
         |keep AS (SELECT sh FROM sh GROUP BY sh
-        |         HAVING count(*) <= GREATEST(100,
-        |           (SELECT (n_docs + 9999) // 10000 FROM nd))),
+        |         HAVING count(*) <= GREATEST(${Dedup.DfFloor},
+        |           (SELECT (n_docs + ${Dedup.RelDfDenom - 1})
+        |                    // ${Dedup.RelDfDenom} FROM nd))),
         |i AS (SELECT s.doc_id, s.sh FROM sh s JOIN keep USING (sh)),
         |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
         |                  CAST(count(*) AS BIGINT) AS common
@@ -2197,8 +2200,9 @@ object SparkEntry {
 
     // fingerprint-set jaccard over the winnowed signatures. The
     // corpus-relative hot-fingerprint guard IS mirrored (the `keep`
-    // CTE: df ≤ GREATEST(100, ⌈n_docs/10⁴⌉), integer ceil — the exact
-    // Dedup.dropHotBucketsRel arithmetic), so engine and oracle agree
+    // CTE: df ≤ GREATEST(Dedup.DfFloor, ⌈n_docs/RelDfDenom⌉),
+    // interpolated integer ceil — the exact Dedup.dropHotBucketsRel
+    // arithmetic by construction), so engine and oracle agree
     // even on a corpus where boilerplate pushes a fingerprint past the
     // df cap — sizes stay unguarded-exact on both sides, matching
     // Dedup.winnowPairsOf's lower-bound contract. The
@@ -2207,7 +2211,7 @@ object SparkEntry {
     // doc are exactly the distinct complete-window minimums, whichever
     // position each window elects.
     "winnow_pairs" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
         |              FROM documents),
         |g AS (SELECT doc_id, pos,
         |        CAST(('0x' || substr(md5(t[pos+1] || ' ' || t[pos+2]
@@ -2227,8 +2231,9 @@ object SparkEntry {
         |          FROM sets GROUP BY 1),
         |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sizes),
         |keep AS (SELECT fp FROM sets GROUP BY fp
-        |         HAVING count(*) <= GREATEST(100,
-        |           (SELECT (n_docs + 9999) // 10000 FROM nd))),
+        |         HAVING count(*) <= GREATEST(${Dedup.DfFloor},
+        |           (SELECT (n_docs + ${Dedup.RelDfDenom - 1})
+        |                    // ${Dedup.RelDfDenom} FROM nd))),
         |i AS (SELECT s.doc_id, s.fp FROM sets s JOIN keep USING (fp)),
         |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
         |                  CAST(count(*) AS BIGINT) AS common

@@ -52,6 +52,13 @@ object Dedup {
     * DuckDB oracles — change in lockstep. */
   val RelDfDenom = 10000L
 
+  /** Floor of the corpus-relative df cap (`max(DfFloor, ⌈n/RelDfDenom⌉)`):
+    * keeps small corpora — where 1-in-10⁴ rounds to a single document —
+    * from dropping every element. Interpolated into the `winnow_pairs`
+    * and `ngram_jaccard` oracle SQL (SparkEntry) so a floor change can
+    * never silently fork the engine from its oracle. */
+  val DfFloor = 100
+
   /** `dedup_exact`: group by full-content hash, keep the minimum doc_id as
     * the canonical representative (deterministic survivor policy), count
     * duplicates. */
@@ -160,7 +167,7 @@ object Dedup {
     * exact for pairs sharing no hot fingerprint and lower bounds
     * otherwise (the [[ngramJaccard]] contract). */
   def winnowPairs(spark: SparkSession, dir: String, k: Int = 3,
-      w: Int = 4, limit: Int = 200, maxDf: Int = 100): DataFrame = {
+      w: Int = 4, limit: Int = 200, maxDf: Int = DfFloor): DataFrame = {
     val sets = BuilderCache.memo(spark, s"winnowSets:$dir:$k:$w") {
       winnowOf(Tables.documents(spark, dir), k, w)
         .select("doc_id", "fingerprint").distinct()
@@ -603,7 +610,7 @@ object Dedup {
     * shingles; the sf0.1 maximum df is 25, so the default never fires on
     * oracle-checked data. */
   def ngramJaccard(spark: SparkSession, dir: String, limit: Int = 200,
-      maxDf: Int = 100): DataFrame = {
+      maxDf: Int = DfFloor): DataFrame = {
     val sh = shingles(spark, dir) // BuilderCache'd — never re-mark it
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
     val nDocs = sizes.agg(count(lit(1)).as("n_docs"))

@@ -248,13 +248,15 @@ object EventStream {
     * have issued — so state is bounded even for types that go silent,
     * like the other stateful twins' scale notes require. Carrying the
     * watermarked `ts` into the stateful operator (the event-time-timeout
-    * contract) also engages Spark's standard late-row pre-filter: rows
-    * behind the global watermark by more than the grace drop before the
-    * function, the cross-TYPE completion of the per-type
-    * `closedThrough` + grace rule. StreamingSpec drives the
+    * contract) also engages Spark's standard late-row pre-filter; the
+    * watermark delay is grace + one bucket width so the pre-filter drops
+    * only rows whose bucket the global-watermark close rule has already
+    * retired (see the inline note), keeping open-bucket counts exact
+    * under cross-batch out-of-order arrival. StreamingSpec drives the
     * cross-batch bucket accumulation, the prequential chain against
-    * hand-computed moments, the constant-history burst escape, and the
-    * stalled-type timeout eviction. */
+    * hand-computed moments, the constant-history burst escape, the
+    * stalled-type timeout eviction, and the out-of-order open-bucket
+    * arrival the pre-filter formerly swallowed. */
   def anomalyStream(events: DataFrame, zThresh: Double = 2.0,
       graceUs: Long = 0L)
       : org.apache.spark.sql.Dataset[AnomalyVerdict] = {
@@ -262,14 +264,26 @@ object EventStream {
     val spark = events.sparkSession
     import spark.implicits._
     val HourUs = 3600000000L
-    // the watermark delay mirrors the operator's own grace: the global
-    // watermark may close a stalled type's bucket no earlier than the
-    // type's own frontier would have, had it kept emitting
-    // the watermarked ts column must reach the stateful operator's input
-    // (the event-time-timeout analysis contract); `us` is the value the
-    // fold actually uses
+    // Watermark delay = grace + ONE BUCKET WIDTH, not grace alone:
+    // carrying the watermarked ts into the stateful operator (the
+    // event-time-timeout contract) engages Spark's late-row pre-filter,
+    // which drops rows with ts behind the stream-global watermark BEFORE
+    // the fold ever sees them. With delay = grace only, an ordinary
+    // cross-batch out-of-order event (ts 10:15 arriving after the global
+    // max reached 10:30) would be dropped even though its own 10:00
+    // bucket is still open — silently undercounting n. Padding the delay
+    // by the bucket width aligns the pre-filter with the CLOSE rule at
+    // bucket-end granularity: any pre-filtered row (ts < globalMax −
+    // grace − 1 h) belongs to a bucket whose end + grace the timeout
+    // frontier has already passed or will pass before the row's type
+    // re-fires, so in-horizon open-bucket counts stay exact. (A type
+    // lagging the global max by more than delay can still lose rows to
+    // the pre-filter — the inherent trade of a global watermark; widen
+    // graceUs for laggier sources.) The stalled-type eviction fires one
+    // bucket-width of event time later for it, which only delays the
+    // verdict, never changes it.
     val typed = events
-      .withWatermark("ts", s"$graceUs microseconds")
+      .withWatermark("ts", s"${graceUs + HourUs} microseconds")
       .select(col("event_type"), col("ts"),
         unix_micros(col("ts")).as("us"))
       .as[(String, java.sql.Timestamp, Long)]

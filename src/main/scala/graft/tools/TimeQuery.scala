@@ -19,8 +19,25 @@ import org.apache.spark.sql.SparkSession
 object TimeQuery {
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    println(f"heap_gb ${Runtime.getRuntime.maxMemory / 1073741824.0}%.1f " +
-      s"sf ${args(0)}")
+    val heapGb = Runtime.getRuntime.maxMemory / 1073741824.0
+    println(f"heap_gb $heapGb%.1f sf ${args(0)}")
+    // build.sbt's heapForScale keys off SPARK_GRAFT_SF_DIR, not argv —
+    // catch the foot-gun of timing an sf1+/sf10 dir under the 8 g
+    // default (the scaladoc's documented OOM pairing) before it wastes
+    // a run. Heuristic mirror of heapForScale's thresholds.
+    val sfFactor = args(0).split('/').filter(_.nonEmpty).lastOption
+      .filter(_.startsWith("sf"))
+      .flatMap(s => scala.util.Try(s.stripPrefix("sf").toDouble).toOption)
+    sfFactor.foreach { f =>
+      val needGb = if (f >= 10) 40.0 else if (f >= 1) 12.0 else 0.0
+      if (heapGb + 0.5 < needGb &&
+          !sys.env.contains("SPARK_GRAFT_HEAP_OVERRIDE"))
+        sys.error(f"TimeQuery: sf dir '${args(0)}' needs a ~${needGb}%.0f g" +
+          f" heap but this JVM got $heapGb%.1f g — export" +
+          s" SPARK_GRAFT_SF_DIR=${args(0)} (build.sbt heapForScale) or" +
+          " SPARK_DRIVER_MEM before running. (Set" +
+          " SPARK_GRAFT_HEAP_OVERRIDE=1 to proceed anyway.)")
+    }
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")

@@ -400,6 +400,61 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly monitor counts cross-batch OUT-OF-ORDER arrivals into a still-open bucket") {
+    // the late-row pre-filter trap: batch a's max event time reaches
+    // 10:30; batch b delivers a 10:15 event for the still-open 10:00
+    // bucket. With the watermark delay = grace alone the pre-filter
+    // would drop it BEFORE the fold (watermark = 10:30 > 10:15) and the
+    // bucket would close at n=2; the bucket-width-padded delay must let
+    // it through so the close reports the exact n=3.
+    val base = java.nio.file.Files.createTempDirectory("graft-anom-ooo")
+    val watched = s"$base/in"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def write(name: String, rows: Seq[(Long, Long)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("event_id", "ts")
+        .select(col("event_id"), col("ts"), lit(1L).as("user_id"),
+          lit("view").as("event_type"), lit(0.0).as("value"),
+          lit("{}").as("props"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+    }
+    val mNs = 60L * 1000000000L // one minute in ns
+    val t0 = 1730000000000000000L / (60 * mNs) * (60 * mNs) // hour-aligned
+    // Spark filters late events against the PREVIOUS batch's watermark
+    // (watermarkForLateEvents lags one batch), so the late arrival must
+    // come two batches after the max that strands it: a sets the max
+    // (10:30), b lets that max become the late-events watermark, c
+    // delivers the 10:15 event, d closes H0.
+    write("a", Seq((1L, t0 + 5 * mNs), (2L, t0 + 30 * mNs)))   // H0 ×2, open
+    write("b", Seq((3L, t0 + 35 * mNs)))  // H0; watermark now sees 10:30
+    write("c", Seq((4L, t0 + 15 * mNs)))  // H0, BEHIND the watermark
+    write("d", Seq((9L, t0 + 150 * mNs))) // advances hw past H0's end
+    (Seq("a", "b", "c") zip Seq(180000, 120000, 60000)).foreach {
+      case (n, ago) =>
+        new java.io.File(s"$watched/$n.parquet")
+          .setLastModified(System.currentTimeMillis() - ago)
+    }
+    val stream = spark.readStream
+      .schema(EventStream.eventsSchema(org.apache.spark.sql.types.LongType))
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.anomalyStream(stream).toDF().writeStream
+      .outputMode("append").format("memory").queryName("anom_ooo")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("anom_ooo").collect()
+        .map(r => r.getAs[Long]("hour_us") -> r.getAs[Long]("n")).toMap
+      assert(rows(t0 / 1000L) == 4L,
+        s"open-bucket out-of-order event lost to the pre-filter: $rows")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join reconciles with the batch range join") {
     val q = EventStream.windowJoinStream(EventStream.readEvents(spark, dir))
       .writeStream
