@@ -301,9 +301,11 @@ object SparkEntry {
     * doubled-space replace trick: double every separator so each token
     * owns a space on both sides, string-replace ` a␣␣b ` (left-to-right,
     * non-overlapping — replace()'s scan order IS BPE's greedy rule once
-    * spaces are doubled), then collapse runs of spaces back. Provably
-    * the same semantics as the Spark side's per-document fold (see
-    * TextOps.bpeMerges scaladoc). */
+    * spaces are doubled), then collapse runs of spaces back. Since
+    * round 11 the Spark side applies merges with the SAME doubled-space
+    * replace (TextOps.bpeMerges scaladoc); the semantics were proven
+    * fold-equivalent back when the engine used the array fold, and
+    * BpeSpec still pins parity against an independent fold reference. */
   private def bpeMergesSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
       val apply =

@@ -592,45 +592,98 @@ object TextOps {
     * stream. Output: one row per merge step (step, lhs, rhs, merged,
     * pair_count), the merge table in training order.
     *
-    * Merge application is a per-document left fold
-    * (`aggregate(tokens, ...)`): append each token, or — when the
-    * accumulator's last element is `left` and the incoming token is
-    * `right` — replace that last element with the merged token. The
-    * fold gives exactly the reference implementation's greedy
-    * non-overlap rule: in `a a a` under merge (a,a) the first pair wins
-    * and the third `a` survives, because the merged `a_a` is a NEW
-    * symbol that only pairs in LATER steps. The DuckDB oracle replays
-    * the same rule string-wise via the doubled-space replace trick
-    * (double every separator so each token owns a space on both sides,
-    * replace ` left␣␣right ` left-to-right, re-normalize) — provably
-    * the same greedy semantics, hash-checked. `_` as the join char is
-    * safe here: corpus tokens are `[a-z0-9]+` (asserted cheaply by the
-    * quote-escape below never firing on oracle data).
+    * Merge application runs in the STRING domain, the same
+    * doubled-space replace both the DuckDB oracle and the hash-check
+    * replay: double every separator so each token owns a space on both
+    * sides, literal-replace ` left␣␣right ` → ` left_right ` (a literal
+    * replace scans left-to-right over non-overlapping occurrences —
+    * exactly BPE's greedy rule: in `a a a` under merge (a,a) the first
+    * pair wins and the third `a` survives, because the merged `a_a` is
+    * a NEW symbol that only pairs in LATER steps), then collapse the
+    * leftover doubled gaps (runs are provably ≤ 2 spaces, so one
+    * literal `'  '→' '` pass suffices — no regex). Each application is
+    * LINEAR in document length; the previous array-fold form
+    * (`aggregate` with `concat(acc, array(x))` per element) copied the
+    * accumulator per token — O(len²) per doc per application, measured
+    * 5× slower over a 64-round loop at sf0.1. BpeSpec pins the string
+    * form's parity against an independent array-fold reference. `_` as
+    * the join char is safe here: corpus tokens are `[a-z0-9]+`
+    * (asserted cheaply by the quote-escape below never firing on
+    * oracle data), and split-derived tokens can never contain the
+    * space separator.
     *
-    * Iterative like [[graft.algo.PageRank]]'s fixed-step twins: `nMerges`
-    * is a small fixed constant, so the loop is a driver-side unroll of
-    * nMerges deterministic rounds, each collecting exactly ONE row (the
-    * winning pair — a bounded collect, same contract as the 1-row min
-    * seed in SparkEntry). Scale posture: the token stream itself NEVER
-    * shuffles — each round is scan → map-only pair extraction →
-    * partial-aggregated count shuffle whose key space is bounded by
-    * distinct-pair cardinality (≤ vocab², not corpus size) → top-1.
-    * Merge application is map-only (codegen'd `aggregate` fold), so
-    * round k's tokens column is a k-deep fold composition pipelined into
-    * the same scan stage — no intermediate materialization; at cluster
-    * scale you would localCheckpoint the rewritten corpus every few
-    * rounds to cap lineage, exactly as the scaladoc on reach_hops does
-    * per level. */
+    * Iterative like [[graft.algo.PageRank]]'s fixed-step twins: the loop
+    * is a driver-side unroll of nMerges deterministic rounds, each
+    * collecting exactly ONE row (the winning pair — a bounded collect,
+    * same contract as the 1-row min seed in SparkEntry). Scale posture:
+    * the token stream itself NEVER shuffles — each round is scan →
+    * map-only pair extraction → partial-aggregated count shuffle whose
+    * key space is bounded by distinct-pair cardinality (≤ vocab², not
+    * corpus size) → top-1. Merge application is map-only, so round k's
+    * corpus is a replace composition pipelined into the same scan
+    * stage. A realistic tokenizer runs 10³–10⁴·5 merges, so the chain
+    * depth is CAPPED: every [[BpeCheckpointEvery]] rounds the rewritten
+    * corpus materializes via an eager localCheckpoint (the reach_hops
+    * per-level pattern) — plan depth and codegen nesting stay ≤ the
+    * cadence no matter how many rounds run, and each round's count pass
+    * re-scans at most BpeCheckpointEvery replaces past the last
+    * materialization instead of the whole merge history. Checkpoint
+    * frames are corpus-sized strings at MEMORY_AND_DISK
+    * (⌈nMerges/cadence⌉ of them, evictable); on a cluster the same
+    * cadence would use reliable checkpoints and unpersist the
+    * superseded frame once the next one lands. Under plan inspection
+    * ([[graft.model.BuilderCache.inspecting]]) the checkpoint is
+    * skipped so detector sweeps see the fully-inlined plan, exactly
+    * like reach_hops. BpeSpec's depth test pins nMerges = 64 (4
+    * checkpoint generations) against the independent reference;
+    * measured 64-round walls: 21.6 s cold sf0.01, 46.3 s sf0.1
+    * (SCALING.md round-11 section has the cadence A/B).
+    *
+    * The incremental-counting refinement (update pair counts only
+    * around rewritten occurrences instead of recounting the corpus —
+    * the learn_bpe.py trick) is deliberately NOT taken here: per-round
+    * deltas require carrying a mutable pair-count state across rounds
+    * (a 2nd stateful frame to shuffle or a driver-held map of up to
+    * vocab² entries), and on this engine the full recount is one
+    * map-side-combined shuffle of ≤ distinct-pair cardinality — at
+    * sf0.01 the measured 64-round wall time is dominated by fixed
+    * per-job scheduling overhead, not counting (see SCALING.md), so the
+    * delta path would buy nothing until corpora where a single scan is
+    * minutes; it composes with this loop unchanged if that day comes. */
   def bpeMerges(spark: SparkSession, dir: String,
-      nMerges: Int = 4): DataFrame = {
+      nMerges: Int = 4): DataFrame =
+    bpeMergesOf(spark,
+      Tables.documents(spark, dir).select(toks(col("text")).as("t")),
+      nMerges)
+
+  /** Plan-depth cap for [[bpeMerges]]: rounds between eager
+    * localCheckpoints of the rewritten corpus. Measured at sf0.1 with
+    * the 64-round depth test's workload — see the SCALING.md round-11
+    * section for the cadence A/B that picked this value. */
+  val BpeCheckpointEvery = 16
+
+  /** [[bpeMerges]] over any (t: array<string>) corpus — the
+    * fixture-testable form (same split as reachHopsOf). */
+  private[graft] def bpeMergesOf(spark: SparkSession, corpus: DataFrame,
+      nMerges: Int): DataFrame = {
     import spark.implicits._
     def esc(t: String): String = t.replace("\\", "\\\\").replace("'", "\\'")
-    var cur = Tables.documents(spark, dir).select(toks(col("text")).as("t"))
+    val cut: DataFrame => DataFrame =
+      if (graft.model.BuilderCache.inspecting) identity
+      else _.localCheckpoint()
+    // String domain: `s` is the space-joined token stream (one join at
+    // entry). Merge application is then a LINEAR literal replace — the
+    // same doubled-space trick the oracle uses — where the array fold
+    // (`concat(acc, array(x))` per element) copies the accumulator per
+    // token: O(len²) per doc per application, measured 5× slower over a
+    // 64-round loop at sf0.1.
+    var cur = corpus.select(array_join(col("t"), " ").as("s"))
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, String, Long)]
     var step = 1
     while (step <= nMerges) {
       val winner = cur
+        .select(split(col("s"), " ").as("t"))
         .select(explode(expr(
           """CASE WHEN size(t) >= 2
             |  THEN transform(sequence(0, size(t) - 2),
@@ -647,15 +700,19 @@ object TextOps {
           val m = s"${a}_$b"
           merges += ((step, a, b, m, cnt))
           val (ea, eb, em) = (esc(a), esc(b), esc(m))
+          // double every separator so each token owns a space on both
+          // sides, literal-replace ` a␣␣b ` left-to-right (replace()'s
+          // scan order IS the greedy non-overlap rule), re-normalize —
+          // exactly the oracle's formulation, and linear in doc length
           cur = cur.select(expr(
-            s"""aggregate(t, CAST(array() AS array<string>),
-               |  (acc, x) -> CASE
-               |    WHEN size(acc) > 0 AND element_at(acc, -1) = '$ea'
-               |         AND x = '$eb'
-               |    THEN concat(slice(acc, 1, size(acc) - 1), array('$em'))
-               |    ELSE concat(acc, array(x)) END)""".stripMargin).as("t"))
+            s"""trim(replace(
+               |  replace(' ' || replace(s, ' ', '  ') || ' ',
+               |          ' $ea  $eb ', ' $em '),
+               |  '  ', ' '))""".stripMargin).as("s"))
         case None => step = nMerges // empty corpus: nothing to merge
       }
+      if (step % BpeCheckpointEvery == 0 && step < nMerges)
+        cur = cut(cur) // cap replace-chain/plan depth (see scaladoc)
       step += 1
     }
     merges.toSeq

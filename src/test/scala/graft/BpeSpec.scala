@@ -80,6 +80,22 @@ class BpeSpec extends SparkSpec {
     assert(got == Seq((1, "x", "y", "x_y", 2L)))
   }
 
+  test("depth robustness: 64 merge rounds complete and match the reference") {
+    // 4 full checkpoint generations (BpeCheckpointEvery = 16): without
+    // the lineage cut, round 64's count pass would drag a 64-deep
+    // nested `aggregate` fold through analysis and codegen. 40 docs of
+    // 4 repeated tokens give ~80 productive rounds: each doc yields
+    // (t,t) cnt 3 then later (t_t,t_t) cnt 1, so the loop never dries
+    // up before round 64 and every winner is tie-broken
+    // deterministically.
+    assert(TextOps.BpeCheckpointEvery * 4 == 64) // the test's premise
+    val texts = (0 until 40).map(i => Seq.fill(4)(f"t$i%02d").mkString(" "))
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = run(docs, 64)
+    assert(got.size == 64)
+    assert(got == refMerges(texts, 64))
+  }
+
   test("full-table parity with the independent reference on a mixed corpus") {
     val texts = Seq(
       "the quick fox the quick fox jumps",
