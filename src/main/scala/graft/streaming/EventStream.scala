@@ -88,116 +88,184 @@ object EventStream {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(key)
 
+  /** Default idle-eviction horizon for the stateful per-user operators:
+    * a user silent for 30 days of EVENT TIME is dropped from state. */
+  val DefaultIdleUs: Long = 30L * 24 * 3600 * 1000000L
+
   /** Per-user running state for the custom-state path
     * (`flatMapGroupsWithState`): event count + cumulative dyadic weight
     * (same CASE weights as `EventsOps.eventWeights`, so the final states
-    * reconcile with the batch aggregate — StreamingSpec asserts it). */
-  final case class UserState(events: Long, weight: Double)
+    * reconcile with the batch aggregate — StreamingSpec asserts it),
+    * plus the user's event-time high-water mark for idle eviction. */
+  final case class UserState(events: Long, weight: Double, hwUs: Long)
   final case class UserUpdate(user_id: Long, events: Long, weight: Double)
 
   /** Stateful per-user accumulation via `flatMapGroupsWithState` — the
     * arbitrary-state API (`KeyValueGroupedDataset`), for semantics the
     * built-in windows can't express (cross-batch running totals, custom
-    * eviction). State is per-key and bounded by user cardinality; at
-    * 100 TB/day state would carry a timeout
-    * (`GroupStateTimeout.EventTimeTimeout`) to evict idle users. */
-  def statefulUserTotals(events: org.apache.spark.sql.DataFrame)
+    * eviction). State is per-key; a user idle for `idleUs` of event
+    * time (measured against the stream-global watermark) is EVICTED via
+    * `GroupStateTimeout.EventTimeTimeout`, so state is bounded by the
+    * ACTIVE-user cardinality of the horizon rather than all-time users —
+    * the property that keeps the operator viable at 100 TB/day. An
+    * evicted user who returns restarts from zero (monitoring semantics;
+    * batch parity holds for streams where no user outlives the horizon
+    * mid-activity — StreamingSpec pins both the parity and the
+    * restart). `graceUs` is the watermark delay (out-of-order arrival
+    * tolerance): totals are order-free, so the only cost of lateness
+    * beyond the grace is the standard watermark drop, and the only cost
+    * of a larger grace is later eviction. */
+  def statefulUserTotals(events: org.apache.spark.sql.DataFrame,
+      graceUs: Long = 0L, idleUs: Long = DefaultIdleUs)
       : org.apache.spark.sql.Dataset[UserUpdate] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
-    val typed = events.select(col("user_id"), col("event_type"))
-      .as[(Long, String)]
+    // the watermarked ts column must reach the stateful operator's
+    // input (the event-time-timeout analysis contract)
+    val typed = events
+      .withWatermark("ts", s"$graceUs microseconds")
+      .select(col("user_id"), col("event_type"), col("ts"),
+        unix_micros(col("ts")).as("us"))
+      .as[(Long, String, java.sql.Timestamp, Long)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[UserState, UserUpdate](
-        OutputMode.Update, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, String)],
+        OutputMode.Update, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, String, java.sql.Timestamp, Long)],
          state: GroupState[UserState]) =>
-          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
-          var n = prev.events
-          var w = prev.weight
-          rows.foreach { case (_, et) =>
-            n += 1
-            w += (et match {
-              case "view" => 0.5; case "click" => 1.0
-              case "purchase" => 2.0; case _ => 0.0
-            })
+          if (state.hasTimedOut) {
+            state.remove() // idle past the horizon: totals retire
+            Iterator.empty
+          } else {
+            val prev = state.getOption
+              .getOrElse(UserState(0L, 0.0, Long.MinValue))
+            var n = prev.events
+            var w = prev.weight
+            var hw = prev.hwUs
+            rows.foreach { case (_, et, _, us) =>
+              n += 1
+              if (us > hw) hw = us
+              w += (et match {
+                case "view" => 0.5; case "click" => 1.0
+                case "purchase" => 2.0; case _ => 0.0
+              })
+            }
+            val next = UserState(n, w, hw)
+            state.update(next)
+            // evict when the global watermark passes the user's last
+            // event by the idle horizon (setTimeoutTimestamp must stay
+            // strictly past the current watermark — anomalyStream's
+            // re-arm discipline)
+            state.setTimeoutTimestamp(math.max(hw / 1000L + idleUs / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+            Iterator(UserUpdate(user, next.events, next.weight))
           }
-          val next = UserState(n, w)
-          state.update(next)
-          Iterator(UserUpdate(user, next.events, next.weight))
       }
   }
 
-  /** Per-user last-touch state for the streaming as-of join. */
+  /** Per-user last-released-touch record for the streaming as-of join. */
   final case class Touch(id: Long, ty: String, us: Long)
   /** One attribution row per purchase (touch columns null when the user
     * has no prior touch — same left semantics as the batch operator). */
   final case class AsofRow(event_id: Long, user_id: Long, purchase_us: Long,
       touch_event_id: Option[Long], touch_type: Option[String],
       touch_us: Option[Long])
+  /** Buffered as-of state: events the watermark has not yet released,
+    * the latest RELEASED touch, and the user's event-time high-water
+    * mark (idle eviction). */
+  final case class AsofState(buf: Seq[(Long, String, Long)],
+      last: Option[Touch], hwUs: Long)
 
   /** Streaming AS-OF JOIN — the twin of `EventsOps.eventAsof`
-    * (last-touch attribution): per user, carry the most recent
-    * view/click as keyed state; every purchase emits an attribution row
-    * against it. This is the canonical `flatMapGroupsWithState` shape a
-    * stream-stream as-of needs — Spark's built-in stream joins are
-    * equi+interval only, and the batch trick (union + ordered window)
-    * has no incremental form since an unbounded window over a stream
-    * would hold everything.
+    * (last-touch attribution), EXACT under out-of-order arrival within
+    * the watermark: per user, events buffer in keyed state until the
+    * stream-global watermark passes them, then fold in event order
+    * (us, touches-before-purchases, event_id — the batch operator's
+    * exact tie discipline); each released purchase emits an attribution
+    * row against the latest released touch at-or-before it. This is the
+    * canonical `flatMapGroupsWithState` shape a stream-stream as-of
+    * needs — Spark's built-in stream joins are equi+interval only, and
+    * the batch trick (union + ordered window) has no incremental form
+    * since an unbounded window over a stream would hold everything.
     *
-    * Within each micro-batch the group's rows are folded in event order
-    * (us, touches-before-purchases, event_id) — the batch operator's
-    * exact tie discipline; across batches the state is MONOTONE in
-    * (us, event_id): a later batch's touch only replaces the held one
-    * when it is strictly newer or an equal-time higher event_id, so
-    * equal-timestamp ties split across micro-batches resolve exactly
-    * like the batch operator's window order. Attribution additionally
-    * requires the held touch to be AT OR BEFORE the purchase (a held
-    * future touch yields no attribution rather than a negative gap).
-    * Exactness contract: attribution equals the batch operator whenever
-    * each user's events arrive in event-time order across batches (the
-    * in-order source case StreamingSpec pins, including touch/purchase
-    * and equal-time touch/touch pairs split across batches); under
-    * out-of-order arrival the single-Touch state can only MISS an
-    * attribution (emit null touch columns), never attribute to a future
-    * touch or regress to an older one — full out-of-order exactness
-    * needs a watermark-bounded touch buffer per user, the production
-    * extension of this fold. State is ONE Touch per user — bounded by
-    * user cardinality; at 100 TB/day the same fold carries an
-    * event-time timeout to evict idle users, exactly like
-    * [[statefulUserTotals]]'s scale note. */
-  def asofAttribution(events: DataFrame)
+    * Exactness contract: a buffered event releases only once the
+    * watermark guarantees no earlier-timestamped event can still arrive
+    * (Spark's late filter drops rows behind the watermark; the release
+    * frontier is strictly below it; the watermark is monotone — so the
+    * per-user released sequence is replayed in exact event order no
+    * matter how arrival interleaves across micro-batches). Attribution
+    * therefore equals the batch operator for every released purchase,
+    * with two watermark-inherent boundaries StreamingSpec pins: rows
+    * later than `graceUs` against the global max are dropped (standard
+    * watermark semantics — widen the grace for laggier sources), and
+    * the stream tail past the final watermark stays buffered until a
+    * later event (or a harness sentinel) advances it. Keys with no new
+    * data release via an event-time timeout armed at their oldest
+    * buffered event.
+    *
+    * State per user is O(grace-window arrivals) + one released Touch;
+    * a user idle for `idleUs` of event time is EVICTED by the same
+    * timeout (state removed — a post-eviction purchase attributes to
+    * nothing, the bounded-state trade, exactly like
+    * [[statefulUserTotals]]'s restart semantics). */
+  def asofAttribution(events: DataFrame, graceUs: Long = 0L,
+      idleUs: Long = DefaultIdleUs)
       : org.apache.spark.sql.Dataset[AsofRow] = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val spark = events.sparkSession
     import spark.implicits._
     val typed = events
+      .withWatermark("ts", s"$graceUs microseconds")
       .filter(col("event_type").isin("view", "click", "purchase"))
       .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts")).as("us"))
-      .as[(Long, Long, String, Long)]
+        col("ts"), unix_micros(col("ts")).as("us"))
+      .as[(Long, Long, String, java.sql.Timestamp, Long)]
     typed.groupByKey(_._2)
-      .flatMapGroupsWithState[Touch, AsofRow](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, String, Long)],
-         state: GroupState[Touch]) =>
-          val sorted = rows.toArray.sortBy { case (eid, _, ty, us) =>
-            (us, if (ty == "purchase") 1 else 0, eid) }
-          var last = state.getOption
+      .flatMapGroupsWithState[AsofState, AsofRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user: Long,
+         rows: Iterator[(Long, Long, String, java.sql.Timestamp, Long)],
+         state: GroupState[AsofState]) =>
+          val st = state.getOption
+            .getOrElse(AsofState(Nil, None, Long.MinValue))
+          var buf = st.buf
+          var hw = st.hwUs
+          if (!state.hasTimedOut)
+            rows.foreach { case (eid, _, ty, _, us) =>
+              buf = buf :+ ((eid, ty, us))
+              if (us > hw) hw = us
+            }
+          // release frontier: strictly below the watermark — anything
+          // at-or-after it may still arrive (the late filter only drops
+          // rows strictly behind the watermark)
+          val frontier = state.getCurrentWatermarkMs() * 1000L
+          val (ready, rest) = buf.partition(_._3 < frontier)
+          var last = st.last
           val out = Array.newBuilder[AsofRow]
-          sorted.foreach { case (eid, _, ty, us) =>
-            if (ty == "purchase") {
-              // a held FUTURE touch (possible only under out-of-order
-              // arrival) must not attribute backwards in time
-              val eligible = last.filter(_.us <= us)
-              out += AsofRow(eid, user, us,
-                eligible.map(_.id), eligible.map(_.ty), eligible.map(_.us))
-            } else if (last.forall(l =>
-                l.us < us || (l.us == us && l.id < eid)))
-              last = Some(Touch(eid, ty, us))
+          ready.sortBy { case (eid, ty, us) =>
+            (us, if (ty == "purchase") 1 else 0, eid) }.foreach {
+            case (eid, ty, us) =>
+              if (ty == "purchase") {
+                val eligible = last.filter(_.us <= us)
+                out += AsofRow(eid, user, us,
+                  eligible.map(_.id), eligible.map(_.ty), eligible.map(_.us))
+              } else if (last.forall(l =>
+                  l.us < us || (l.us == us && l.id < eid)))
+                last = Some(Touch(eid, ty, us))
           }
-          last.foreach(state.update)
+          val idleDueMs = hw / 1000L + idleUs / 1000L
+          if (state.hasTimedOut && rest.isEmpty &&
+              state.getCurrentWatermarkMs() >= idleDueMs) {
+            state.remove() // idle past the horizon: buffer AND last go
+          } else {
+            state.update(AsofState(rest, last, hw))
+            // arm the flush for the oldest still-buffered event, or the
+            // idle eviction when nothing is buffered
+            val dueMs =
+              if (rest.nonEmpty) rest.map(_._3).min / 1000L else idleDueMs
+            state.setTimeoutTimestamp(
+              math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
+          }
           out.result().iterator
       }
   }

@@ -158,21 +158,176 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  /** (event_id, touch...) projection shared by the as-of parity tests. */
+  private def asofKeyed(df: org.apache.spark.sql.DataFrame) = df
+    .select("event_id", "touch_event_id", "touch_type", "touch_us")
+    .collect()
+    .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+      Option(r.get(3)))).toSet
+
+  /** The real events rows as (event_id, ts-ns, user_id, event_type)
+    * driver-side tuples — the raw material the as-of stream tests
+    * re-arrange into files. */
+  private def eventTuples: Seq[(Long, Long, Long, String)] =
+    graft.model.Tables.events(spark, dir)
+      .select(col("event_id"), (unix_micros(col("ts")) * 1000L).as("ts"),
+        col("user_id"), col("event_type"))
+      .as[(Long, Long, Long, String)].collect().toSeq
+
+  /** Write one parquet file of events rows into a stream-watched dir
+    * (int64-ns ts — the GenScale physical layout). */
+  private def writeEventFile(base: String, name: String,
+      rows: Seq[(Long, Long, Long, String)]): Unit = {
+    val staging = s"$base/staging-$name"
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), lit(0.0).as("value"), lit("{}").as("props"))
+      .coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$base/in/$name.parquet"))
+  }
+
+  private def eventFileStream(base: String,
+      onePerTrigger: Boolean): org.apache.spark.sql.DataFrame = {
+    val raw = spark.readStream
+      .schema(EventStream.eventsSchema(org.apache.spark.sql.types.LongType))
+    (if (onePerTrigger) raw.option("maxFilesPerTrigger", "1") else raw)
+      .parquet(s"$base/in")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   test("streaming as-of attribution matches the batch as-of join") {
-    val q = EventStream.asofAttribution(EventStream.readEvents(spark, dir))
+    // append-mode release is watermark-driven, so the stream tail needs
+    // a flush: a far-future sentinel touch for an unused user pushes
+    // the final watermark past every real event (a real pipeline's
+    // source keeps flowing; a bounded harness must close the tail)
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-parity")
+      .toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    val rows = eventTuples
+    val sentinel = (-1L, rows.map(_._2).max + 3600L * 1000000000L,
+      -1L, "view")
+    writeEventFile(base, "a", rows :+ sentinel)
+    val q = EventStream.asofAttribution(eventFileStream(base, false))
       .toDF().writeStream
       .outputMode("append").format("memory").queryName("asof_stream")
       .start()
     try {
       q.processAllAvailable()
-      def keyed(df: org.apache.spark.sql.DataFrame) = df
-        .select("event_id", "touch_event_id", "touch_type", "touch_us")
-        .collect()
-        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
-          Option(r.get(3)))).toSet
-      val streamed = keyed(spark.table("asof_stream"))
-      val batch = keyed(EventsOps.eventAsof(spark, dir))
+      val streamed = asofKeyed(spark.table("asof_stream"))
+      val batch = asofKeyed(EventsOps.eventAsof(spark, dir))
       assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("as-of attribution is EXACT under out-of-order cross-batch arrival (shuffled split)") {
+    // the watermark-bounded buffer contract: split the real events
+    // round-robin by row index into two files — each spans the whole
+    // month, so every batch-2 row is out of order against batch 1's
+    // max — set the grace wider than the span, and the released
+    // attributions must equal the batch operator row-for-row. The old
+    // single-Touch fold missed attributions under exactly this split.
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-ooo")
+      .toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    val rows = eventTuples.sortBy(_._1)
+    val (evens, odds) = rows.zipWithIndex.partition(_._2 % 2 == 0)
+    val graceUs = 35L * 24 * 3600 * 1000000L // span is ~30 days
+    val sentinel = (-1L, rows.map(_._2).max + (graceUs + 86400000000L) * 1000L,
+      -1L, "view")
+    writeEventFile(base, "a", evens.map(_._1))
+    writeEventFile(base, "b", odds.map(_._1))
+    writeEventFile(base, "c", Seq(sentinel))
+    (Seq("a", "b") zip Seq(120000, 60000)).foreach { case (n, ago) =>
+      new java.io.File(s"$base/in/$n.parquet")
+        .setLastModified(System.currentTimeMillis() - ago)
+    }
+    val q = EventStream.asofAttribution(eventFileStream(base, true),
+        graceUs = graceUs)
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("asof_ooo")
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = asofKeyed(spark.table("asof_ooo"))
+      val batch = asofKeyed(EventsOps.eventAsof(spark, dir))
+      assert(streamed.nonEmpty && streamed == batch)
+    } finally q.stop()
+  }
+
+  test("as-of attribution evicts idle users (event-time timeout); post-eviction purchase attributes to nothing") {
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-evict")
+      .toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    val dNs = 24L * 3600 * 1000000000L
+    val t0 = 1740000000000000000L / dNs * dNs
+    // user 1 touches at t0 then goes idle; user 2's views advance the
+    // global watermark past t0 + idle (5 days) → user 1's state (touch
+    // included) is evicted; the day-20 purchase then attributes to
+    // nothing — the documented bounded-state trade
+    writeEventFile(base, "a", Seq((1L, t0, 1L, "click"), (2L, t0, 2L, "view")))
+    writeEventFile(base, "b", Seq((3L, t0 + 10 * dNs, 2L, "view")))
+    // an expired timeout fires only in a batch where its key has NO
+    // data — b2 is that batch (user 2 only, watermark already past
+    // user 1's idle horizon after b)
+    writeEventFile(base, "b2", Seq((6L, t0 + 11 * dNs, 2L, "view")))
+    writeEventFile(base, "c", Seq((4L, t0 + 20 * dNs, 1L, "purchase"),
+      (5L, t0 + 21 * dNs, 2L, "view")))
+    (Seq("a", "b", "b2") zip Seq(180000, 120000, 60000)).foreach {
+      case (n, ago) =>
+        new java.io.File(s"$base/in/$n.parquet")
+          .setLastModified(System.currentTimeMillis() - ago)
+    }
+    val q = EventStream.asofAttribution(eventFileStream(base, true),
+        idleUs = 5L * 24 * 3600 * 1000000L)
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("asof_evict")
+      .start()
+    try {
+      q.processAllAvailable()
+      val rows = spark.table("asof_evict").collect()
+      assert(rows.length == 1, rows.mkString(";"))
+      assert(rows(0).getAs[Long]("event_id") == 4L)
+      assert(rows(0).getAs[java.lang.Long]("touch_event_id") == null,
+        s"evicted touch must not attribute: ${rows(0)}")
+    } finally q.stop()
+  }
+
+  test("stateful totals evict idle users and restart on return") {
+    val base = java.nio.file.Files.createTempDirectory("graft-tot-evict")
+      .toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    val dNs = 24L * 3600 * 1000000000L
+    val t0 = 1750000000000000000L / dNs * dNs
+    writeEventFile(base, "a", Seq((1L, t0, 1L, "view"),
+      (2L, t0, 1L, "click"), (3L, t0, 2L, "view")))
+    writeEventFile(base, "b", Seq((4L, t0 + 10 * dNs, 2L, "view")))
+    // the eviction fires in b2's batch (user 1 idle + no data there)
+    writeEventFile(base, "b2", Seq((6L, t0 + 11 * dNs, 2L, "view")))
+    writeEventFile(base, "c", Seq((5L, t0 + 20 * dNs, 1L, "purchase")))
+    (Seq("a", "b", "b2") zip Seq(180000, 120000, 60000)).foreach {
+      case (n, ago) =>
+        new java.io.File(s"$base/in/$n.parquet")
+          .setLastModified(System.currentTimeMillis() - ago)
+    }
+    val q = EventStream.statefulUserTotals(eventFileStream(base, true),
+        idleUs = 5L * 24 * 3600 * 1000000L)
+      .toDF().writeStream
+      .outputMode("update").format("memory").queryName("tot_evict")
+      .start()
+    try {
+      q.processAllAvailable()
+      val u1 = spark.table("tot_evict").filter(col("user_id") === 1L)
+        .select("events", "weight")
+        .as[(Long, Double)].collect().toSet
+      // batch a's running total (2 events, 1.5), then — after the
+      // day-10 watermark advance evicts the 5-day-idle user — the
+      // day-20 purchase RESTARTS at (1, 2.0); without eviction it
+      // would read (3, 3.5)
+      assert(u1 == Set((2L, 1.5), (1L, 2.0)), u1.toString)
     } finally q.stop()
   }
 
