@@ -515,19 +515,23 @@ object SparkEntry {
        |  GROUP BY 1, 2),
        |cscore AS (SELECT dst AS pid, CAST(sum(cnt) AS BIGINT) AS s_cooc
        |           FROM cooc JOIN seeds ON src = sp GROUP BY 1),
-       |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz
+       |sizes AS MATERIALIZED (
+       |          SELECT pid, CAST(count(*) AS BIGINT) AS sz
        |          FROM b GROUP BY 1),
-       |common AS (SELECT x.pid AS p1, y.pid AS p2,
-       |                  CAST(count(*) AS BIGINT) AS common
-       |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
-       |           GROUP BY 1, 2),
-       |jac AS (SELECT p1, p2, common / (s1.sz + s2.sz - common) AS j
-       |        FROM common JOIN sizes s1 ON p1 = s1.pid
-       |                    JOIN sizes s2 ON p2 = s2.pid),
-       |sym AS (SELECT p1 AS a, p2 AS bb, j FROM jac
-       |        UNION ALL SELECT p2, p1, j FROM jac),
-       |jscore AS (SELECT bb AS pid, sum(j) AS s_jacc
-       |           FROM sym JOIN seeds ON a = sp GROUP BY 1),
+       |-- seed-anchored jaccard (round 11): only (seed, other) basket
+       |-- pairs are enumerated — the full basket-pair frame was the
+       |-- sf10 >70 GB spill; verified value-identical to the full form
+       |-- at sf0.01/sf0.1 before the swap
+       |commons AS (SELECT x.pid AS sp, y.pid AS pid,
+       |                   CAST(count(*) AS BIGINT) AS common
+       |            FROM b x JOIN seeds s ON x.pid = s.sp
+       |                     JOIN b y ON x.cid = y.cid AND y.pid <> x.pid
+       |            GROUP BY 1, 2),
+       |jscore AS (SELECT c.pid,
+       |                  sum(c.common / (s1.sz + s2.sz - c.common)) AS s_jacc
+       |           FROM commons c JOIN sizes s1 ON c.sp = s1.pid
+       |                          JOIN sizes s2 ON c.pid = s2.pid
+       |           GROUP BY 1),
        |e AS MATERIALIZED (
        |  SELECT src, dst, cnt / (sum(cnt) OVER (PARTITION BY src)) AS w
        |  FROM cooc),
@@ -683,13 +687,32 @@ object SparkEntry {
         |FROM paths GROUP BY 1
         |ORDER BY score DESC, product_id ASC LIMIT 10""".stripMargin,
 
+    // BASKET-LISTED since round 11: the b×b self-join on cid hashed two
+    // ~50 GB sides at sf10 only to enumerate within-customer pairs.
+    // Collapsing each customer to one sorted product list and unnesting
+    // its i<j index pairs produces the identical pair multiset with no
+    // join at all (ps is sorted, so ps[i]<ps[j] ⟺ the old x.pid<y.pid)
+    // — the engine's own basket-pairing shape (Recommend.jaccardPairs).
+    // Verified value-identical to the self-join form at sf0.01/sf0.1
+    // before the swap.
     "jaccard_sim" ->
-      """WITH b AS (SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+      """WITH b AS MATERIALIZED (
+        |           SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
-        |common AS (SELECT x.pid AS p1, y.pid AS p2,
-        |                  CAST(count(*) AS BIGINT) AS common
-        |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
+        |sizes AS MATERIALIZED (
+        |          SELECT pid, CAST(count(*) AS BIGINT) AS sz
+        |          FROM b GROUP BY 1),
+        |bk AS MATERIALIZED (
+        |          SELECT cid, list_sort(list(pid)) AS ps
+        |          FROM b GROUP BY cid),
+        |common AS (SELECT p1, p2, CAST(count(*) AS BIGINT) AS common
+        |           FROM (SELECT ps[i.i] AS p1, ps[j.j] AS p2
+        |                 FROM bk,
+        |                   LATERAL (SELECT unnest(range(1, len(ps) + 1))
+        |                            AS i) i,
+        |                   LATERAL (SELECT unnest(range(1, len(ps) + 1))
+        |                            AS j) j
+        |                 WHERE i.i < j.j)
         |           GROUP BY 1, 2)
         |SELECT p1, p2,
         |       round(common / (s1.sz + s2.sz - common), 6) AS jaccard
@@ -744,31 +767,44 @@ object SparkEntry {
         |            JOIN sizes s2 ON p2 = s2.pid
         |ORDER BY jaccard DESC, p1 ASC, p2 ASC LIMIT 100""".stripMargin,
 
+    // SEED-ANCHORED since round 11 (the event_asof oracle-rewrite
+    // precedent): the old form re-derived the FULL cooc chain (240 M
+    // pairs at sf10) and the FULL basket-pair frame (>70 GB spill) only
+    // to keep the rows touching the seed set. Both scores now filter to
+    // the seeds BEFORE expanding: cscore counts (seed-lineitem, order,
+    // other-lineitem) triples directly; jscore enumerates only
+    // (seed, other) basket pairs. Same multisets of counted rows and
+    // summed jaccard terms as the full form — verified value-identical
+    // to the old SQL at sf0.01 AND sf0.1 before the swap (the round-10
+    // discipline).
     "rec_blend" ->
-      """WITH b AS (SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
+      """WITH b AS MATERIALIZED (
+        |           SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
         |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |seed AS (SELECT min(cid) AS seed_cid FROM b),
-        |seeds AS (SELECT DISTINCT pid AS sp FROM b, seed WHERE cid = seed_cid),
+        |seeds AS MATERIALIZED (
+        |           SELECT DISTINCT pid AS sp FROM b, seed
+        |           WHERE cid = seed_cid),
         |oi AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |cooc AS (SELECT a.l_partkey AS src, b2.l_partkey AS dst,
-        |                CAST(count(*) AS BIGINT) AS cnt
-        |         FROM oi a JOIN oi b2 ON a.l_orderkey = b2.l_orderkey
-        |                            AND a.l_partkey <> b2.l_partkey
-        |         GROUP BY 1, 2),
-        |cscore AS (SELECT dst AS pid, CAST(sum(cnt) AS BIGINT) AS s_cooc
-        |           FROM cooc JOIN seeds ON src = sp GROUP BY 1),
-        |sizes AS (SELECT pid, CAST(count(*) AS BIGINT) AS sz FROM b GROUP BY 1),
-        |common AS (SELECT x.pid AS p1, y.pid AS p2,
-        |                  CAST(count(*) AS BIGINT) AS common
-        |           FROM b x JOIN b y ON x.cid = y.cid AND x.pid < y.pid
-        |           GROUP BY 1, 2),
-        |jac AS (SELECT p1, p2, common / (s1.sz + s2.sz - common) AS j
-        |        FROM common JOIN sizes s1 ON p1 = s1.pid
-        |                    JOIN sizes s2 ON p2 = s2.pid),
-        |sym AS (SELECT p1 AS a, p2 AS bb, j FROM jac
-        |        UNION ALL SELECT p2, p1, j FROM jac),
-        |jscore AS (SELECT bb AS pid, sum(j) AS s_jacc
-        |           FROM sym JOIN seeds ON a = sp GROUP BY 1),
+        |cscore AS (SELECT b2.l_partkey AS pid,
+        |                  CAST(count(*) AS BIGINT) AS s_cooc
+        |           FROM oi a JOIN seeds ON a.l_partkey = sp
+        |                     JOIN oi b2 ON a.l_orderkey = b2.l_orderkey
+        |                              AND b2.l_partkey <> a.l_partkey
+        |           GROUP BY 1),
+        |sizes AS MATERIALIZED (
+        |           SELECT pid, CAST(count(*) AS BIGINT) AS sz
+        |           FROM b GROUP BY 1),
+        |commons AS (SELECT x.pid AS sp, y.pid AS pid,
+        |                   CAST(count(*) AS BIGINT) AS common
+        |            FROM b x JOIN seeds s ON x.pid = s.sp
+        |                     JOIN b y ON x.cid = y.cid AND y.pid <> x.pid
+        |            GROUP BY 1, 2),
+        |jscore AS (SELECT c.pid,
+        |                  sum(c.common / (s1.sz + s2.sz - c.common)) AS s_jacc
+        |           FROM commons c JOIN sizes s1 ON c.sp = s1.pid
+        |                          JOIN sizes s2 ON c.pid = s2.pid
+        |           GROUP BY 1),
         |cand AS (SELECT COALESCE(c.pid, js.pid) AS pid,
         |                COALESCE(s_cooc, 0) AS s_cooc,
         |                COALESCE(s_jacc, CAST(0.0 AS DOUBLE)) AS s_jacc
@@ -1069,7 +1105,7 @@ object SparkEntry {
         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash_pairs" ->
-      """WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
+      s"""WITH tok AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS freq,
         |               CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS h
         |             FROM (SELECT doc_id,
         |                          unnest(string_split(text, ' ')) AS tok
@@ -1082,13 +1118,38 @@ object SparkEntry {
         |                ELSE 0 END AS bitval
         |         FROM tok, (SELECT unnest(range(60)) AS j)
         |         GROUP BY doc_id, j),
-        |sig AS (SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
-        |        FROM bits GROUP BY doc_id)
-        |SELECT a.doc_id AS p1, b.doc_id AS p2,
-        |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT)
-        |         AS hamming
-        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |sig AS MATERIALIZED (
+        |        SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |-- BANDED since round 11: the all-pairs doc_id<doc_id join is
+        |-- n²/2 (>87 GB spill at sf10) where the engine's own 4×15-bit
+        |-- pigeonhole banding is candidate-bounded AND exact for
+        |-- hamming ≤ 3 (3 differing bits touch ≤ 3 of 4 disjoint
+        |-- bands). The hot-band guard mirrors the engine's literally —
+        |-- the engine DROPS pairs whose only shared bands are hot, so
+        |-- the oracle must too. Verified value-identical to the
+        |-- all-pairs form at sf0.01/sf0.1 before the swap.
+        |bands AS MATERIALIZED (
+        |        SELECT doc_id, simhash, o.b AS band,
+        |               (simhash >> o.off) & 32767 AS bv
+        |        FROM sig, (VALUES (0, 0), (1, 15), (2, 30), (3, 45))
+        |             AS o(b, off)),
+        |hot AS MATERIALIZED (
+        |        SELECT band, bv FROM bands GROUP BY band, bv
+        |        HAVING count(*) > ${Dedup.SimhashMaxBand}),
+        |kept AS MATERIALIZED (
+        |        SELECT x.* FROM bands x LEFT JOIN hot h
+        |          ON x.band = h.band AND x.bv = h.bv
+        |        WHERE h.band IS NULL),
+        |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2,
+        |                a.simhash AS s1, b.simhash AS s2
+        |         FROM kept a JOIN kept b
+        |           ON a.band = b.band AND a.bv = b.bv
+        |          AND a.doc_id < b.doc_id)
+        |SELECT p1, p2,
+        |       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(s1, s2)) <= 3
         |ORDER BY hamming, p1, p2""".stripMargin,
 
     // the corpus-relative stop-shingle guard is mirrored (keep CTE,

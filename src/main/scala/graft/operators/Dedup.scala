@@ -388,6 +388,11 @@ object Dedup {
     * 60 bits, `range(60)` bit loop) — change it there in lockstep. */
   val SimhashBits = 60
 
+  /** [[simhashPairs]]'s hot-band guard threshold. Interpolated into the
+    * `dedup_simhash_pairs` oracle SQL (SparkEntry) since round 11, so
+    * the guard can never silently fork engine from oracle. */
+  val SimhashMaxBand = 100000
+
   /** `dedup_simhash`: 60-bit frequency-weighted SimHash fingerprint per
     * document — bit j is the sign of Σ_tokens freq·(±1 by bit j of the
     * token hash, [[TextOps.h60]]). Near-dup = small hamming distance
@@ -438,7 +443,7 @@ object Dedup {
     * degenerate corpora (a band value shared by the whole corpus would
     * otherwise pair everything with everything). */
   def simhashPairs(spark: SparkSession, dir: String, t: Int = 3,
-      maxBand: Int = 100000): DataFrame =
+      maxBand: Int = SimhashMaxBand): DataFrame =
     simhashPairsFrom(simhash(spark, dir), t, maxBand)
 
   /** Banded pairing over any (doc_id, simhash) fingerprint relation —
