@@ -13,13 +13,15 @@ import graft.model.Tables
   * and true pixel resampling. The AUDIO codec is REAL too
   * (`javax.sound.sampled` WAV/AU/AIFF PCM parsing — also pure JDK):
   * decodable payloads yield duration/RMS/zero-crossing/envelope
-  * features. VIDEO is REAL on two surfaces: full decode for the one
+  * features. VIDEO is REAL on three surfaces: full decode for the one
   * family the JDK covers end to end — MJPEG-in-AVI ([[aviFrames]]:
   * RIFF demux + per-frame JPEG decode) — and decode-free FRAME
   * SEGMENTATION for raw H.264 Annex-B streams ([[annexBFrames]]:
-  * start-code walk + access-unit boundary syntax, the split/count/
+  * start-code walk + access-unit boundary syntax) and for MP4/ISO-BMFF
+  * containers ([[mp4Frames]]: box walk + stbl sample-table resolution —
+  * the container format a real corpus actually ships), the split/count/
   * fingerprint surface a 100 TB video corpus needs before any decoder
-  * runs); everything else takes the deterministic byte-level STUB
+  * runs; everything else takes the deterministic byte-level STUB
   * extractor, clearly marked below. Payloads that don't decode
   * (e.g. the testdata's text stand-ins) take the same fallback, so the
   * oracle-checked rows are unchanged while MultimodalSpec proves the
@@ -284,6 +286,141 @@ object Multimodal {
     }
   }
 
+  /** REAL container demux for MP4/ISO-BMFF (ISO/IEC 14496-12) — the
+    * container format a real video corpus actually ships, SYNTAX-ONLY
+    * like [[annexBFrames]]: no decoder, just the box walk. Boxes are
+    * [size:u32 BE][fourcc][payload] (size 1 → u64 largesize follows,
+    * size 0 → to end); the sample tables under
+    * `moov/trak/mdia/minf/stbl` give every sample's true byte range in
+    * the file: `stsz` the per-sample sizes, `stsc` the
+    * samples-per-chunk runs, `stco`/`co64` the chunk file offsets —
+    * samples are contiguous within a chunk, so sample k of a chunk
+    * starts at the chunk offset plus the sizes before it (§8.7.4-8.7.5).
+    * The FIRST `vide`-handler track is segmented (deterministic
+    * convention; audio/hint tracks are skipped via `hdlr`). Returns the
+    * sample payloads in decode order — for a video track, samples ARE
+    * the frames, so a 100 TB MP4 corpus gets true frame counts, sizes
+    * and fingerprints from pure syntax. None when the payload is not
+    * ISO-BMFF (no `ftyp` at box 0 — ASCII stand-ins can't have the
+    * 4-byte BE size + fourcc shape), when no video track exists, or on
+    * any malformed table/out-of-range sample (never throws
+    * mid-corpus; the caller falls through to the byte slicer). */
+  private[graft] def mp4Frames(payload: Array[Byte]): Option[Seq[Array[Byte]]] =
+    try {
+      def beInt(o: Int): Long =
+        ((payload(o) & 0xffL) << 24) | ((payload(o + 1) & 0xffL) << 16) |
+          ((payload(o + 2) & 0xffL) << 8) | (payload(o + 3) & 0xffL)
+      def beLong(o: Int): Long = (beInt(o) << 32) | beInt(o + 4)
+      def fourcc(o: Int): String =
+        new String(payload, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      // child boxes of [start, end): (type, payload start, payload end);
+      // None on any malformed size (truncated, overlapping end)
+      def boxes(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var o = start
+        while (o + 8 <= end) {
+          var size = beInt(o)
+          var hdr = 8
+          if (size == 1) {
+            if (o + 16 > end) return None
+            size = beLong(o + 8); hdr = 16
+          } else if (size == 0) size = end - o
+          if (size < hdr || size > end - o) return None
+          out += ((fourcc(o + 4), o + hdr, o + size.toInt))
+          o += size.toInt
+        }
+        Some(out.toSeq)
+      }
+      def child(bs: Seq[(String, Int, Int)], t: String): Option[(Int, Int)] =
+        bs.collectFirst { case (`t`, s, e) => (s, e) }
+      if (payload.length < 16) None
+      else
+        for {
+          top <- boxes(0, payload.length)
+          if top.headOption.exists(_._1 == "ftyp")
+          (ms, me) <- child(top, "moov")
+          moov <- boxes(ms, me)
+          stbl <- moov.collect { case ("trak", ts, te) => (ts, te) }
+            .iterator.map { case (ts, te) =>
+              for { // trak → mdia → (hdlr = vide) → minf → stbl
+                trak <- boxes(ts, te)
+                (ds, de) <- child(trak, "mdia")
+                mdia <- boxes(ds, de)
+                (hs, he) <- child(mdia, "hdlr")
+                if he >= hs + 12 && fourcc(hs + 8) == "vide"
+                (ns, ne) <- child(mdia, "minf")
+                minf <- boxes(ns, ne)
+                (ss, se) <- child(minf, "stbl")
+                stblBoxes <- boxes(ss, se)
+              } yield stblBoxes
+            }.collectFirst { case Some(b) => b }
+          frames <- samplesOf(payload, stbl, beInt, beLong)
+        } yield frames
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resolve the stbl sample tables into the sample byte ranges (the
+    * §8.7.4 chunk walk); None on missing tables, table mismatch, or an
+    * out-of-range sample. */
+  private def samplesOf(payload: Array[Byte],
+      stbl: Seq[(String, Int, Int)], beInt: Int => Long,
+      beLong: Int => Long): Option[Seq[Array[Byte]]] = {
+    def child(t: String): Option[(Int, Int)] =
+      stbl.collectFirst { case (`t`, s, e) => (s, e) }
+    for {
+      (zs, ze) <- child("stsz")
+      if ze >= zs + 12
+      fixedSize = beInt(zs + 4)
+      nSamples = beInt(zs + 8).toInt
+      if fixedSize > 0 || ze >= zs + 12 + 4L * nSamples
+      sizes = (0 until nSamples).map(i =>
+        if (fixedSize > 0) fixedSize else beInt(zs + 12 + 4 * i))
+      (cs, ce) <- child("stsc")
+      if ce >= cs + 8
+      nRuns = beInt(cs + 4).toInt
+      if ce >= cs + 8 + 12L * nRuns && nRuns > 0
+      runs = (0 until nRuns).map(i => (beInt(cs + 8 + 12 * i), // first_chunk
+        beInt(cs + 12 + 12 * i))) // samples_per_chunk
+      offs <- child("stco").map { case (os, oe) =>
+          val n = beInt(os + 4).toInt
+          if (oe < os + 8 + 4L * n) Seq.empty[Long]
+          else (0 until n).map(i => beInt(os + 8 + 4 * i))
+        }.orElse(child("co64").map { case (os, oe) =>
+          val n = beInt(os + 4).toInt
+          if (oe < os + 8 + 8L * n) Seq.empty[Long]
+          else (0 until n).map(i => beLong(os + 8 + 8 * i))
+        })
+      if offs.nonEmpty || nSamples == 0
+      frames <- {
+        val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+        var sample = 0
+        var chunk = 0
+        var ok = true
+        while (ok && sample < nSamples && chunk < offs.length) {
+          // samples_per_chunk of the last run whose first_chunk ≤ chunk+1
+          val spc = runs.takeWhile(_._1 <= chunk + 1).lastOption
+            .map(_._2.toInt).getOrElse(0)
+          var cursor = offs(chunk)
+          var k = 0
+          while (ok && k < spc && sample < nSamples) {
+            val sz = sizes(sample)
+            if (cursor < 0 || cursor + sz > payload.length)
+              ok = false // out-of-range sample: malformed
+            else {
+              out += java.util.Arrays.copyOfRange(payload, cursor.toInt,
+                (cursor + sz).toInt)
+              cursor += sz
+              sample += 1
+              k += 1
+            }
+          }
+          chunk += 1
+        }
+        // tables ran dry before covering every sample: malformed
+        if (ok && sample == nSamples) Some(out.toSeq) else None
+      }
+    } yield frames
+  }
+
   /** ==== STUB ==== (fallback only: video that is neither MJPEG-AVI nor
     * H.264 Annex-B, plus undecodable audio/image payloads)
     * Deterministic byte-level extractor: a 16-bin byte histogram,
@@ -359,7 +496,9 @@ object Multimodal {
     * demuxed ([[aviFrames]]): frame rows are the actual JPEG stream
     * chunks (true sizes, fingerprints of real frame bytes); an H.264
     * Annex-B payload is REALLY segmented ([[annexBFrames]]: true
-    * access-unit boundaries without a decoder). Any other
+    * access-unit boundaries without a decoder); an MP4/ISO-BMFF payload
+    * is REALLY box-walked ([[mp4Frames]]: the stbl sample tables give
+    * the video track's true sample ranges). Any other
     * payload takes the byte-slicer stand-in (every `every`-th
     * fixed-size byte window) with identical data movement. The plumbing
     * is the production shape either way — `mapPartitions` over the
@@ -390,11 +529,12 @@ object Multimodal {
       it.flatMap { a =>
         // 'parsed container, zero stream chunks' (Some(empty)) is a
         // genuinely empty video → emit no rows; only 'no container
-        // recognized it' (None from both the AVI demux and the Annex-B
-        // segmenter) takes the byte-window stand-in — a well-formed
-        // empty container must not fabricate frames from its own
-        // header bytes
-        aviFrames(a.payload).orElse(annexBFrames(a.payload)) match {
+        // recognized it' (None from the AVI demux, the Annex-B
+        // segmenter AND the MP4 box walk) takes the byte-window
+        // stand-in — a well-formed empty container must not fabricate
+        // frames from its own header bytes
+        aviFrames(a.payload).orElse(annexBFrames(a.payload))
+          .orElse(mp4Frames(a.payload)) match {
           case Some(frames) => // real MJPEG demux (possibly zero frames)
             Iterator.range(0, frames.length, every).map { i =>
               Frame(a.asset_id, i.toLong, frames(i).length.toLong,

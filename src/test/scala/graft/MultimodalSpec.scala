@@ -303,6 +303,87 @@ class MultimodalSpec extends SparkSpec {
     assert(expected.count(_ > 0.99f) == 1, expected.toList)
   }
 
+  // ---- MP4/ISO-BMFF fixtures: hand-built box trees, offsets computed
+  // against the final file layout (ftyp ++ mdat ++ moov) ----
+  private def be4(i: Long) = Array(((i >> 24) & 0xff).toByte,
+    ((i >> 16) & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+  private def be8(l: Long) = be4(l >> 32) ++ be4(l & 0xffffffffL)
+  private def bmffBox(typ: String, payload: Array[Byte]*): Array[Byte] = {
+    val body = payload.flatten.toArray
+    be4(body.length + 8L) ++ typ.getBytes("US-ASCII") ++ body
+  }
+  private def hdlr(handler: String) = // full box: ver/flags, pre_defined
+    bmffBox("hdlr", be4(0), be4(0), handler.getBytes("US-ASCII"))
+
+  /** Two chunks: samples 1-2 (AAA, BBBB) then 3-5 (CCCCC, DDDDDD,
+    * EEEEEEE); a 'soun' trak FIRST so track selection is exercised. */
+  private def mp4Fixture: (Array[Byte], Seq[Array[Byte]]) = {
+    val samples = Seq("AAA", "BBBB", "CCCCC", "DDDDDD", "EEEEEEE")
+      .map(_.getBytes("US-ASCII"))
+    val ftyp = bmffBox("ftyp", "isom".getBytes, be4(0x200))
+    val mdat = bmffBox("mdat", samples.flatten.toArray)
+    val chunk1 = ftyp.length + 8L
+    val chunk2 = chunk1 + 3 + 4
+    val stbl = bmffBox("stbl",
+      bmffBox("stsz", be4(0), be4(0), be4(5),
+        samples.map(s => be4(s.length.toLong)).flatten.toArray),
+      bmffBox("stsc", be4(0), be4(2),
+        be4(1), be4(2), be4(1), // chunks 1.. : 2 samples each
+        be4(2), be4(3), be4(1)), // chunks 2.. : 3 samples each
+      bmffBox("stco", be4(0), be4(2), be4(chunk1), be4(chunk2)))
+    val vide = bmffBox("trak", bmffBox("mdia", hdlr("vide"),
+      bmffBox("minf", stbl)))
+    val soun = bmffBox("trak", bmffBox("mdia", hdlr("soun")))
+    (ftyp ++ mdat ++ bmffBox("moov", soun, vide), samples)
+  }
+
+  test("mp4Frames resolves stbl sample tables to the true sample bytes") {
+    val (payload, samples) = mp4Fixture
+    val got = Multimodal.mp4Frames(payload)
+    assert(got.isDefined)
+    assert(got.get.map(_.toSeq) == samples.map(_.toSeq))
+  }
+
+  test("mp4Frames: co64 offsets and fixed-size stsz") {
+    val samples = Seq("XXXX", "YYYY", "ZZZZ").map(_.getBytes("US-ASCII"))
+    val ftyp = bmffBox("ftyp", "isom".getBytes, be4(0x200))
+    val mdat = bmffBox("mdat", samples.flatten.toArray)
+    val stbl = bmffBox("stbl",
+      bmffBox("stsz", be4(0), be4(4) /* fixed */, be4(3)),
+      bmffBox("stsc", be4(0), be4(1), be4(1), be4(3), be4(1)),
+      bmffBox("co64", be4(0), be4(1), be8(ftyp.length + 8L)))
+    val payload = ftyp ++ mdat ++ bmffBox("moov",
+      bmffBox("trak", bmffBox("mdia", hdlr("vide"), bmffBox("minf", stbl))))
+    val got = Multimodal.mp4Frames(payload)
+    assert(got.isDefined)
+    assert(got.get.map(_.toSeq) == samples.map(_.toSeq))
+  }
+
+  test("mp4Frames rejects non-BMFF, truncated boxes, and out-of-range samples") {
+    assert(Multimodal.mp4Frames("plain ascii stand-in text".getBytes).isEmpty)
+    val (payload, _) = mp4Fixture
+    assert(Multimodal.mp4Frames(payload.take(payload.length - 4)).isEmpty,
+      "truncated moov must not segment")
+    // corrupt the first stco offset to point past the file
+    val idx = payload.indexOfSlice("stco".getBytes("US-ASCII"))
+    val bad = payload.clone()
+    System.arraycopy(be4(100000L), 0, bad, idx + 12, 4)
+    assert(Multimodal.mp4Frames(bad).isEmpty,
+      "out-of-range sample must not segment")
+  }
+
+  test("frameSampleOf segments an MP4 payload via the box walk") {
+    val (payload, samples) = mp4Fixture
+    val rows = Multimodal.frameSampleOf(
+        Seq(Asset(31L, "video", "mp4", payload)).toDS(), every = 1)
+      .collect().sortBy(_.frame_idx)
+    assert(rows.length == 5)
+    assert(rows.map(_.n_bytes).toSeq == Seq(3L, 4L, 5L, 6L, 7L))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val hex = md5.digest(samples(2)).map("%02x".format(_)).mkString
+    assert(rows(2).frame_fp == java.lang.Long.parseLong(hex.take(8), 16))
+  }
+
   test("resizeOf really resamples decodable pixels (factor 2, known RGB)") {
     // 4×2 image; factor 2 keeps pixels (0,0) and (2,0)
     val bytes = png(4, 2)((x, y) => if (x == 0 && y == 0) 0xff0000
