@@ -761,6 +761,86 @@ class StreamingSpec extends SparkSpec {
       "replay changed the state store")
   }
 
+  test("three-batch chained dedup state survives a MID-STREAM crash replay") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-xbatch3")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def text(prefix: String): String =
+      s"the " + (1 to 23).map(i => s"$prefix$i").mkString(" ")
+    val (t1, t2, t3, t4) = (text("alpha"), text("beta"), text("gamma"),
+      text("delta"))
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+    }
+    // chained cross-batch duplicates: batch 2 carries copies of docs
+    // emitted in BOTH prior batches (10→1 was already dropped in batch
+    // 1, so 21→11 and 20→2 probe the 0-hop AND 1-hop state depth)
+    writeFile("a", Seq(1L -> t1, 2L -> t2))
+    writeFile("b", Seq(10L -> t1, 11L -> t3))
+    writeFile("c", Seq(20L -> t2, 21L -> t3, 22L -> t4))
+    (Seq("a", "b") zip Seq(120000, 60000)).foreach { case (n, ago) =>
+      new java.io.File(s"$watched/$n.parquet")
+        .setLastModified(System.currentTimeMillis() - ago)
+    }
+    val ckpt = s"$base/ckpt"
+    def runOnce(c: String = ckpt): Unit = {
+      val q = CorpusStream.ingestStateful(
+        spark.readStream.schema(CorpusStream.documentsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(watched),
+        out, c, state)
+      try q.processAllAvailable()
+      finally {
+        q.stop()
+        q.awaitTermination()
+        // restarting on the SAME checkpoint trips the concurrent-use
+        // guard until the stopped run fully deregisters
+        val deadline = System.currentTimeMillis() + 30000
+        while (spark.streams.active.exists(_.id == q.id) &&
+            System.currentTimeMillis() < deadline)
+          Thread.sleep(100)
+      }
+    }
+    runOnce()
+    val expected = Set(1L, 2L, 11L, 22L)
+    val expectedState = Set((1L, 0L), (2L, 0L), (11L, 1L), (22L, 2L))
+    def emitted() = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    def stored() = spark.read.parquet(state)
+      .select("doc_id", "batch_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(emitted() == expected, s"emitted ${emitted()}")
+    assert(stored() == expectedState, s"state ${stored()}")
+    // CRASH REPLAY: batch 2 wrote its offsets but died before its
+    // commit — delete commits/2 and restart on the SAME checkpoint; the
+    // engine re-runs batch 2, which must see batch_id<2 state only
+    // (its own half-written store partition is invisible to itself) and
+    // overwrite its own sink/store partitions byte-identically
+    assert(new java.io.File(s"$ckpt/commits/2").delete(),
+      "checkpoint layout changed: commits/2 missing")
+    // the local-FS checksum sidecar must go with it, or the replayed
+    // commit's rename trips over the stale crc
+    new java.io.File(s"$ckpt/commits/.2.crc").delete()
+    runOnce()
+    assert(emitted() == expected, "crash replay changed the emitted set")
+    assert(stored() == expectedState, "crash replay changed the state store")
+    // and a full fresh-checkpoint replay (all three batches re-delivered
+    // under the same ids) must also be absorbed
+    runOnce(s"$base/ckpt2")
+    assert(emitted() == expected, "full replay changed the emitted set")
+    assert(stored() == expectedState, "full replay changed the state store")
+  }
+
   test("prepareSliceFull matches corpus_prepare_full (packing excluded)") {
     import graft.streaming.CorpusStream
     val slice = CorpusStream.prepareSliceFull(
