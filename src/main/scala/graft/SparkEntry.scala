@@ -385,33 +385,24 @@ object SparkEntry {
 
   /** DuckDB oracle for `pagerank_fixed`: the reference's power step
     * (`tp1/knoledge_graphs/recommendation.py:150-179`) with a FIXED
-    * iteration count, UNROLLED as chained CTEs — standard SQL forbids
-    * aggregates in a recursive term, and 8 static steps need no
-    * recursion anyway. Arithmetic mirrors graft.algo.PageRank exactly:
-    * uniform pers 1/N, row-normalized weights (exact-int division),
-    * sink mass redistributed over all vertices, damping literals cast
-    * to DOUBLE so DuckDB doesn't compute (1 - 0.85) in DECIMAL (which
-    * is exact 0.15, NOT the double 0.15000000000000002 Spark uses).
-    * Every chained CTE is MATERIALIZED: DuckDB 1.0 inlines CTEs however
-    * often they are referenced, and each r_t is referenced twice (the
-    * sink sum + the next step's contribution join), so the un-hinted
-    * unroll re-evaluates the whole prefix 2^t times — ~60 s at sf0.01
-    * and growing; materialized it is 8 linear steps, <1 s. */
+    * iteration count as a RECURSIVE CTE (round 11; DuckDB permits
+    * aggregation in the recursive term where standard SQL forbids it).
+    * The rounds-≤10 form UNROLLED the 8 steps as chained MATERIALIZED
+    * CTEs — at sf10 DuckDB holds every step's materialization and its
+    * join temp alive for the whole statement and DNF'd at >80 GB of
+    * spill; the recursive working table keeps exactly ONE rank vector
+    * live per iteration. Verified value-identical to the unrolled text
+    * at sf0.01 and sf0.1 before the swap (the round-10 discipline).
+    * Arithmetic mirrors graft.algo.PageRank exactly: uniform pers 1/N,
+    * row-normalized weights (exact-int division), sink mass
+    * redistributed over all vertices, damping literals cast to DOUBLE
+    * so DuckDB doesn't compute (1 - 0.85) in DECIMAL (which is exact
+    * 0.15, NOT the double 0.15000000000000002 Spark uses). See
+    * [[recursivePowerSteps]] for the single-reference plumbing. */
   private def pagerankFixedSql(iters: Int): String = {
-    val steps = (0 until iters).map { t =>
-      s"""s$t AS MATERIALIZED (
-         |  SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
-         |  FROM r$t WHERE id NOT IN (SELECT src FROM e)),
-         |r${t + 1} AS MATERIALIZED (SELECT v.id,
-         |    (1 - CAST(0.85 AS DOUBLE)) * (CAST(1 AS DOUBLE) / nn.n)
-         |  + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
-         |                            + s$t.m / nn.n) AS rank
-         |  FROM v CROSS JOIN nn CROSS JOIN s$t
-         |  LEFT JOIN (SELECT e.dst AS id, SUM(e.w * r.rank) AS contrib
-         |             FROM e JOIN r$t r ON e.src = r.id GROUP BY e.dst) c
-         |    ON v.id = c.id)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH oi AS MATERIALIZED (
+    val steps =
+      recursivePowerSteps(iters, "(CAST(1 AS DOUBLE) / nn.n)")
+    s"""WITH RECURSIVE oi AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |cnt AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
        |               CAST(count(*) AS BIGINT) AS cnt
@@ -430,36 +421,67 @@ object SparkEntry {
        |FROM r$iters ORDER BY product_id""".stripMargin
   }
 
-  /** DuckDB oracle for `ppr_fixed`: [[pagerankFixedSql]]'s unrolled power
-    * step with the SEEDED personalization — pers = 1/|seeds| on the min
-    * purchasing customer's products and 0 elsewhere (the raw-1.0 vector
-    * renormalized by its total, mirroring graft.algo.PageRank.run). The
-    * teleport term becomes (1−d)·v.pers; rank init stays uniform 1/N and
-    * the sink redistribution stays over ALL vertices, exactly as the
-    * Spark loop computes them. Same MATERIALIZED discipline as
-    * [[pagerankFixedSql]] — without it the pers CASE re-evaluates inside
-    * every exponentially-inlined step copy and the query never returns. */
-  /** The unrolled SEEDED power steps shared by the `ppr_fixed` and
-    * `rec_blend_fixed` oracles (expects CTEs `e(src,dst,w)`, `v(id,pers)`,
-    * `nn(n)`, `r0(id,rank)` in scope). */
-  private def seededPowerSteps(iters: Int): String =
-    (0 until iters).map { t =>
-      s"""s$t AS MATERIALIZED (
-         |  SELECT COALESCE(SUM(rank), CAST(0 AS DOUBLE)) AS m
-         |  FROM r$t WHERE id NOT IN (SELECT src FROM e)),
-         |r${t + 1} AS MATERIALIZED (SELECT v.id,
-         |    (1 - CAST(0.85 AS DOUBLE)) * v.pers
-         |  + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
-         |                            + s$t.m / nn.n) AS rank
-         |  FROM v CROSS JOIN nn CROSS JOIN s$t
-         |  LEFT JOIN (SELECT e.dst AS id, SUM(e.w * r.rank) AS contrib
-         |             FROM e JOIN r$t r ON e.src = r.id GROUP BY e.dst) c
-         |    ON v.id = c.id)""".stripMargin
-    }.mkString(",\n")
+  /** The recursive power chain shared by the fixed-rank oracles.
+    * Expects CTEs `e(src,dst,w)`, `v` (with an `id` column; `v.pers`
+    * when `teleport` references it), `nn(n)`, and `r0(id,rank)` in
+    * scope; the enclosing WITH must say `WITH RECURSIVE`. Emits CTEs
+    * `dang` (per-node sink flag), `rr` (the recursive (iter,id,rank)
+    * vector), and `r$iters` (the step-`iters` vector, named so the
+    * callers' downstream CTEs are untouched by the rewrite).
+    *
+    * Per step, EXACTLY the unrolled arithmetic: rank' =
+    * (1−d)·teleport + d·(Σ_in w·rank + sinkmass/n). The plumbing works
+    * around DuckDB's single-recursive-reference rule: the one `rr`
+    * reference computes the sink mass as a windowed sum over the full
+    * previous vector BEFORE the edge join filters it (sinks have no
+    * out-edges, so the join would drop exactly the rows being summed),
+    * and the per-dst aggregate carries that scalar (plus the step
+    * counter) through MAX; the outer window MAX re-broadcasts both to
+    * in-degree-0 nodes whose LEFT JOIN rows are NULL. The `p`-side
+    * `iter < iters` guard makes the stopping pass join an EMPTY build
+    * side instead of paying a 9th full edge probe. One divergence from
+    * the unrolled text, documented here on purpose: on an EDGE-FREE
+    * corpus the recursion stops at r0 and the oracle returns 0 rows
+    * where the unrolled form still teleports — every oracle-checked sf
+    * has edges, and the engine side of an edge-free graph is itself
+    * pinned by PageRankSpec, not by this oracle. */
+  private def recursivePowerSteps(iters: Int, teleport: String): String =
+    s"""dang AS MATERIALIZED (
+       |  SELECT v.id, CASE WHEN s.src IS NULL THEN 1 ELSE 0 END AS d
+       |  FROM v LEFT JOIN (SELECT DISTINCT src FROM e) s ON v.id = s.src),
+       |rr AS (
+       |  SELECT 0 AS iter, id, rank FROM r0
+       |  UNION ALL
+       |  SELECT iter, id, rank FROM (
+       |    SELECT MAX(c.iter) OVER () + 1 AS iter, v.id,
+       |        (1 - CAST(0.85 AS DOUBLE)) * $teleport
+       |      + CAST(0.85 AS DOUBLE) * (COALESCE(c.contrib, CAST(0 AS DOUBLE))
+       |                                + MAX(c.s) OVER () / nn.n) AS rank
+       |    FROM v CROSS JOIN nn
+       |    LEFT JOIN (
+       |      SELECT e.dst AS id, SUM(e.w * p.rank) AS contrib,
+       |             MAX(p.s) AS s, MAX(p.iter) AS iter
+       |      FROM (SELECT rr.iter, rr.id, rr.rank,
+       |                   COALESCE(SUM(CASE WHEN d.d = 1 THEN rr.rank END)
+       |                              OVER (), CAST(0 AS DOUBLE)) AS s
+       |            FROM rr JOIN dang d ON rr.id = d.id
+       |            WHERE rr.iter < $iters) p
+       |      JOIN e ON e.src = p.id
+       |      GROUP BY e.dst) c
+       |    ON v.id = c.id
+       |  ) q WHERE iter <= $iters),
+       |r$iters AS MATERIALIZED (SELECT id, rank FROM rr WHERE iter = $iters)""".stripMargin
 
+  /** DuckDB oracle for `ppr_fixed`: [[pagerankFixedSql]]'s recursive
+    * power chain with the SEEDED personalization — pers = 1/|seeds| on
+    * the min purchasing customer's products and 0 elsewhere (the
+    * raw-1.0 vector renormalized by its total, mirroring
+    * graft.algo.PageRank.run). The teleport term becomes (1−d)·v.pers;
+    * rank init stays uniform 1/N and the sink redistribution stays
+    * over ALL vertices, exactly as the Spark loop computes them. */
   private def pprFixedSql(iters: Int): String = {
-    val steps = seededPowerSteps(iters)
-    s"""WITH oi AS MATERIALIZED (
+    val steps = recursivePowerSteps(iters, "v.pers")
+    s"""WITH RECURSIVE oi AS MATERIALIZED (
        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
        |cnt AS (SELECT a.l_partkey AS src, b.l_partkey AS dst,
        |               CAST(count(*) AS BIGINT) AS cnt
@@ -498,8 +520,8 @@ object SparkEntry {
     * vector covers every product, so candidates = all non-seed
     * products. */
   private def recBlendFixedSql(iters: Int): String = {
-    val steps = seededPowerSteps(iters)
-    s"""WITH b AS MATERIALIZED (
+    val steps = recursivePowerSteps(iters, "v.pers")
+    s"""WITH RECURSIVE b AS MATERIALIZED (
        |  SELECT DISTINCT o_custkey AS cid, l_partkey AS pid
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
        |seeds AS MATERIALIZED (

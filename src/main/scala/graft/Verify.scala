@@ -16,6 +16,14 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // A multi-query dump accumulates every finished stage's shuffle
+      // files until the DRIVER GCs (ContextCleaner removes them only
+      // when their ShuffleDependency is collected) — and a 48 g heap at
+      // sf10 may never GC unprompted, which disk-killed the sf10
+      // rec_blend_fixed dump twice at >70 GB of dead spill. Periodic
+      // driver GC is the single-JVM stand-in for the per-stage shuffle
+      // cleanup a multi-executor cluster performs as executors roll.
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
