@@ -37,8 +37,18 @@ import graft.operators.Relational
   *   - the only shuffle per iteration is the reduceByKey of contributions
   *     on dst — identical to what Pregel/aggregateMessages would shuffle;
   *   - one action per iteration (fused L1-delta + next sink mass reduce);
-  *   - `localCheckpoint` every 8 iterations truncates lineage so 50
-  *     iterations stay O(iterations), not O(iterations²).
+  *   - `localCheckpoint` EVERY iteration truncates lineage so 50
+  *     iterations stay O(iterations), not O(iterations²) — and, as
+  *     important at scale, releases the previous iteration's shuffle
+  *     files for cleanup: shuffle files stay on disk while any live
+  *     lineage references their ShuffleDependency, so an 8-iteration
+  *     cadence held ~8 edge-sized shuffle generations live at once
+  *     (measured: the sf10 rec_blend_fixed dump accumulated >70 GB and
+  *     disk-died; per-iteration truncation + the driver's periodic GC
+  *     caps live shuffle at ~1 generation). The checkpoint itself is
+  *     free-ish: `stepped` is already cached and immediately reduced,
+  *     and vertex state is orders of magnitude smaller than the
+  *     per-iteration edge shuffle it releases.
   * At 100 TB the same structure holds: edges partitioned once, ~50 narrow
   * stages + 50 shuffles bounded by |V| message traffic.
   */
@@ -241,7 +251,7 @@ object PageRank {
           val nr = (1 - d) * p + d * (c.getOrElse(0.0) + sm / n)
           (nr, p, s, math.abs(nr - oldR))
         }.cache()
-      if ((iter + 1) % 8 == 0) stepped.localCheckpoint()
+      stepped.localCheckpoint() // see object scaladoc: lineage + shuffle GC
       // one action: L1 delta + next sink mass together
       val (dl, nsm) = stepped
         .map { case (_, (nr, _, s, ad)) => (ad, if (s) nr else 0.0) }
