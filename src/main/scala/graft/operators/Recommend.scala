@@ -211,7 +211,23 @@ object Recommend {
     * co-occurrence score Σ over seeds of directed pair counts, and the
     * per-candidate Jaccard score Σ over seeds of per-seed similarity.
     * One definition so the two blends (and a future tie-break or guard
-    * change) cannot drift apart. */
+    * change) cannot drift apart.
+    *
+    * The Jaccard side is SEED-ANCHORED (round 11, following its own
+    * oracle's rewrite): only (seed, other) basket co-memberships are
+    * enumerated — the previous formulation built the FULL
+    * [[jaccardPairs]] frame (grows superlinearly when the catalog grows
+    * with the data; the dominant footprint of the sf10 rec_blend_fixed
+    * dump) and then kept only the rows touching seeds. Value-identical
+    * by construction: a (seed, other) pair contributes
+    * common/(sz_s+sz_o−common) in both shapes, pairs with no common
+    * customer contribute nothing, and the hot-customer guard and
+    * full-incidence degrees are applied identically ([[jaccardPairsFrom]]
+    * discipline: guard BEFORE pairing, `sz` on the unguarded incidence).
+    * The size joins that were a measured sort-merge hazard on the full
+    * pair aggregate (SCALING.md sf1 audit) are safe here: `commons` is
+    * bounded by |seed basket| × co-purchasers, and AQE elects broadcast
+    * when it measures small. */
   private def seedStrategyScores(spark: SparkSession, dir: String)
       : (DataFrame, DataFrame, DataFrame) = {
     val b = Relational.bipartite(spark, dir)
@@ -225,12 +241,24 @@ object Recommend {
       .join(seeds, col("src") === col("sp"))
       .groupBy(col("dst").as("product_id"))
       .agg(sum("cnt").as("s_cooc"))
-    val jp = jaccardPairs(spark, dir) // cached at the builder
-    val sym = jp.select(col("p1").as("a"), col("p2").as("bb"), col("jaccard"))
-      .unionAll(jp.select(col("p2").as("a"), col("p1").as("bb"), col("jaccard")))
-    val jScore = sym.join(seeds, col("a") === col("sp"))
-      .groupBy(col("bb").as("product_id"))
-      .agg(sum("jaccard").as("s_jacc"))
+    val bg = Dedup.dropHotBuckets(b, Seq("customer_id"), 1000)
+    val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
+    val commons = bg.join(seeds, col("product_id") === col("sp"))
+      .select(col("sp"), col("customer_id").as("cid"))
+      .join(bg.select(col("customer_id").as("cid"),
+        col("product_id").as("pid")), "cid")
+      .filter(col("pid") =!= col("sp"))
+      .groupBy("sp", "pid").agg(count(lit(1)).as("common"))
+    val jScore = commons
+      .join(sizes.select(col("product_id").as("sp"), col("sz").as("sz1")),
+        "sp")
+      .join(sizes.select(col("product_id").as("pid"), col("sz").as("sz2")),
+        "pid")
+      .select(col("pid"),
+        (col("common") / (col("sz1") + col("sz2") - col("common")))
+          .as("jacc"))
+      .groupBy(col("pid").as("product_id"))
+      .agg(sum("jacc").as("s_jacc"))
     (seeds, cScore, jScore)
   }
 
