@@ -87,10 +87,13 @@ object Recommend {
     * shared with [[graft.rec.Engine]], whose incidence may also include
     * event-derived interactions (`graph.py:55-66`). Registered in
     * [[graft.model.BuilderCache]] keyed by the incidence plan: the basket
-    * pairing is the expensive part and the SAME frame serves jaccard_topk,
-    * both blends (which scan it twice via the symmetrized union), and the
-    * strategy breakdown — one materialization per session per distinct
-    * incidence.
+    * pairing is the expensive part and the SAME frame serves jaccard_topk
+    * and the serving Engine's per-customer similarity (where one shared
+    * materialization amortized over many requests beats per-request
+    * seed-anchoring). The one-shot declared blends stopped scanning it in
+    * round 11 — they enumerate only (seed, other) co-memberships
+    * ([[seedStrategyScores]]), the full frame being the measured sf10
+    * scratch wall for a single-seed answer.
     *
     * Shape: per-customer baskets (groupBy + collect_set) expanded to
     * unordered pairs IN-ROW ([[Dedup.bucketPairs]]) — one shuffle, vs the
