@@ -170,45 +170,68 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  /** The 16 minhash permutation constants (a, b) for
+    * `(a·h + b) mod 1000000007`, index = position in the signature —
+    * the SAME constants as the Spark side (`Dedup.scala` minhash);
+    * change in lockstep. */
+  private val minhashPerms: Seq[(Long, Long)] = Seq(
+    654435747L -> 40503L, 953445008L -> 640493002L,
+    666121539L -> 887878419L, 916718432L -> 739353030L,
+    635055555L -> 15564468L, 613703214L -> 407642994L,
+    478985632L -> 764070412L, 685929885L -> 143680607L,
+    537319864L -> 495584588L, 113289140L -> 662427260L,
+    443904346L -> 291123970L, 237508372L -> 394074373L,
+    760536115L -> 194217892L, 56448786L -> 407224614L,
+    174558421L -> 818425391L, 842614604L -> 683379637L)
+
   /** The minhash-LSH candidate SQL, shared verbatim by the
-    * `dedup_minhash` oracle and (as the pair source subquery) by
-    * `dedup_clusters`' recursive-CTE closure. */
-  private val dedupMinhashSql: String =
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
-        |              FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, sh FROM (
-        |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
-        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
-        |         FROM toks)),
-        |h AS (SELECT doc_id,
-        |             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
-        |      FROM sh),
-        |mh AS (SELECT doc_id, i, min((a * h + b) % 1000000007) AS v
-        |       FROM h, (VALUES (0, 654435747, 40503),
-        |         (1, 953445008, 640493002), (2, 666121539, 887878419),
-        |         (3, 916718432, 739353030), (4, 635055555, 15564468),
-        |         (5, 613703214, 407642994), (6, 478985632, 764070412),
-        |         (7, 685929885, 143680607), (8, 537319864, 495584588),
-        |         (9, 113289140, 662427260), (10, 443904346, 291123970),
-        |         (11, 237508372, 394074373), (12, 760536115, 194217892),
-        |         (13, 56448786, 407224614), (14, 174558421, 818425391),
-        |         (15, 842614604, 683379637)) AS perm(i, a, b)
-        |       GROUP BY 1, 2),
-        |bands AS (SELECT doc_id, i // 2 AS band,
-        |                 max(CASE WHEN i % 2 = 0 THEN v END) AS v1,
-        |                 max(CASE WHEN i % 2 = 1 THEN v END) AS v2
-        |          FROM mh GROUP BY 1, 2),
-        |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
-        |         FROM bands a JOIN bands b
-        |           ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
-        |          AND a.doc_id < b.doc_id)
-        |SELECT c.p1, c.p2,
-        |       CAST(sum(CASE WHEN x.v = y.v THEN 1 ELSE 0 END) AS BIGINT)
-        |         / 16.0 AS est_jaccard
-        |FROM cand c JOIN mh x ON x.doc_id = c.p1
-        |            JOIN mh y ON y.doc_id = c.p2 AND y.i = x.i
-        |GROUP BY 1, 2
-        |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin
+    * `dedup_minhash` oracle and (as the pair source subquery) by the
+    * `dedup_clusters`/`dedup_survivors`/`corpus_prepare*` closures.
+    * Round 11 part 2: the signature stage is ONE 16-column min
+    * aggregate over the (doc, shingle-hash) stream — per-permutation
+    * arithmetic unchanged — instead of the 16× permutation cross-join
+    * + (doc, i) group-by, whose 1.6 B-row working set at sf10 was the
+    * measured wall behind both the r9 "95 GB RSS" closure DNF and the
+    * pack-chain oracles' >68 GB temp (SCALING.md §4/§6). Verified
+    * value-identical to the cross-join form at sf0.01 and sf0.1
+    * before the swap (the round-10 discipline). */
+  private val dedupMinhashSql: String = {
+    val mins = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
+      s"min(($a * h + $b) % 1000000007) AS v$i"
+    }.mkString(",\n         ")
+    val bandRows = (0 until 8).map { k =>
+      val pre = if (k == 0) "SELECT doc_id, 0 AS band, v0 AS v1, v1 AS v2"
+                else s"UNION ALL SELECT doc_id, $k, v${2 * k}, v${2 * k + 1}"
+      s"$pre FROM mhw"
+    }.mkString("\n  ")
+    val eq = (0 until 16).map(i =>
+      s"(CASE WHEN x.v$i = y.v$i THEN 1 ELSE 0 END)")
+      .grouped(2).map(_.mkString(" + ")).mkString("\n          + ")
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, sh FROM (
+      |         SELECT doc_id, unnest(list_transform(range(len(t) - 2),
+      |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS sh
+      |         FROM toks)),
+      |h AS (SELECT doc_id,
+      |             CAST(('0x' || substr(md5(sh), 1, 8)) AS BIGINT) AS h
+      |      FROM sh),
+      |mhw AS MATERIALIZED (
+      |  SELECT doc_id,
+      |         $mins
+      |  FROM h GROUP BY 1),
+      |bands AS (
+      |  $bandRows),
+      |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
+      |         FROM bands a JOIN bands b
+      |           ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+      |          AND a.doc_id < b.doc_id)
+      |SELECT c.p1, c.p2,
+      |       CAST($eq AS BIGINT) / 16.0 AS est_jaccard
+      |FROM cand c JOIN mhw x ON x.doc_id = c.p1
+      |            JOIN mhw y ON y.doc_id = c.p2
+      |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin
+  }
 
   /** The corpus_prepare_full oracle, extracted so `pack_manifest`
     * wraps it as a subquery. */
@@ -358,7 +381,15 @@ object SparkEntry {
     * triangle counted exactly once from its unique orientation-DAG
     * source (the enumeration shape differs from the Spark side's
     * per-edge adjacency intersection, which is the point: two
-    * independent algorithms must agree). */
+    * independent algorithms must agree). Round 11 part 2: the wedge
+    * closure is NOT materialized — `tri` is referenced once and
+    * streams into a single-pass `GROUPING SETS ((u),(a),(b))`
+    * aggregate (per-role counts in one scan, merged by COALESCE), so
+    * the only live state is the two 120 M-edge build sides plus a
+    * ≤3·|V| aggregate table; the old form held the full multi-billion
+    * -row triangle list on disk and scanned it three times, which was
+    * the sf10 wall (SCALING.md §4). Verified value-identical at
+    * sf0.01/sf0.1 before the swap. */
   private val triangleCountsSql: String =
       s"""WITH $coocGraphSql,
         |ore AS MATERIALIZED (
@@ -368,13 +399,14 @@ object SparkEntry {
         |              THEN e.dst ELSE e.src END AS v
         |  FROM und e JOIN deg du ON e.src = du.v
         |             JOIN deg dv ON e.dst = dv.v),
-        |tri AS MATERIALIZED (
+        |tri AS (
         |  SELECT e1.u AS u, e1.v AS a, e2.v AS b
         |  FROM ore e1 JOIN ore e2 ON e1.u = e2.u AND e1.v < e2.v
         |  JOIN und ON und.src = e1.v AND und.dst = e2.v),
-        |tv AS (SELECT v, CAST(count(*) AS BIGINT) AS t
-        |       FROM (SELECT u AS v FROM tri UNION ALL SELECT a FROM tri
-        |             UNION ALL SELECT b FROM tri) GROUP BY 1)
+        |tv AS (SELECT COALESCE(u, a, b) AS v, CAST(sum(c) AS BIGINT) AS t
+        |       FROM (SELECT u, a, b, CAST(count(*) AS BIGINT) AS c
+        |             FROM tri GROUP BY GROUPING SETS ((u), (a), (b)))
+        |       GROUP BY 1)
         |SELECT deg.v AS product_id, deg.d AS degree,
         |       CAST(COALESCE(tv.t, 0) AS BIGINT) AS triangles,
         |       CASE WHEN deg.d >= 2
