@@ -14,8 +14,12 @@ def main():
     con = duckdb.connect()
     # Bound the oracle itself: at sf10 a recursive/self-join CTE can
     # otherwise grow past the box (observed: dedup_clusters' transitive
-    # closure at 95 GB RSS). Spill to disk instead of dying.
-    con.execute("SET memory_limit='40GB'")
+    # closure at 95 GB RSS). Spill to disk instead of dying. The sf10
+    # closure checks documented in SCALING.md §4 ran at 64GB — override
+    # via GRAFT_ORACLE_MEM so that procedure is reproducible without
+    # editing this script.
+    con.execute(f"SET memory_limit="
+                f"'{os.environ.get('GRAFT_ORACLE_MEM', '40GB')}'")
     # Anchor the spill dir to the verify-output dir (always writable,
     # never a surprise cwd): 40 GB-scale temp files must not land in
     # whatever directory the caller happened to invoke us from.
