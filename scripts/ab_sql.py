@@ -28,6 +28,13 @@ def main():
             p = f"{p}/*.parquet"
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     n_ok = n_bad = 0
+    # A renamed or dropped oracle must not pass silently: surface keys
+    # present on only one side (advisor r11), and fail if the selection
+    # compared nothing at all.
+    for name in sorted(set(old) - set(new)):
+        print(f"WARN {name}: in old.json only (dropped or renamed)")
+    for name in sorted(set(new) - set(old)):
+        print(f"WARN {name}: in new.json only (not compared)")
     for name in sorted(old):
         if name not in new or old[name] == new[name]:
             continue
@@ -51,13 +58,22 @@ def main():
                     bad.append(f"{c}: dtype {x.dtype} vs {y.dtype}")
                 elif not x.equals(y):
                     d = (x != y) & ~(x.isna() & y.isna())
-                    i = d.idxmax()
-                    bad.append(f"{c}: {int(d.sum())} diffs,"
-                               f" first@{i}: {x[i]!r} vs {y[i]!r}")
+                    if d.any():
+                        i = d.idxmax()
+                        bad.append(f"{c}: {int(d.sum())} diffs,"
+                                   f" first@{i}: {x[i]!r} vs {y[i]!r}")
+                    else:
+                        # Series.equals is False but no elementwise diff:
+                        # NA representation mismatch (None vs NaN).
+                        bad.append(f"{c}: values differ per Series.equals"
+                                   f" (NA representation?)")
         if bad:
             print(f"DIFF {name}: " + "; ".join(bad)); n_bad += 1
         else:
             print(f"same {name} ({len(a)} rows)"); n_ok += 1
+    if n_ok == 0 and n_bad == 0:
+        print("== NOTHING COMPARED (no query differed between the two"
+              " renderings, or the filter matched none) ==")
     print(f"== {n_ok} identical, {n_bad} diff ==")
     sys.exit(1 if n_bad else 0)
 

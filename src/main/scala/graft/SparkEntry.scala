@@ -196,15 +196,23 @@ object SparkEntry {
     * value-identical to the cross-join form at sf0.01 and sf0.1
     * before the swap (the round-10 discipline). */
   private val dedupMinhashSql: String = {
+    // Everything below derives from minhashPerms.size: the signature
+    // width, band count, and similarity divisor all track a single
+    // constant (advisor r11: four hardcoded drift points → one).
+    val k = minhashPerms.size
     val mins = minhashPerms.zipWithIndex.map { case ((a, b), i) =>
       s"min(($a * h + $b) % 1000000007) AS v$i"
     }.mkString(",\n         ")
-    val bandRows = (0 until 8).map { k =>
-      val pre = if (k == 0) "SELECT doc_id, 0 AS band, v0 AS v1, v1 AS v2"
-                else s"UNION ALL SELECT doc_id, $k, v${2 * k}, v${2 * k + 1}"
+    // Band columns get non-colliding names (bv1, bv2): band 0 used to
+    // emit `v0 AS v1, v1 AS v2`, which only bound the TABLE column v1
+    // (not the lateral alias) by DuckDB's resolution precedence —
+    // correct but fragile (advisor r11).
+    val bandRows = (0 until k / 2).map { b =>
+      val pre = if (b == 0) s"SELECT doc_id, 0 AS band, v0 AS bv1, v1 AS bv2"
+                else s"UNION ALL SELECT doc_id, $b, v${2 * b}, v${2 * b + 1}"
       s"$pre FROM mhw"
     }.mkString("\n  ")
-    val eq = (0 until 16).map(i =>
+    val eq = (0 until k).map(i =>
       s"(CASE WHEN x.v$i = y.v$i THEN 1 ELSE 0 END)")
       .grouped(2).map(_.mkString(" + ")).mkString("\n          + ")
     s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t
@@ -224,10 +232,10 @@ object SparkEntry {
       |  $bandRows),
       |cand AS (SELECT DISTINCT a.doc_id AS p1, b.doc_id AS p2
       |         FROM bands a JOIN bands b
-      |           ON a.band = b.band AND a.v1 = b.v1 AND a.v2 = b.v2
+      |           ON a.band = b.band AND a.bv1 = b.bv1 AND a.bv2 = b.bv2
       |          AND a.doc_id < b.doc_id)
       |SELECT c.p1, c.p2,
-      |       CAST($eq AS BIGINT) / 16.0 AS est_jaccard
+      |       CAST($eq AS BIGINT) / $k.0 AS est_jaccard
       |FROM cand c JOIN mhw x ON x.doc_id = c.p1
       |            JOIN mhw y ON y.doc_id = c.p2
       |ORDER BY est_jaccard DESC, p1 ASC, p2 ASC LIMIT 500""".stripMargin
