@@ -2432,4 +2432,220 @@ object SparkEntry {
         |         AS entropy
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
+
+  /** Staged renderings of the oracle queries whose SINGLE-STATEMENT
+    * form does not fit DuckDB at sf10 (round 12, verdict item 1): the
+    * corpus-prep/pack chain held 5 chained CTE frames alive in one
+    * statement (>68 GB temp at 64 AND 90 GB memory budgets), and the
+    * exact-triangle wedge join's working set is unbounded per
+    * statement. Each stage materializes one already-hash-verified
+    * building block as a TEMP TABLE (DuckDB releases the statement's
+    * operator state between stages), and the final SQL reads only
+    * stage tables plus the base views — a multi-statement oracle is
+    * still an oracle. selfcheck.py runs these when
+    * GRAFT_ORACLE_STAGED=1; the result is compared against the SAME
+    * Spark dump as the single-statement form, so any drift between
+    * the two renderings fails the hash check (both modes verified
+    * green at sf0.01 and sf0.1 before being trusted at sf10).
+    *
+    * Stage values are statement LISTS so a stage can accumulate in a
+    * loop: the triangle wedge pass runs as [[TriangleSlices]] INSERTs
+    * each bounded to one `u % slices` residue class, capping the
+    * per-statement wedge working set at ~1/slices of the whole. */
+  val TriangleSlices = 8
+
+  val oracleStages: Seq[(String, Seq[String])] = {
+    val tkCte = "tk AS (SELECT doc_id, string_split(text, ' ') AS t" +
+      " FROM documents)"
+    Seq(
+      "stg_pairs" -> Seq(
+        s"""CREATE TEMP TABLE stg_pairs AS
+          |SELECT p1, p2 FROM ($dedupMinhashSql) q""".stripMargin),
+      "stg_lbl" -> Seq(
+        """CREATE TEMP TABLE stg_lbl AS
+          |WITH RECURSIVE e AS (SELECT p1 AS a, p2 AS b FROM stg_pairs
+          |     UNION SELECT p2, p1 FROM stg_pairs),
+          |reach(a, b) AS (SELECT a, b FROM e
+          |                UNION SELECT r.a, e2.b
+          |                      FROM reach r JOIN e e2 ON r.b = e2.a)
+          |SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+          |FROM reach GROUP BY a""".stripMargin),
+      "stg_spl" -> Seq(
+        """CREATE TEMP TABLE stg_spl AS
+          |SELECT doc_id,
+          |  CASE WHEN bkt < 80 THEN 'train'
+          |       WHEN bkt < 90 THEN 'val' ELSE 'test' END AS split
+          |FROM (SELECT doc_id,
+          |        CAST(('0x' || substr(md5('split:' ||
+          |              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+          |          % 100 AS bkt FROM documents)""".stripMargin),
+      "stg_rep" -> Seq(
+        s"""CREATE TEMP TABLE stg_rep AS
+          |WITH $tkCte,
+          |bg AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c FROM (
+          |         SELECT doc_id, unnest(list_transform(range(len(t) - 1),
+          |           i -> t[i+1] || ' ' || t[i+2])) AS gram FROM tk)
+          |       GROUP BY 1, 2)
+          |SELECT doc_id FROM (
+          |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS nb,
+          |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS rs
+          |  FROM bg GROUP BY 1)
+          |WHERE rs / nb < CAST(0.25 AS DOUBLE)""".stripMargin),
+      "stg_cont" -> Seq(
+        s"""CREATE TEMP TABLE stg_cont AS
+          |WITH $tkCte,
+          |sh5 AS MATERIALIZED (SELECT DISTINCT doc_id, sh FROM (
+          |         SELECT doc_id, unnest(list_transform(range(len(t) - 4),
+          |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+          |                t[i+4] || ' ' || t[i+5])) AS sh FROM tk)),
+          |ev AS (SELECT DISTINCT sh5.sh FROM sh5
+          |       JOIN stg_spl spl USING (doc_id)
+          |       WHERE spl.split = 'test')
+          |SELECT DISTINCT sh5.doc_id FROM sh5
+          |JOIN stg_spl spl USING (doc_id) JOIN ev ON sh5.sh = ev.sh
+          |WHERE spl.split = 'train'""".stripMargin),
+      "stg_prep_full" -> Seq(
+        s"""CREATE TEMP TABLE stg_prep_full AS
+          |WITH $tkCte,
+          |base AS (SELECT d.doc_id,
+          |           CAST(len(t.t) AS BIGINT) AS n_tokens,
+          |           CAST(('0x' || substr(md5('pack:' ||
+          |                 CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+          |           s.split
+          |         FROM documents d
+          |         JOIN tk t ON d.doc_id = t.doc_id
+          |         JOIN stg_spl s ON d.doc_id = s.doc_id
+          |         WHERE len(t.t) BETWEEN 20 AND 1000
+          |           AND len(list_filter(t.t,
+          |                 x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0
+          |           AND d.doc_id IN (SELECT doc_id FROM stg_rep)
+          |           AND d.doc_id NOT IN
+          |               (SELECT doc_id FROM stg_lbl WHERE doc_id <> cluster_id)
+          |           AND d.doc_id NOT IN (SELECT doc_id FROM stg_cont))
+          |SELECT doc_id, split, n_tokens,
+          |       CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY split
+          |         ORDER BY h, doc_id
+          |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |         // 4096 AS BIGINT) AS pack_id
+          |FROM base""".stripMargin),
+      "stg_tok_unk" -> Seq(
+        s"CREATE TEMP TABLE stg_tok_unk AS\n$tokenizeUnkSql"),
+      "stg_und" -> Seq(
+        """CREATE TEMP TABLE stg_und AS
+          |WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+          |SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+          |FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey
+          |                   AND a.l_partkey < b.l_partkey""".stripMargin),
+      "stg_deg" -> Seq(
+        """CREATE TEMP TABLE stg_deg AS
+          |SELECT v, CAST(count(*) AS BIGINT) AS d
+          |FROM (SELECT src AS v FROM stg_und
+          |      UNION ALL SELECT dst FROM stg_und) GROUP BY 1""".stripMargin),
+      "stg_ore" -> Seq(
+        """CREATE TEMP TABLE stg_ore AS
+          |SELECT CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+          |            THEN e.src ELSE e.dst END AS u,
+          |       CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.src < e.dst)
+          |            THEN e.dst ELSE e.src END AS v
+          |FROM stg_und e JOIN stg_deg du ON e.src = du.v
+          |               JOIN stg_deg dv ON e.dst = dv.v""".stripMargin),
+      "stg_tv" -> (
+        Seq("CREATE TEMP TABLE stg_tv (v BIGINT, t BIGINT)") ++
+        (0 until TriangleSlices).map { i =>
+          s"""INSERT INTO stg_tv
+            |SELECT COALESCE(u, a, b) AS v, CAST(sum(c) AS BIGINT) AS t
+            |FROM (SELECT u, a, b, CAST(count(*) AS BIGINT) AS c
+            |      FROM (SELECT e1.u AS u, e1.v AS a, e2.v AS b
+            |            FROM stg_ore e1 JOIN stg_ore e2
+            |              ON e1.u = e2.u AND e1.v < e2.v
+            |            JOIN stg_und und
+            |              ON und.src = e1.v AND und.dst = e2.v
+            |            WHERE e1.u % $TriangleSlices = $i)
+            |      GROUP BY GROUPING SETS ((u), (a), (b)))
+            |GROUP BY 1""".stripMargin
+        }),
+    )
+  }
+
+  /** Per-query staged form: (stage names in dependency order, final
+    * SELECT over the stage tables). Keys are a subset of [[oracleSql]];
+    * result columns and ordering are identical to the single-statement
+    * entries. */
+  val stagedOracleSql: Map[String, (Seq[String], String)] = {
+    val packChain =
+      Seq("stg_pairs", "stg_lbl", "stg_spl", "stg_rep", "stg_cont",
+          "stg_prep_full")
+    val triBase = Seq("stg_und", "stg_deg", "stg_ore", "stg_tv")
+    val triVertex =
+      """stg_deg deg LEFT JOIN
+        |  (SELECT v, CAST(sum(t) AS BIGINT) AS t FROM stg_tv GROUP BY 1) tv
+        |  ON deg.v = tv.v""".stripMargin
+    Map(
+      "corpus_prepare" -> (Seq("stg_pairs", "stg_lbl", "stg_spl") ->
+        """WITH tk AS (SELECT doc_id, string_split(text, ' ') AS t
+          |            FROM documents),
+          |base AS (SELECT d.doc_id,
+          |           CAST(len(t.t) AS BIGINT) AS n_tokens,
+          |           CAST(('0x' || substr(md5('pack:' ||
+          |                 CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+          |           s.split
+          |         FROM documents d
+          |         JOIN tk t ON d.doc_id = t.doc_id
+          |         JOIN stg_spl s ON d.doc_id = s.doc_id
+          |         WHERE len(t.t) BETWEEN 20 AND 1000
+          |           AND len(list_filter(t.t,
+          |                 x -> x IN ('the', 'a', 'of', 'and', 'in'))) > 0
+          |           AND d.doc_id NOT IN
+          |               (SELECT doc_id FROM stg_lbl WHERE doc_id <> cluster_id)),
+          |c AS (SELECT doc_id, split, n_tokens,
+          |        COALESCE(sum(n_tokens) OVER (PARTITION BY split
+          |          ORDER BY h, doc_id
+          |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+          |          AS cum
+          |      FROM base)
+          |SELECT doc_id, split, n_tokens, CAST(cum // 4096 AS BIGINT)
+          |         AS pack_id
+          |FROM c ORDER BY doc_id""".stripMargin),
+      "corpus_prepare_full" -> (packChain ->
+        """SELECT doc_id, split, n_tokens, pack_id
+          |FROM stg_prep_full ORDER BY doc_id""".stripMargin),
+      "pack_manifest" -> (packChain ->
+        """SELECT split, pack_id,
+          |       CAST(count(*) AS BIGINT) AS docs,
+          |       CAST(sum(n_tokens) AS BIGINT) AS tokens
+          |FROM stg_prep_full
+          |GROUP BY split, pack_id
+          |ORDER BY split, pack_id""".stripMargin),
+      "pack_tokens" -> ((packChain :+ "stg_tok_unk") ->
+        """SELECT p.split, p.pack_id, t.doc_id, t.pos, t.token_id
+          |FROM stg_tok_unk t JOIN stg_prep_full p ON t.doc_id = p.doc_id
+          |ORDER BY p.split, p.pack_id, t.doc_id, t.pos""".stripMargin),
+      "triangle_counts" -> (triBase ->
+        s"""SELECT deg.v AS product_id, deg.d AS degree,
+          |       CAST(COALESCE(tv.t, 0) AS BIGINT) AS triangles,
+          |       CASE WHEN deg.d >= 2
+          |            THEN round((2.0 * COALESCE(tv.t, 0))
+          |                       / (deg.d * (deg.d - 1.0)), 6)
+          |            ELSE CAST(0.0 AS DOUBLE) END AS clust_coeff
+          |FROM $triVertex
+          |ORDER BY product_id""".stripMargin),
+      "graph_stats" -> (triBase ->
+        s"""WITH t AS (
+          |  SELECT deg.d AS degree,
+          |         CAST(COALESCE(tv.t, 0) AS BIGINT) AS triangles
+          |  FROM $triVertex)
+          |SELECT CAST(count(*) AS BIGINT) AS n_vertices,
+          |       CAST(sum(degree) / 2 AS BIGINT) AS n_edges,
+          |       CAST(sum(triangles) / 3 AS BIGINT) AS n_triangles,
+          |       CAST(sum(degree * (degree - 1) // 2) AS BIGINT) AS n_wedges,
+          |       max(degree) AS max_degree,
+          |       round(sum(degree) / CAST(count(*) AS DOUBLE), 6)
+          |         AS avg_degree,
+          |       CASE WHEN sum(degree * (degree - 1) // 2) > 0
+          |            THEN round(sum(triangles)
+          |                 / CAST(sum(degree * (degree - 1) // 2) AS DOUBLE), 6)
+          |            ELSE CAST(0.0 AS DOUBLE) END AS transitivity
+          |FROM t HAVING count(*) > 0""".stripMargin),
+    )
+  }
 }

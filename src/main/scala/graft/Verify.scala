@@ -52,6 +52,18 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Staged renderings for the sf10-wall oracles (SparkEntry
+    // .oracleStages scaladoc): selfcheck.py consumes this under
+    // GRAFT_ORACLE_STAGED=1. The driver's own gate ignores the file.
+    val stages = SparkEntry.oracleStages.map { case (n, stmts) =>
+      s"[${q(n)}, ${stmts.map(q).mkString("[", ",", "]")}]"
+    }.mkString("[", ",", "]")
+    val staged = SparkEntry.stagedOracleSql.map { case (k, (needs, sql)) =>
+      s"${q(k)}: {\"needs\": ${needs.map(q).mkString("[", ",", "]")}," +
+        s" \"sql\": ${q(sql)}}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_stages.json"),
+      s"""{"stages": $stages, "queries": $staged}""")
     spark.stop()
   }
 }
