@@ -122,6 +122,7 @@ object SparkEntry {
     "tokenize_ids"      -> ((s, d) => TextOps.tokenizeIds(s, d)),
     "tokenize_unk"      -> ((s, d) => TextOps.tokenizeUnk(s, d)),
     "bpe_merges"        -> ((s, d) => TextOps.bpeMerges(s, d)),
+    "bpe_merges_bytes"  -> ((s, d) => TextOps.bpeMergesBytes(s, d)),
     // quantized-ANN query path: approximates exact cosine (recall
     // pinned in ScalaTest) but the quantized computation itself is
     // deterministic → oracle-checked like the rest of the ANN tier
@@ -361,6 +362,45 @@ object SparkEntry {
       s"SELECT $k AS step, a AS lhs, b AS rhs, m AS merged, cnt AS pair_count FROM w$k"
     }.mkString("\nUNION ALL ")
     s"""WITH d1 AS MATERIALIZED (SELECT text AS s FROM documents),
+       |$steps
+       |$out
+       |ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB oracle for `bpe_merges_bytes`: the byte/char-level variant
+    * of [[bpeMergesSql]] — words become char sequences with the `</w>`
+    * marker glued to the last char, the loop runs over the
+    * word-frequency TYPE table (pair counts are freq-weighted sums),
+    * and merges concatenate symbols directly. Same unrolled chained-
+    * MATERIALIZED-CTE shape, same doubled-space greedy replace. */
+  private def bpeMergesBytesSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      val apply =
+        if (k == iters) "" else s""",
+           |d${k + 1} AS MATERIALIZED (
+           |  SELECT trim(regexp_replace(
+           |           replace(' ' || replace(s, ' ', '  ') || ' ',
+           |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
+           |                   (SELECT ' ' || m || ' ' FROM w$k)),
+           |           ' +', ' ', 'g')) AS s, f
+           |  FROM d$k)""".stripMargin
+      s"""p$k AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT t, f, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT string_split(s, ' ') AS t, f FROM d$k))
+         |  GROUP BY 1, 2),
+         |w$k AS MATERIALIZED (
+         |  SELECT a, b, a || b AS m, cnt
+         |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1)$apply""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to iters).map { k =>
+      s"SELECT $k AS step, a AS lhs, b AS rhs, m AS merged, cnt AS pair_count FROM w$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH d1 AS MATERIALIZED (
+       |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>' AS s,
+       |         CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
        |$steps
        |$out
        |ORDER BY step""".stripMargin
@@ -1700,6 +1740,10 @@ object SparkEntry {
     // winner rule a deterministic (cnt DESC, a, b) sort, so the merge
     // table hash-matches across engines
     "bpe_merges" -> bpeMergesSql(4),
+
+    // byte/char-level BPE over the word-frequency type table — the
+    // production tokenizer-training granularity (TextOps.bpeMergesBytes)
+    "bpe_merges_bytes" -> bpeMergesBytesSql(4),
 
     // the pipeline terminal (Corpus.packTokens): the UNK-tokenized
     // token stream of every pipeline survivor, tagged with its

@@ -719,4 +719,104 @@ object TextOps {
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy("step")
   }
+
+  /** `bpe_merges_bytes`: BYTE/CHAR-level BPE merge learning — the
+    * production tokenizer-training shape (Sennrich, Haddow & Birch,
+    * ACL 2016, learn_bpe.py's actual granularity), where [[bpeMerges]]
+    * learns WORD-pair merges over the pre-tokenized stream. Each word
+    * starts as its character sequence with the end-of-word marker
+    * glued to the last character (`low` → `l o w</w>`), merges
+    * concatenate symbols directly (`l`+`o` → `lo`), and — the key
+    * scale property — learning runs over the WORD-FREQUENCY TABLE,
+    * not the corpus: pair counts are Σ freq(word) × occurrences-in-
+    * word, so after ONE corpus-sized scan-and-count the whole merge
+    * loop iterates over a vocabulary-bounded frame (≤ distinct word
+    * types, invariant in corpus size at fixed vocabulary — at 100 TB
+    * the loop costs the same as at 1 GB; only the initial word count
+    * scales). This is exactly how production BPE trainers work and
+    * why they can afford 10⁴–10⁵ merge rounds.
+    *
+    * The string-domain machinery carries over from [[bpeMerges]]
+    * unchanged: symbols live space-joined per word type, merge
+    * application is the doubled-space literal replace (left-to-right
+    * non-overlapping scan = BPE's greedy rule), and the rewritten
+    * type table localCheckpoints every [[BpeCheckpointEvery]] rounds
+    * to cap plan depth. Symbols are `[a-z0-9]` chars plus the `</w>`
+    * marker — no space can occur inside a symbol, and replace() is
+    * literal, so no escaping hazards. Output schema matches
+    * bpe_merges: (step, lhs, rhs, merged, pair_count), pair_count the
+    * exact long Σfreq. BpeSpec pins parity against an independent
+    * in-test reference implementing the paper's pseudocode over a
+    * plain Scala Map, and the DuckDB oracle replays the same rounds
+    * as chained CTEs (hash-exact). */
+  def bpeMergesBytes(spark: SparkSession, dir: String,
+      nMerges: Int = 4): DataFrame =
+    bpeMergesBytesOf(spark,
+      Tables.documents(spark, dir).select(toks(col("text")).as("t")),
+      nMerges)
+
+  /** [[bpeMergesBytes]] over any (t: array<string>) corpus — the
+    * fixture-testable form. */
+  private[graft] def bpeMergesBytesOf(spark: SparkSession,
+      corpus: DataFrame, nMerges: Int): DataFrame = {
+    import spark.implicits._
+    val cut: DataFrame => DataFrame =
+      if (graft.model.BuilderCache.inspecting) identity
+      else _.localCheckpoint()
+    // ONE corpus-sized aggregation; everything after runs on word
+    // TYPES. s = space-joined symbol string ("l o w</w>"), f = type
+    // frequency. The marker glues to the last char (Sennrich's tuple
+    // shape), so end-of-word symbols never merge across words.
+    var wf = corpus
+      .select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .select(expr(
+        "concat(trim(regexp_replace(w, '(.)', '$1 ')), '</w>')").as("s"),
+        col("f"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[
+      (Int, String, String, String, Long)]
+    var step = 1
+    while (step <= nMerges) {
+      val winner = wf
+        .select(split(col("s"), " ").as("t"), col("f"))
+        .select(explode(expr(
+          """CASE WHEN size(t) >= 2
+            |  THEN transform(sequence(0, size(t) - 2),
+            |         i -> struct(t[i] AS a, t[i + 1] AS b))
+            |  ELSE array() END""".stripMargin)).as("p"), col("f"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("f")).as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1) // 1-row driver collect per round, as in bpeMerges
+        .as[(String, String, Long)]
+        .collect()
+      winner.headOption match {
+        case Some((a, b, cnt)) =>
+          val m = s"$a$b" // byte-level merges concatenate directly
+          merges += ((step, a, b, m, cnt))
+          cur2(a, b, m) match { case (find, repl) =>
+            wf = wf.select(expr(
+              s"""trim(replace(
+                 |  replace(' ' || replace(s, ' ', '  ') || ' ',
+                 |          '$find', '$repl'),
+                 |  '  ', ' '))""".stripMargin).as("s"), col("f"))
+          }
+        case None => step = nMerges
+      }
+      if (step % BpeCheckpointEvery == 0 && step < nMerges)
+        wf = cut(wf)
+      step += 1
+    }
+    merges.toSeq
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** The doubled-space find/replace literals for a byte-level merge —
+    * symbols are `[a-z0-9</>]`, no quote escaping needed (asserted). */
+  private def cur2(a: String, b: String, m: String): (String, String) = {
+    require(!(a + b).exists(c => c == '\'' || c == '\\'),
+      s"unexpected symbol chars in merge ($a, $b)")
+    (s" $a  $b ", s" $m ")
+  }
 }

@@ -109,4 +109,93 @@ class BpeSpec extends SparkSpec {
     assert(got == refMerges(texts, 5),
       s"got=$got expected=${refMerges(texts, 5)}")
   }
+
+  // ---- byte/char-level mode (TextOps.bpeMergesBytes) ----
+
+  /** Independent byte-level reference: Sennrich learn_bpe.py's actual
+    * shape — a word-frequency dict of symbol tuples (chars, marker
+    * glued to the last), freq-weighted pair counts, greedy in-word
+    * rewrite. Plain Scala Map, no shared code with the operator. */
+  private def refBytes(texts: Seq[String], n: Int)
+      : Seq[(Int, String, String, String, Long)] = {
+    var wf: Map[Seq[String], Long] = texts
+      .flatMap(_.split(' ').toSeq).groupBy(identity)
+      .map { case (w, ws) =>
+        val cs = w.map(_.toString)
+        (cs.dropRight(1) :+ (cs.last + "</w>")) -> ws.size.toLong
+      }
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, String, Long)]
+    for (step <- 1 to n) {
+      val counts = scala.collection.mutable.Map
+        .empty[(String, String), Long]
+      wf.foreach { case (t, f) =>
+        t.lazyZip(t.drop(1)).foreach { (a, b) =>
+          counts((a, b)) = counts.getOrElse((a, b), 0L) + f }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.toSeq
+          .minBy { case ((a, b), c) => (-c, a, b) }
+        val m = a + b
+        out += ((step, a, b, m, cnt))
+        wf = wf.toSeq.map { case (t, f) =>
+          val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+          t.foreach { x =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc(acc.length - 1) = m
+            else acc += x
+          }
+          acc.toSeq -> f
+        }.groupBy(_._1).map { case (t, fs) => t -> fs.map(_._2).sum }
+      }
+    }
+    out.toSeq
+  }
+
+  private def runBytes(docs: Seq[(Long, String)], n: Int)
+      : Seq[(Int, String, String, String, Long)] =
+    TextOps.bpeMergesBytes(spark, corpusDir(docs), nMerges = n)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+
+  test("byte-level: chars merge within words, marker glues to the last char") {
+    // "low" ×3, "lowest" ×1: step 1 merges (l,o) with freq-weighted
+    // count 4 (3 from 'low', 1 from 'lowest'), step 2 merges
+    // (lo, w</w>) count 3 — the marker keeps 'low' distinct from the
+    // 'low' prefix of 'lowest' (whose w pairs with 'e', not '</w>').
+    val got = runBytes(Seq((1L, "low low low lowest")), 2)
+    assert(got.head == ((1, "l", "o", "lo", 4L)))
+    assert(got(1) == ((2, "lo", "w</w>", "low</w>", 3L)))
+  }
+
+  test("byte-level: pair counts are word-frequency weighted, not type-counted") {
+    // 'aa' appears 5 times as one word type; (a, a</w>) must count 5
+    val got = runBytes(Seq((1L, "aa aa aa aa aa b")), 1)
+    assert(got == Seq((1, "a", "a</w>", "aa</w>", 5L)))
+  }
+
+  test("byte-level: full-table parity with the independent reference") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "wide wider widest",
+      "aaa aa a aaa aa",
+      "abab abab baba")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = runBytes(docs, 8)
+    assert(got == refBytes(texts, 8),
+      s"got=$got expected=${refBytes(texts, 8)}")
+  }
+
+  test("byte-level: 64 rounds with checkpoint generations match the reference") {
+    // distinct 4-char words whose char pairs chain: each word type
+    // yields 4 symbols → 3 pairs + marker handling; 30 types keep the
+    // loop productive past 64 rounds
+    val texts = (0 until 30).map { i =>
+      val w = f"w${i % 10}x${i / 10}"
+      Seq.fill(i % 3 + 1)(w).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val got = runBytes(docs, 64)
+    assert(got == refBytes(texts, 64))
+  }
 }
