@@ -10,8 +10,13 @@ object Verify {
     // aid); the driver always runs with exactly two args → full dump.
     val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // SPARK_GRAFT_MASTER lets the SAME dump run under real executors
+    // (`local-cluster[n,cores,mb]` — separate JVMs, separate shuffle
+    // dirs) to validate the multi-executor scratch claims the
+    // single-JVM sf10 runs can only argue (SCALING.md r12): pass
+    // spark.executor.extraClassPath/-JavaOptions as system properties.
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

@@ -240,19 +240,7 @@ object EventStream {
           // rows strictly behind the watermark)
           val frontier = state.getCurrentWatermarkMs() * 1000L
           val (ready, rest) = buf.partition(_._3 < frontier)
-          var last = st.last
-          val out = Array.newBuilder[AsofRow]
-          ready.sortBy { case (eid, ty, us) =>
-            (us, if (ty == "purchase") 1 else 0, eid) }.foreach {
-            case (eid, ty, us) =>
-              if (ty == "purchase") {
-                val eligible = last.filter(_.us <= us)
-                out += AsofRow(eid, user, us,
-                  eligible.map(_.id), eligible.map(_.ty), eligible.map(_.us))
-              } else if (last.forall(l =>
-                  l.us < us || (l.us == us && l.id < eid)))
-                last = Some(Touch(eid, ty, us))
-          }
+          val (last, out) = asofReleaseFold(user, ready, st.last)
           val idleDueMs = hw / 1000L + idleUs / 1000L
           if (state.hasTimedOut && rest.isEmpty &&
               state.getCurrentWatermarkMs() >= idleDueMs) {
@@ -266,7 +254,61 @@ object EventStream {
             state.setTimeoutTimestamp(
               math.max(dueMs, state.getCurrentWatermarkMs() + 1L))
           }
-          out.result().iterator
+          out.iterator
+      }
+  }
+
+  /** The as-of release fold — ONE definition for the in-stream release
+    * and the end-of-stream drain so the two paths cannot drift: replay
+    * `ready` in exact event order (us, touches-before-purchases,
+    * event_id — the batch operator's tie discipline), attribute each
+    * purchase against the latest touch at-or-before it, seeded from the
+    * last already-released touch. Returns the advanced touch and the
+    * attribution rows. */
+  private def asofReleaseFold(user: Long, ready: Seq[(Long, String, Long)],
+      last0: Option[Touch]): (Option[Touch], Seq[AsofRow]) = {
+    var last = last0
+    val out = Seq.newBuilder[AsofRow]
+    ready.sortBy { case (eid, ty, us) =>
+      (us, if (ty == "purchase") 1 else 0, eid) }.foreach {
+      case (eid, ty, us) =>
+        if (ty == "purchase") {
+          val eligible = last.filter(_.us <= us)
+          out += AsofRow(eid, user, us,
+            eligible.map(_.id), eligible.map(_.ty), eligible.map(_.us))
+        } else if (last.forall(l =>
+            l.us < us || (l.us == us && l.id < eid)))
+          last = Some(Touch(eid, ty, us))
+    }
+    (last, out.result())
+  }
+
+  /** SENTINEL-FREE end-of-stream flush for [[asofAttribution]] (the
+    * documented tail boundary: append-mode release is watermark-driven,
+    * so a bounded stream's tail — everything within the grace of the
+    * final maximum event time — stays buffered past the last
+    * micro-batch). After the query STOPS, the buffered tail still lives
+    * in the checkpoint's state store; Spark's state data source
+    * (`spark.read.format("statestore")`, public since 4.0) reads the
+    * last committed batch's keyed state WITHOUT replaying the stream.
+    * This drain is [[asofReleaseFold]] with the frontier at +∞, seeded
+    * by each user's last RELEASED touch — so
+    * `stream output ∪ drain == the batch as-of` on the same bounded
+    * input, with no harness sentinels (StreamingSpec pins it). The
+    * production shape is the decommission / end-of-day drain of a
+    * stopped attribution job's checkpoint; it is a plain distributed
+    * Dataset (one state-store scan, per-user bounded fold, no
+    * driver-side collection). */
+  def asofDrainTail(spark: SparkSession, checkpointDir: String)
+      : org.apache.spark.sql.Dataset[AsofRow] = {
+    import spark.implicits._
+    spark.read.format("statestore").load(checkpointDir)
+      .select(col("key.value").as("user"),
+        col("value.groupState.buf").as("buf"),
+        col("value.groupState.last").as("last"))
+      .as[(Long, Seq[(Long, String, Long)], Option[Touch])]
+      .flatMap { case (user, buf, last0) =>
+        asofReleaseFold(user, buf, last0)._2
       }
   }
 

@@ -258,6 +258,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("as-of stream + state-store drain equals batch — NO sentinel rows") {
+    // the sentinel-free closing of the tail boundary the two tests
+    // above work around: run the stream on the REAL rows only (grace =
+    // 7 days against the ~30-day span, so the watermark releases most
+    // purchases in-stream and a genuine 7-day tail stays buffered),
+    // stop, then drain the checkpoint's state store. released ∪
+    // drained must equal the batch operator exactly, with no overlap.
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-drain")
+      .toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    writeEventFile(base, "a", eventTuples)
+    val ck = s"$base/ck"
+    val q = EventStream.asofAttribution(eventFileStream(base, false),
+        graceUs = 7L * 24 * 3600 * 1000000L)
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("asof_drain")
+      .option("checkpointLocation", ck).start()
+    val streamed = try {
+      q.processAllAvailable()
+      asofKeyed(spark.table("asof_drain"))
+    } finally q.stop()
+    val drained = asofKeyed(EventStream.asofDrainTail(spark, ck).toDF())
+    val batch = asofKeyed(EventsOps.eventAsof(spark, dir))
+    assert(streamed.nonEmpty, "no in-stream releases: grace too wide")
+    assert(drained.nonEmpty, "empty drain: tail boundary did not arise")
+    assert(streamed.intersect(drained).isEmpty,
+      "a purchase was both released and drained")
+    assert(streamed ++ drained == batch)
+  }
+
   test("as-of attribution evicts idle users (event-time timeout); post-eviction purchase attributes to nothing") {
     val base = java.nio.file.Files.createTempDirectory("graft-asof-evict")
       .toString
