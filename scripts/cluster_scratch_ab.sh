@@ -32,7 +32,8 @@ for Q in "$@"; do
   else
     # real executor JVMs: 2 workers x 8 cores x 24 GiB; classes and
     # the JDK17 opens must reach the executor command lines
-    SPARK_HOME=/opt/spark SPARK_GRAFT_MASTER='local-cluster[2,8,24576]' \
+    SPARK_HOME=/opt/spark SPARK_SCALA_VERSION=2.13 \
+    SPARK_GRAFT_MASTER='local-cluster[2,8,24576]' \
     java $ADD_OPENS -Xmx16g -Dspark.ui.enabled=false \
       -Dspark.sql.session.timeZone=UTC -Dspark.local.dir="$SCR" \
       -Dspark.executor.memory=22g \
