@@ -4,7 +4,10 @@
 # executor JVMs with their own shuffle dirs — the instrument behind
 # SCALING.md r12's multi-executor validation (r11 verdict item 2).
 # Per query and mode: fresh scratch dir, own JVM(s), du sampled every
-# 3 s, one "RESULT mode query wall_s highwater_KB" line.
+# 3 s, one "RESULT mode query wall_s highwater_KB" line. Sampling
+# granularity caveat: a spill burst living <3 s can under-report the
+# true peak — fine for the multi-GB shuffle accumulation this measures
+# (which persists for whole stages), not for micro-spills.
 # Usage: cluster_scratch_ab.sh <sfDir> <outRoot> <mode:sj|lcl> <query...>
 set -u
 SF=$1; ROOT=$2; MODE=$3; shift 3
@@ -45,5 +48,5 @@ for Q in "$@"; do
   RC=$?; T1=$(date +%s)
   kill $W 2>/dev/null
   echo "RESULT $MODE $Q rc=$RC wall=$((T1-T0))s highwater=$(cat "$SCR.hw" 2>/dev/null || echo 0)KB"
-  rm -rf "$SCR"
+  rm -rf "$SCR" "$SCR.hw"
 done

@@ -298,10 +298,38 @@ object EventStream {
     * production shape is the decommission / end-of-day drain of a
     * stopped attribution job's checkpoint; it is a plain distributed
     * Dataset (one state-store scan, per-user bounded fold, no
-    * driver-side collection). */
+    * driver-side collection).
+    *
+    * Assumes the checkpoint holds a SINGLE stateful operator (the
+    * state source reads operatorId 0 / store "default" — exactly what
+    * [[asofAttribution]] checkpoints); a multi-operator query would
+    * need explicit `operatorId`/`storeName` options. Fails fast on a
+    * TORN checkpoint: a query killed between the sink write and the
+    * commit-log write leaves `offsets/` one batch ahead of `commits/`,
+    * and with a non-transactional sink the "stream output ∪ drain ==
+    * batch as-of" guarantee cannot be decided from the state store
+    * alone (the sink may already hold the uncommitted batch's rows).
+    * Restart the query to let it recover that batch, stop cleanly,
+    * then drain. */
   def asofDrainTail(spark: SparkSession, checkpointDir: String)
       : org.apache.spark.sql.Dataset[AsofRow] = {
     import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    def maxBatch(sub: String): Long = {
+      val p = new org.apache.hadoop.fs.Path(checkpointDir, sub)
+      val fs = p.getFileSystem(hconf)
+      if (!fs.exists(p)) -1L
+      else fs.listStatus(p).map(_.getPath.getName)
+        .filter(n => n.nonEmpty && n.forall(_.isDigit))
+        .foldLeft(-1L)((m, n) => math.max(m, n.toLong))
+    }
+    val (off, com) = (maxBatch("offsets"), maxBatch("commits"))
+    require(off == com, s"torn checkpoint at $checkpointDir: offset log " +
+      s"reaches batch $off but commit log only $com — the stopped query " +
+      "planned (and may have sunk) a batch the state store never " +
+      "committed, so draining from the last committed state could " +
+      "double-emit or miss tail rows; restart the query to recover " +
+      "that batch, stop cleanly, then drain")
     spark.read.format("statestore").load(checkpointDir)
       .select(col("key.value").as("user"),
         col("value.groupState.buf").as("buf"),

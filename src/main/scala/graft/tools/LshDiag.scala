@@ -48,13 +48,15 @@ object LshDiag {
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val i = s.stageInfo
-        val m = i.taskMetrics
-        stages.synchronized {
-          stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(60),
-            i.numTasks, m.executorRunTime,
-            m.shuffleReadMetrics.totalBytesRead,
-            m.shuffleWriteMetrics.bytesWritten,
-            m.memoryBytesSpilled + m.diskBytesSpilled))
+        // cancelled/failed stage attempts can complete without metrics
+        Option(i.taskMetrics).foreach { m =>
+          stages.synchronized {
+            stages += ((i.stageId, i.name.takeWhile(_ != '\n').take(60),
+              i.numTasks, m.executorRunTime,
+              m.shuffleReadMetrics.totalBytesRead,
+              m.shuffleWriteMetrics.bytesWritten,
+              m.memoryBytesSpilled + m.diskBytesSpilled))
+          }
         }
       }
     })
