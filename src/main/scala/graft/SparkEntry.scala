@@ -38,6 +38,7 @@ object SparkEntry {
     "collab_topk"       -> ((s, d) => Recommend.collabTopk(s, d)),
     "jaccard_sim"      -> ((s, d) => Recommend.jaccardTopk(s, d)),
     "jaccard_lsh"      -> ((s, d) => Recommend.jaccardLsh(s, d)),
+    "jaccard_lsh_2l"   -> ((s, d) => Recommend.jaccardLshTwoLevel(s, d)),
     "rec_blend"         -> ((s, d) => Recommend.recBlend(s, d)),
     // the full 3-strategy blend on the FIXED-iteration PPR — the
     // hash-checkable twin of rec_blend_full (which stays on the
@@ -2475,7 +2476,14 @@ object SparkEntry {
         |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6)
         |         AS entropy
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-  )
+  ) match {
+    // jaccard_lsh_2l (the two-level-aggregation experiment variant,
+    // round-12 verdict item 2) is value-identical to jaccard_lsh by
+    // construction — the salted partial-collect/merge reshapes only the
+    // bucket aggregation — so it shares the oracle verbatim; the shared
+    // oracle row is exactly what pins the "identical output" claim.
+    case m => m + ("jaccard_lsh_2l" -> m("jaccard_lsh"))
+  }
 
   /** Staged renderings of the oracle queries whose SINGLE-STATEMENT
     * form does not fit DuckDB at sf10 (round 12, verdict item 1): the

@@ -361,6 +361,43 @@ object Dedup {
       .distinct() // the same pair collides in several bands
   }
 
+  /** TWO-LEVEL variant of [[minhashCandidatesOf]] — the round-12
+    * verdict's item-2 experiment for the jaccard_lsh sf10→sf30 CPU-side
+    * residual (r11 diagnosis: per-task hash state over tens of millions
+    * of collect buckets falls out of cache at constant task count).
+    * Level 1 salts the bucket key with `pmod(doc_id, salt)` and collects
+    * PARTIAL member sets; level 2 merges the partials per true bucket
+    * key (`flatten(collect_list)`). A doc_id lands in exactly one salt
+    * class of its bucket, the guard runs BEFORE either level on the
+    * unsalted key, and the final `array_sort` restores the canonical
+    * member order — so the emitted candidate-pair set is IDENTICAL to
+    * the one-level shape (the `jaccard_lsh_2l` query hash-checks this
+    * against jaccard_lsh's own oracle). The trade under test: each
+    * level's per-task group state is smaller (level 1 splits buckets
+    * `salt` ways; level 2 aggregates pre-shrunk arrays, one row per
+    * non-empty salt class instead of one per member), against one extra
+    * shuffle of the partial arrays. */
+  private[graft] def minhashCandidatesTwoLevelOf(sig: DataFrame,
+      maxBucket: Int, salt: Int = 16): DataFrame = {
+    val bands = sig.select(col("doc_id"),
+      posexplode(array((0 until MinhashK / 2).map { j =>
+        struct(col(s"m${2 * j}").as("v1"), col(s"m${2 * j + 1}").as("v2"))
+      }: _*)).as(Seq("band", "bv")))
+      .select(col("doc_id"), col("band"),
+        col("bv.v1").as("v1"), col("bv.v2").as("v2"))
+    val partial = dropHotBuckets(bands, Seq("band", "v1", "v2"), maxBucket)
+      .groupBy(col("band"), col("v1"), col("v2"),
+        pmod(col("doc_id"), lit(salt)).as("sc"))
+      .agg(collect_set(col("doc_id")).as("part"))
+    val buckets = partial.groupBy("band", "v1", "v2")
+      .agg(array_sort(flatten(collect_list(col("part")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+    buckets
+      .select(bucketPairs((x, y) => s"struct($x AS p1, $y AS p2)").as("pr"))
+      .select(col("pr.p1").as("p1"), col("pr.p2").as("p2"))
+      .distinct() // the same pair collides in several bands
+  }
+
   private[graft] def minhashPairsOf(bands: DataFrame, limit: Int,
       maxBucket: Int): DataFrame = {
     val buckets =

@@ -186,11 +186,32 @@ object Recommend {
   /** Same computation over any (customer_id, product_id) incidence —
     * the testable core (property specs feed random incidences). */
   def jaccardLshFrom(b: DataFrame, k: Int = 100,
-      maxBucket: Int = 1000): DataFrame = {
+      maxBucket: Int = 1000): DataFrame =
+    jaccardLshWith(b, k, maxBucket, Dedup.minhashCandidatesOf(_, _))
+
+  /** `jaccard_lsh_2l`: the TWO-LEVEL-AGGREGATION experiment variant of
+    * [[jaccardLsh]] (round-12 verdict item 2, the unrun half of the r11
+    * sf30 diagnosis). Identical semantics and output by construction —
+    * only the bucket-collect aggregation differs
+    * ([[Dedup.minhashCandidatesTwoLevelOf]]: salted partial collect →
+    * merge, two smaller hash states instead of one wide one) — so it
+    * shares `jaccard_lsh`'s DuckDB oracle verbatim and A/Bs against it
+    * under `tools/LshDiag`'s per-stage instrument. Kept as a declared
+    * query (not a branch) so the driver hash-checks both shapes every
+    * round; SCALING.md r13 records the measured verdict. */
+  def jaccardLshTwoLevel(spark: SparkSession, dir: String, k: Int = 100,
+      maxBucket: Int = 1000): DataFrame =
+    jaccardLshTwoLevelFrom(Relational.bipartite(spark, dir), k, maxBucket)
+
+  private[graft] def jaccardLshTwoLevelFrom(b: DataFrame, k: Int = 100,
+      maxBucket: Int = 1000): DataFrame =
+    jaccardLshWith(b, k, maxBucket, Dedup.minhashCandidatesTwoLevelOf(_, _))
+
+  private def jaccardLshWith(b: DataFrame, k: Int, maxBucket: Int,
+      candidates: (DataFrame, Int) => DataFrame): DataFrame = {
     val hashed = b.select(col("product_id").as("doc_id"),
       graft.operators.TextOps.h32(col("customer_id").cast("string")).as("h"))
-    val cand = Dedup.minhashCandidatesOf(Dedup.minhashOfHashed(hashed),
-      maxBucket)
+    val cand = candidates(Dedup.minhashOfHashed(hashed), maxBucket)
     val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
     val common = cand
       .join(b.as("x"), col("p1") === col("x.product_id"))

@@ -27,12 +27,35 @@ import graft.rec.{Engine, RecsApi}
   * Spark remains the query engine, and every response materializes at
   * most `clampTopN`-sized results (plus the breakdown's per-strategy
   * rows), so `collect()` here is the API's intended small-result sink,
-  * not a distributed-compute escape hatch. */
+  * not a distributed-compute escape hatch.
+  *
+  * Concurrency posture (round 13, explicit): request handling is
+  * SINGLE-FLIGHT BY CONSTRUCTION — `setExecutor(null)` pins every
+  * exchange to the server's dispatcher thread, the same one-worker
+  * model as the reference's `uvicorn main:app` deployment
+  * (`tp2/app/main.py`). This is a deliberate pairing with
+  * [[graft.model.BuilderCache.cacheOnce]]'s documented contract: the
+  * per-request seed/candidate frames are cached then blockingly
+  * unpersisted per request, and two IN-FLIGHT identical requests would
+  * share one live cache entry whose first release drops it under the
+  * other (correct via lineage recompute, but silently uncached).
+  * Serialization makes the zero-steady-state-growth property exact —
+  * ServeSpec fires parallel CLIENTS and asserts per-customer responses
+  * stay byte-identical to their serial baselines with zero cache
+  * growth. Scaling serving concurrency is a deployment concern (N
+  * single-flight replicas behind a balancer, each with its own
+  * session), not a per-JVM thread-pool concern: Spark job throughput
+  * on one session is scheduler-bound long before handler threading
+  * matters at top-10-result sizes. */
 final class HttpApi(spark: SparkSession, dir: String, port: Int = 0) {
 
   private val g = Engine.fromOrders(spark, dir)
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // null executor = the dispatcher thread handles every exchange in
+  // sequence (see class scaladoc: single-flight is the cacheOnce
+  // contract, stated explicitly rather than relied on as a default)
+  server.setExecutor(null)
 
   def boundPort: Int = server.getAddress.getPort
 

@@ -208,6 +208,26 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("jaccard_lsh_2l: the two-level aggregation is row-identical") {
+    // the round-12 item-2 experiment variant reshapes only the bucket
+    // collect (salted partial → merge) — the candidate set, and so the
+    // whole scored output, must match the one-level shape exactly on
+    // arbitrary incidences (the sf0.01 oracle row pins the same claim
+    // on real data; this pins it across random shapes incl. salt-class
+    // boundaries: doc sets smaller than, equal to, and above salt=16)
+    val pairsGen = Gen.listOfN(80, for {
+      c <- Gen.choose(1L, 10L); p <- Gen.choose(1L, 25L)
+    } yield (c, p))
+    samples(pairsGen, 6).foreach { pairs =>
+      val b = pairs.distinct.toDF("customer_id", "product_id")
+      val one = graft.operators.Recommend.jaccardLshFrom(b, k = 1000)
+        .as[(Long, Long, Double)].collect().toSeq
+      val two = graft.operators.Recommend.jaccardLshTwoLevelFrom(b, k = 1000)
+        .as[(Long, Long, Double)].collect().toSeq
+      assert(one == two, s"two-level diverged: one=$one two=$two")
+    }
+  }
+
   // (event_id, user_id, event_type, us): few users + a tiny us range →
   // equal-timestamp ties and same-instant touch/purchase collisions are
   // guaranteed, the edge cases the as-of tie discipline must pin; the
