@@ -145,6 +145,7 @@ object SparkEntry {
     "graph_stats"       -> ((s, d) => GraphMetrics.graphStats(s, d)),
     "degree_dist"       -> ((s, d) => GraphMetrics.degreeDist(s, d)),
     "text_clean"        -> ((s, d) => TextOps.textClean(s, d)),
+    "span_survivors"    -> ((s, d) => TextOps.spanSurvivors(s, d)),
     // round-9 widening: per-vector semantic-dedup verdicts (SemDeDup on
     // the fixed-centroid cells), PII scrubbing over synthesized contact
     // notes, and bounded-depth BFS reachability (the Cypher
@@ -2079,6 +2080,41 @@ object SparkEntry {
         |hs AS (SELECT doc_id,
         |         list_sort(list(DISTINCT start)) AS hs
         |       FROM ps JOIN dup USING (s) GROUP BY 1),
+        |k AS (SELECT tk.doc_id,
+        |        CAST(len(t) AS BIGINT) AS n_tokens,
+        |        list_filter(range(len(t)),
+        |          i -> len(list_filter(COALESCE(hs.hs, []),
+        |                 st -> i >= st AND i < st + 8)) = 0) AS kept,
+        |        t
+        |      FROM tk LEFT JOIN hs ON tk.doc_id = hs.doc_id)
+        |SELECT doc_id, n_tokens,
+        |       CAST(n_tokens - len(kept) AS BIGINT) AS n_removed,
+        |       COALESCE(
+        |         array_to_string(list_transform(kept, i -> t[i+1]), ' '),
+        |         '') AS clean_text
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // keep-one exact-substring dedup (TextOps.spanSurvivors): the
+    // text_clean span/coverage machinery plus the survivor election —
+    // min(doc_id) per df>=2 span is the keeper, removal applies only
+    // where doc_id != keeper
+    "span_survivors" ->
+      """WITH tk AS MATERIALIZED (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |ps AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(len(t) - 7)) AS start,
+        |         unnest(list_transform(range(len(t) - 7),
+        |           i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+        |                t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' ||
+        |                t[i+7] || ' ' || t[i+8])) AS s
+        |  FROM tk),
+        |dup AS (SELECT s, min(doc_id) AS keeper
+        |        FROM (SELECT DISTINCT doc_id, s FROM ps)
+        |        GROUP BY s HAVING count(*) >= 2),
+        |hs AS (SELECT doc_id,
+        |         list_sort(list(DISTINCT start)) AS hs
+        |       FROM ps JOIN dup USING (s)
+        |       WHERE ps.doc_id <> dup.keeper GROUP BY 1),
         |k AS (SELECT tk.doc_id,
         |        CAST(len(t) AS BIGINT) AS n_tokens,
         |        list_filter(range(len(t)),

@@ -440,6 +440,74 @@ object TextOps {
           expr("transform(kept, i -> element_at(t, i + 1))")).as("clean_text"))
   }
 
+  /** `span_survivors`: exact-substring dedup with KEEP-ONE survivorship —
+    * the production discipline of the suffix-array dedup family
+    * (deduplicating a training corpus removes every repeated substring
+    * of length ≥ n EXCEPT one canonical occurrence, so the information
+    * survives the cleaning; contrast [[textClean]], which removes every
+    * copy — right for boilerplate, wrong for content that merely
+    * happens to be mirrored). This closes the tier gap between
+    * exact-DOCUMENT dedup ([[graft.operators.Dedup.dedupSurvivors]]:
+    * whole docs, keep min doc_id) and near-dup removal: here the unit
+    * is the n-token span, and the survivor rule is the same
+    * deterministic min — for each span with df ≥ 2 (distinct docs), the
+    * MIN doc_id containing it is the keeper; every position of that
+    * span in every OTHER document is removed, and surviving tokens
+    * reassemble in order. Within-doc repeats inside the keeper survive
+    * whole ([[textRepetition]] owns within-doc repetition — same
+    * boundary as textClean). Fixed-width n-gram windows with
+    * position-coverage union are the standard scalable stand-in for
+    * maximal duplicated substrings: any duplicated run of length
+    * ≥ n is covered window-by-window, so its non-keeper copies are
+    * removed in full without ever building a suffix array.
+    *
+    * Scale posture: identical shapes to [[textCleanOf]] — the span df
+    * aggregation gains one `min(doc_id)` alongside the count (same
+    * single partial-agg shuffle over the distinct (doc, span) stream),
+    * the hot-start recovery is the same semi-join-shaped equi-join now
+    * also filtering `doc_id != keeper`, and removal is in-row array
+    * arithmetic bounded by document length. A span shared by 100k docs
+    * costs one df row and its per-doc start lists — never a doc-pair
+    * expansion (GuardSpec pins completion + correct survivorship under
+    * exactly that hot-span shape). */
+  def spanSurvivors(spark: SparkSession, dir: String): DataFrame =
+    spanSurvivorsOf(Tables.documents(spark, dir)).orderBy("doc_id")
+
+  /** [[spanSurvivors]] over any (doc_id, text, ...) relation — the
+    * fixture-testable form. */
+  private[graft] def spanSurvivorsOf(docs: DataFrame, n: Int = 8)
+      : DataFrame = {
+    val base = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+    val starts = base.select(col("doc_id"), explode(expr(
+      s"""CASE WHEN size(t) >= $n
+         |  THEN transform(sequence(0, size(t) - $n),
+         |         i -> struct(i AS start,
+         |                     concat_ws(' ', slice(t, i + 1, $n)) AS s))
+         |  ELSE array()
+         |END""".stripMargin)).as("sp"))
+      .select(col("doc_id"), col("sp.start").as("start"), col("sp.s").as("s"))
+    // one aggregation carries both the df gate and the survivor
+    // election; keeper = min doc_id over the span's distinct docs
+    val shared = starts.select("doc_id", "s").distinct()
+      .groupBy("s").agg(count(lit(1)).as("df"), min("doc_id").as("keeper"))
+      .filter(col("df") >= 2).select("s", "keeper")
+    val hotStarts = starts.join(shared, Seq("s"))
+      .filter(col("doc_id") =!= col("keeper"))
+      .groupBy("doc_id").agg(sort_array(collect_set(col("start"))).as("hs"))
+    base.join(hotStarts, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("t"),
+        coalesce(col("hs"), expr("CAST(array() AS array<int>)")).as("hs"))
+      .withColumn("kept", expr(
+        s"""filter(sequence(0, size(t) - 1),
+           |  i -> NOT exists(hs, st -> i >= st AND i < st + $n))"""
+          .stripMargin))
+      .select(col("doc_id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        (size(col("t")) - size(col("kept"))).cast("long").as("n_removed"),
+        concat_ws(" ",
+          expr("transform(kept, i -> element_at(t, i + 1))")).as("clean_text"))
+  }
+
   /** PII detection patterns shared by the Spark query and (verbatim —
     * they are alternation-free, so Java's leftmost-first and DuckDB/RE2's
     * leftmost-longest matching coincide) the DuckDB oracle. Kept to

@@ -262,6 +262,30 @@ class ExtensionSpec extends SparkSpec {
     assert(got(6L) == ((2L, 0L, "too short")))
   }
 
+  test("span_survivors: min-doc keeper keeps, copies stripped, keeper crosses") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j"),   // keeper of all 3 shared spans
+      (2L, "a b c d e f g h i j"),   // identical copy → fully stripped
+      (3L, "q r s t u v w x y z"),   // keeper of span@0 vs docs 4
+      (4L, "q r s t u v w x m n"),   // loses positions 0..7
+      (5L, "k l m n o p k l m n"),   // within-doc repeat only → untouched
+      (6L, "too short"),             // < 8 tokens → no spans
+      (7L, "a b c d e f g h z1 z2")  // shares span@0 whose keeper is doc 1
+    ).toDF("doc_id", "text")
+    val got = graft.operators.TextOps.spanSurvivorsOf(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // the canonical copy SURVIVES — the defining contrast with text_clean,
+    // which removes every occurrence of a shared span
+    assert(got(1L) == ((10L, 0L, "a b c d e f g h i j")))
+    assert(got(2L) == ((10L, 10L, "")))
+    assert(got(3L) == ((10L, 0L, "q r s t u v w x y z")))
+    assert(got(4L) == ((10L, 8L, "m n")))
+    assert(got(5L) == ((10L, 0L, "k l m n o p k l m n")))
+    assert(got(6L) == ((2L, 0L, "too short")))
+    assert(got(7L) == ((10L, 8L, "z1 z2")))
+  }
+
   test("text_clean: consistency with span_dup_rate on the real corpus") {
     val clean = TextOps.textClean(spark, dir).cache()
     val rate = TextOps.spanDupRate(spark, dir)

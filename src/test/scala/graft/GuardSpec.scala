@@ -199,6 +199,24 @@ class GuardSpec extends SparkSpec {
       a == 20001L && b == 20002L && j > 0 }, out.take(5).mkString(","))
   }
 
+  test("span survivor hot span: 10k-doc shared span completes; one keeper") {
+    // a span shared by 10k documents is one df row + per-doc start
+    // lists — never a doc-pair surface (spanSurvivorsOf scaladoc); each
+    // doc carries a unique tail token so only span@0 is shared
+    val docs = (1L to 10000L)
+      .map(i => (i, s"h1 h2 h3 h4 h5 h6 h7 h8 u$i"))
+      .toDF("doc_id", "text")
+    val got = graft.operators.TextOps.spanSurvivorsOf(docs)
+      .select($"doc_id", $"n_removed", $"clean_text")
+      .as[(Long, Long, String)].collect()
+    assert(got.length == 10000)
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L) == ((0L, "h1 h2 h3 h4 h5 h6 h7 h8 u1")),
+      "min doc_id is the surviving canonical copy")
+    assert((2L to 10000L).forall(i => byId(i) == ((8L, s"u$i"))),
+      "every non-keeper loses exactly the shared span's 8 positions")
+  }
+
   test("retrieval tier is linear on the 10k-identical-doc corpus (no pairwise surface)") {
     import graft.operators.Retrieval
     // the identical mass degenerates every bucket-style surface; the
