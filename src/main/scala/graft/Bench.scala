@@ -21,6 +21,12 @@ object Bench {
     * the alarm fires at ~3× today's steady state. */
   private val baselineSec: Map[String, Double] = Map(
     "adjacency_norm" -> 0.32, "bipartite_edges" -> 0.3,
+    // bpe rows derived round 13 (the r12 verdict's budget-table gap):
+    // quiet sf0.1 TimeQuery 5-run medians 1.95 / 1.38 × 1.5. The two
+    // r13 queries follow the same derivation — jaccard_lsh_2l median
+    // 2.63, span_survivors 2.31, × 1.5
+    "bpe_merges" -> 2.9, "bpe_merges_bytes" -> 2.1,
+    "jaccard_lsh_2l" -> 3.9, "span_survivors" -> 3.5,
     // chunk_assign/viz_dot joined in round 9: quiet TimeQuery warm
     // medians 0.83 / 0.80 s × 1.5
     "chunk_assign" -> 1.25,

@@ -376,7 +376,14 @@ object Dedup {
     * level's per-task group state is smaller (level 1 splits buckets
     * `salt` ways; level 2 aggregates pre-shrunk arrays, one row per
     * non-empty salt class instead of one per member), against one extra
-    * shuffle of the partial arrays. */
+    * shuffle of the partial arrays.
+    *
+    * MEASURED (SCALING.md r13 §4): rejected as the default — the extra
+    * shuffle is a constant tax (+46 % sf10, +24 % sf30 wall vs
+    * one-level) — but the sf10→sf30 exponent drops 1.26 → 1.11,
+    * confirming the r11 per-task-hash-state attribution by
+    * intervention. One-level remains the production shape; this stays
+    * declared as the measured alternative. */
   private[graft] def minhashCandidatesTwoLevelOf(sig: DataFrame,
       maxBucket: Int, salt: Int = 16): DataFrame = {
     val bands = sig.select(col("doc_id"),
