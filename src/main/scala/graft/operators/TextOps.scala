@@ -727,8 +727,14 @@ object TextOps {
   /** Plan-depth cap for [[bpeMerges]]: rounds between eager
     * localCheckpoints of the rewritten corpus. Measured at sf0.1 with
     * the 64-round depth test's workload — see the SCALING.md round-11
-    * section for the cadence A/B that picked this value. */
-  val BpeCheckpointEvery = 16
+    * section for the cadence A/B that picked this value (and the
+    * round-13 section re-validating it for the byte domain). The env
+    * override exists ONLY for the cadence A/B instrument
+    * ([[graft.tools.BpeTime]]) — cadence changes materialization
+    * boundaries, never merge results (BpeSpec's 64-round parity cases
+    * cross checkpoint generations either way). */
+  val BpeCheckpointEvery: Int =
+    sys.env.get("SPARK_GRAFT_BPE_CKPT").map(_.toInt).getOrElse(16)
 
   /** [[bpeMerges]] over any (t: array<string>) corpus — the
     * fixture-testable form (same split as reachHopsOf). */

@@ -46,10 +46,27 @@ object TimeQuery {
     spark.sparkContext.setLogLevel("ERROR")
     val q = graft.SparkEntry.queries(args(1))
     val runs = if (args.length > 2) args(2).toInt else 4
+    // SPARK_GRAFT_TQ_ACTION swaps the terminal action. collect (default
+    // — includes result serialization, the historical method) breaks
+    // maxResultSize on queries whose OUTPUT scales with sf
+    // (scan_project at sf100 ships >1 GB of task results). noop writes
+    // to the noop sink: every row of the full projection is computed
+    // but nothing crosses to the driver — the right action for
+    // scan-throughput exponents. count is NOT a benchmark action for
+    // projection queries (Catalyst prunes the projection down to the
+    // filter columns — measured 0.3 s flat from sf10 to sf100, i.e. it
+    // measures metadata, not the query); it exists for row-count
+    // sanity checks only. Never mix modes within one exponent series.
+    val action = sys.env.getOrElse("SPARK_GRAFT_TQ_ACTION", "collect")
     (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
-      q(spark, args(0)).collect()
-      println(f"run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+      val df = q(spark, args(0))
+      action match {
+        case "noop" => df.write.mode("overwrite").format("noop").save()
+        case "count" => df.count()
+        case _ => df.collect()
+      }
+      println(f"run$i ${(System.nanoTime() - t0) / 1e9}%.2f s ($action)")
     }
     spark.stop()
   }
