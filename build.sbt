@@ -34,11 +34,15 @@ val jdk17AddOpens = Seq(
 // overrides; graft.Bench records the heap it actually ran under in its
 // JSON artifact ("heap_gb").
 val heapForScale: String = {
+  // match the sf factor anywhere in the LAST path component, so the
+  // GenScale naming conventions all work: sf0.1, sf100, graft-sf30
+  // (round 13: "/tmp/graft-sf30" parsed as factor 0 and handed the
+  // LshDiag sf30 sweep an 8 g heap — a silent 6× under-provision)
   val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "")
     .split('/').filter(_.nonEmpty).lastOption.getOrElse("")
-  val n = if (sf.startsWith("sf"))
-    scala.util.Try(sf.stripPrefix("sf").toDouble).getOrElse(0.0)
-  else 0.0
+  val n = "sf([0-9.]+)".r.findFirstMatchIn(sf)
+    .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+    .getOrElse(0.0)
   if (n >= 10) "48g" else if (n >= 1) "16g" else "8g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

@@ -26,8 +26,8 @@ object TimeQuery {
     // default (the scaladoc's documented OOM pairing) before it wastes
     // a run. Heuristic mirror of heapForScale's thresholds.
     val sfFactor = args(0).split('/').filter(_.nonEmpty).lastOption
-      .filter(_.startsWith("sf"))
-      .flatMap(s => scala.util.Try(s.stripPrefix("sf").toDouble).toOption)
+      .flatMap("sf([0-9.]+)".r.findFirstMatchIn(_))
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
     sfFactor.foreach { f =>
       val needGb = if (f >= 10) 40.0 else if (f >= 1) 12.0 else 0.0
       if (heapGb + 0.5 < needGb &&
