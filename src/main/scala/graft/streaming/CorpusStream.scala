@@ -160,6 +160,68 @@ object CorpusStream {
     * `batch_id=N` with dynamic partition overwrite, and [[priorBands]]
     * filters to `batch_id < N`, so a re-delivered batch recomputes the
     * identical decision and overwrites itself in sink AND store. */
+  /** Compact the cross-batch band store: fold every batch partition at
+    * or below `throughBatch` (plus any prior fold) into ONE segment per
+    * band under the sentinel partition `batch_id = -1`. This is the
+    * maintenance operation the r13 replay measurement names as the
+    * production lever (SCALING.md r13 §7): [[priorBands]] re-lists and
+    * re-opens an O(batches) small-file set every trigger, so per-batch
+    * latency grows ~linearly with batch count even though the DATA is
+    * tiny; after compaction the folded history is 8 band files.
+    *
+    * Correctness contract:
+    *   - The sentinel is always visible (`-1 < N` for every batch) and
+    *     never replay-overwritten (real batch ids are ≥ 0), so
+    *     [[priorBands]] and the sink replay contract need no change.
+    *   - `throughBatch` must be ≤ the last COMMITTED batch: only the
+    *     batch after it can ever re-deliver, and its own bands stay
+    *     under their own `batch_id = N > throughBatch` partition —
+    *     invisible to itself, exactly as before compaction.
+    *   - Run while ingestion is STOPPED. Two-phase and crash-safe
+    *     under that contract: phase A stages the fold in a SIBLING
+    *     directory (`<stateDir>.compacting`, committed with _SUCCESS;
+    *     idempotent — a re-run reuses a completed stage), phase B
+    *     deletes the folded partitions and renames the stage in. A
+    *     crash anywhere is recovered by re-running compactBands before
+    *     resuming ingestion; the staged fold preserves the data across
+    *     the delete/rename window, and a completed run deletes the
+    *     stage last. A duplicate band row surviving a partial recovery
+    *     is harmless to results either way: the probe join feeding
+    *     `dupIds` is followed by `.distinct()`. */
+  def compactBands(spark: SparkSession, stateDir: String,
+      throughBatch: Long): Unit = {
+    require(throughBatch >= 0, s"throughBatch=$throughBatch")
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(stateDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(stateDir))) return
+    val stage = new Path(stateDir + ".compacting")
+    // phase A: stage the fold (skip only if a COMMITTED stage exists —
+    // _SUCCESS is the parquet committer's completion marker; a partial
+    // stage from a crash mid-write is rebuilt from the intact store)
+    if (!(fs.exists(new Path(stage, "_SUCCESS")) &&
+          fs.exists(new Path(stage, "batch_id=-1")))) {
+      fs.delete(stage, true)
+      spark.read.parquet(stateDir)
+        .filter(col("batch_id") <= throughBatch) // includes any prior -1
+        .select("doc_id", "band", "v1", "v2")
+        .withColumn("batch_id", lit(-1L))
+        .repartition(col("band"))
+        .write.partitionBy("batch_id", "band")
+        .parquet(stage.toString)
+    }
+    // phase B: drop the folded partitions, swap the stage in
+    fs.listStatus(new Path(stateDir))
+      .filter(_.getPath.getName.startsWith("batch_id="))
+      .foreach { st =>
+        val id = st.getPath.getName.stripPrefix("batch_id=").toLong
+        if (id <= throughBatch || id == -1L) fs.delete(st.getPath, true)
+      }
+    fs.rename(new Path(stage, "batch_id=-1"),
+      new Path(stateDir, "batch_id=-1"))
+    fs.delete(stage, true)
+  }
+
   def ingestStateful(docs: DataFrame, outDir: String, checkpointDir: String,
       stateDir: String): StreamingQuery =
     docs.writeStream

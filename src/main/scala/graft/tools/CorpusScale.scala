@@ -16,11 +16,21 @@ import graft.streaming.CorpusStream
   * the latency slope across batches is the store-scan term, and the
   * band store's row growth tracks emitted documents × bands exactly.
   *
-  * Usage: runMain graft.tools.CorpusScale <sfDir> [chunks=20] */
+  * With `compactAt = k` (0 = never), the replay STOPS after draining
+  * the first k chunks, runs [[CorpusStream.compactBands]] over the
+  * committed history, and resumes on the same checkpoint for the
+  * remaining chunks — so the per-batch latency series crosses the
+  * compaction boundary and the post-fold slope measures what the fold
+  * actually buys (the O(batches) small-file listing term vs the
+  * corpus-shaped data term).
+  *
+  * Usage: runMain graft.tools.CorpusScale <sfDir> [chunks=20]
+  *          [compactAt=0] */
 object CorpusScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(20)
+    val compactAt = args.lift(2).map(_.toInt).getOrElse(0)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -35,31 +45,52 @@ object CorpusScale {
     val out = Files.createTempDirectory("graft-corpusscale-out").toString
     val state = Files.createTempDirectory("graft-corpusscale-st").toString
 
+    val hold = Files.createTempDirectory("graft-corpusscale-hold").toString
     val docs = spark.read.schema(CorpusStream.documentsSchema)
       .parquet(s"$dir/documents.parquet")
     val nTotal = docs.count()
-    println(s"CORPSCALE input dir=$dir docs=$nTotal chunks=$chunks")
+    println(s"CORPSCALE input dir=$dir docs=$nTotal chunks=$chunks " +
+      s"compactAt=$compactAt")
     (0 until chunks).foreach { i =>
-      val tmp = s"$staging/_tmp$i"
+      val tmp = s"$hold/_tmp$i"
       docs.filter(pmod(col("doc_id"), lit(chunks)) === i)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
         .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, Paths.get(f"$staging/chunk$i%03d.parquet"),
+      Files.move(part, Paths.get(f"$hold/chunk$i%03d.parquet"),
         StandardCopyOption.ATOMIC_MOVE)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
+    def place(from: Int, until: Int): Unit =
+      (from until until).foreach { i =>
+        Files.move(Paths.get(f"$hold/chunk$i%03d.parquet"),
+          Paths.get(f"$staging/chunk$i%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
 
-    val src = spark.readStream.schema(CorpusStream.documentsSchema)
-      .option("maxFilesPerTrigger", "1")
-      .option("pathGlobFilter", "chunk*.parquet")
-      .parquet(staging)
+    def drain(): Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = {
+      val src = spark.readStream.schema(CorpusStream.documentsSchema)
+        .option("maxFilesPerTrigger", "1")
+        .option("pathGlobFilter", "chunk*.parquet")
+        .parquet(staging)
+      val q = CorpusStream.ingestStateful(src, out, ck, state)
+      q.processAllAvailable()
+      val ps = q.recentProgress.filter(_.numInputRows > 0).toSeq
+      q.stop()
+      ps
+    }
+
     val t0 = System.nanoTime()
-    val q = CorpusStream.ingestStateful(src, out, ck, state)
-    q.processAllAvailable()
+    val progs =
+      if (compactAt > 0 && compactAt < chunks) {
+        place(0, compactAt)
+        val pre = drain()
+        CorpusStream.compactBands(spark, state, compactAt - 1L)
+        println(s"CORPCOMPACT after batch ${compactAt - 1}")
+        place(compactAt, chunks)
+        pre ++ drain()
+      } else { place(0, chunks); drain() }
     val wall = (System.nanoTime() - t0) / 1e9
-    val progs = q.recentProgress.filter(_.numInputRows > 0)
-    q.stop()
     progs.foreach { p =>
       println(s"CORPBATCH batch=${p.batchId} in=${p.numInputRows} " +
         s"ms=${p.batchDuration}")

@@ -791,6 +791,73 @@ class StreamingSpec extends SparkSpec {
       "replay changed the state store")
   }
 
+  test("band-store compaction folds history, preserves suppression and replay") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-compact")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def text(prefix: String): String =
+      s"the " + (1 to 23).map(i => s"$prefix$i").mkString(" ")
+    val (t1, t2, t3) = (text("alpha"), text("beta"), text("gamma"))
+    def writeFile(name: String, mtimeOffsetMs: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+      new java.io.File(s"$watched/$name.parquet")
+        .setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+    }
+    def runOnce(ckpt: String): Unit = {
+      val q = CorpusStream.ingestStateful(
+        spark.readStream.schema(CorpusStream.documentsSchema)
+          .option("maxFilesPerTrigger", "1").parquet(watched),
+        out, ckpt, state)
+      try q.processAllAvailable() finally q.stop()
+    }
+    // two batches of history, stopped cleanly
+    writeFile("a", -120000, Seq(1L -> t1))
+    writeFile("b", -60000, Seq(2L -> t2))
+    runOnce(s"$base/ckpt1")
+    val bandsBefore = spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // fold batches 0..1 into the sentinel segment
+    CorpusStream.compactBands(spark, state, throughBatch = 1L)
+    val partsAfter = new java.io.File(state).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(partsAfter == Set("batch_id=-1"), s"parts $partsAfter")
+    // the fold is row-lossless
+    assert(spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet == bandsBefore)
+    // a second compaction is a no-op fold of the fold
+    CorpusStream.compactBands(spark, state, throughBatch = 1L)
+    assert(spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .count() == bandsBefore.size)
+    // resume: batch 2 carries a copy of the COMPACTED doc 1 plus a
+    // fresh doc — suppression must survive the fold
+    writeFile("c", 0, Seq(10L -> t1, 11L -> t3))
+    runOnce(s"$base/ckpt1")
+    val emitted = spark.read.parquet(out)
+      .select("doc_id").as[Long].collect().toSet
+    assert(emitted == Set(1L, 2L, 11L), s"emitted $emitted")
+    // the resumed batch's own bands land under its real batch id,
+    // alongside the sentinel
+    val stored = spark.read.parquet(state)
+      .select("doc_id", "batch_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(stored == Set((1L, -1L), (2L, -1L), (11L, 2L)), s"state $stored")
+  }
+
   test("three-batch chained dedup state survives a MID-STREAM crash replay") {
     import graft.streaming.CorpusStream
     val base = java.nio.file.Files.createTempDirectory("graft-xbatch3")
