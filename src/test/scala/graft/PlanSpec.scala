@@ -268,6 +268,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("round-13 queries keep their scale-relevant plan shapes") {
+    // span_survivors: every join equi-keyed (no cartesian / nested-loop
+    // — a doc-pair surface would be the rejected naive form), and the
+    // removal arithmetic stays in-row (no Window)
+    val ps = plan(graft.operators.TextOps.spanSurvivors(spark, dir))
+    assert(!ps.contains("Cartesian") && !ps.contains("BroadcastNestedLoop"),
+      ps)
+    assert(!ps.contains("Window"), ps)
+    // jaccard_lsh_2l: same discipline as jaccard_lsh — candidate
+    // generation is bucket-bounded (no cartesian), and the final top-k
+    // plans as TakeOrderedAndProject, never a full sort
+    val p2 = plan(graft.operators.Recommend.jaccardLshTwoLevel(spark, dir))
+    assert(!p2.contains("Cartesian") && !p2.contains("BroadcastNestedLoop"),
+      p2)
+    assert(p2.contains("TakeOrderedAndProject"), p2)
+  }
+
   test("round-6 join queries avoid non-equi join physical plans") {
     // event_asof: the as-of join must plan as union + partitioned window
     // — no join operator at all between the touch and purchase sides
