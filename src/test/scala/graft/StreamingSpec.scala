@@ -288,6 +288,38 @@ class StreamingSpec extends SparkSpec {
     assert(streamed ++ drained == batch)
   }
 
+  test("drain refuses a TORN checkpoint (offset log ahead of commit log)") {
+    // the round-12 review's decommission-drain hazard: a query killed
+    // between the sink write and the commit-log write leaves offsets/
+    // one batch ahead of commits/ — draining from the last COMMITTED
+    // state could then double-emit (or miss) rows against a
+    // non-transactional sink. Fabricate exactly that checkpoint shape
+    // (run a healthy stream, then delete the newest commit file) and
+    // pin the fail-fast.
+    val base = java.nio.file.Files.createTempDirectory("graft-asof-torn")
+      .toString
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(s"$base/in"))
+    writeEventFile(base, "a", eventTuples)
+    val ck = s"$base/ck"
+    val q = EventStream.asofAttribution(eventFileStream(base, false),
+        graceUs = 7L * 24 * 3600 * 1000000L)
+      .toDF().writeStream
+      .outputMode("append").format("memory").queryName("asof_torn")
+      .option("checkpointLocation", ck).start()
+    try q.processAllAvailable() finally q.stop()
+    // healthy checkpoint drains fine
+    assert(EventStream.asofDrainTail(spark, ck).count() > 0)
+    // tear it: drop the newest commit marker
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    assert(commits.last.delete())
+    val e = intercept[IllegalArgumentException] {
+      EventStream.asofDrainTail(spark, ck)
+    }
+    assert(e.getMessage.contains("torn checkpoint"), e.getMessage)
+  }
+
   test("as-of attribution evicts idle users (event-time timeout); post-eviction purchase attributes to nothing") {
     val base = java.nio.file.Files.createTempDirectory("graft-asof-evict")
       .toString
