@@ -217,8 +217,16 @@ object CorpusStream {
         val id = st.getPath.getName.stripPrefix("batch_id=").toLong
         if (id <= throughBatch || id == -1L) fs.delete(st.getPath, true)
       }
-    fs.rename(new Path(stage, "batch_id=-1"),
-      new Path(stateDir, "batch_id=-1"))
+    // Hadoop rename signals failure by RETURN VALUE, not exception — an
+    // ignored false here followed by the stage delete would lose the
+    // fold. An absent source is the legitimate empty-fold case (an
+    // empty frame writes only _SUCCESS); anything else must abort
+    // BEFORE the stage is deleted.
+    val foldSrc = new Path(stage, "batch_id=-1")
+    if (fs.exists(foldSrc))
+      require(fs.rename(foldSrc, new Path(stateDir, "batch_id=-1")),
+        s"compaction swap failed: could not rename $foldSrc into " +
+          s"$stateDir — staged fold left intact for a re-run")
     fs.delete(stage, true)
   }
 

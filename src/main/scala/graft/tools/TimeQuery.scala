@@ -42,6 +42,12 @@ object TimeQuery {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // same cure as Verify (round-13 finding, winnow at sf30: repeat
+      // runs in one JVM grew 149→215 s as dead shuffle files from the
+      // previous runs accumulated — a 48 g heap never GCs unprompted,
+      // so the ContextCleaner never releases them; the warm-run series
+      // then measures disk fill, not the query)
+      .config("spark.cleaner.periodicGC.interval", "60s")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val q = graft.SparkEntry.queries(args(1))
