@@ -734,7 +734,19 @@ object TextOps {
     * boundaries, never merge results (BpeSpec's 64-round parity cases
     * cross checkpoint generations either way). */
   val BpeCheckpointEvery: Int =
-    sys.env.get("SPARK_GRAFT_BPE_CKPT").map(_.toInt).getOrElse(16)
+    sys.env.get("SPARK_GRAFT_BPE_CKPT") match {
+      case None => 16
+      case Some(s) =>
+        // a bare toInt here would turn a typo'd env var into an
+        // ExceptionInInitializerError on EVERY TextOps use, and 0 would
+        // make the `step % cadence` check divide by zero mid-run
+        scala.util.Try(s.trim.toInt).toOption.filter(_ > 0).getOrElse {
+          System.err.println(
+            s"graft: ignoring SPARK_GRAFT_BPE_CKPT='$s' " +
+              "(not a positive integer); using cadence 16")
+          16
+        }
+    }
 
   /** [[bpeMerges]] over any (t: array<string>) corpus — the
     * fixture-testable form (same split as reachHopsOf). */

@@ -179,15 +179,24 @@ object CorpusStream {
     *     invisible to itself, exactly as before compaction.
     *   - Run while ingestion is STOPPED. Two-phase and crash-safe
     *     under that contract: phase A stages the fold in a SIBLING
-    *     directory (`<stateDir>.compacting`, committed with _SUCCESS;
-    *     idempotent — a re-run reuses a completed stage), phase B
-    *     deletes the folded partitions and renames the stage in. A
-    *     crash anywhere is recovered by re-running compactBands before
-    *     resuming ingestion; the staged fold preserves the data across
-    *     the delete/rename window, and a completed run deletes the
-    *     stage last. A duplicate band row surviving a partial recovery
-    *     is harmless to results either way: the probe join feeding
-    *     `dupIds` is followed by `.distinct()`. */
+    *     directory (`<stateDir>.compacting`), committed by _SUCCESS
+    *     (the parquet committer's marker) PLUS a `_THROUGH=<n>` file
+    *     binding the stage to the throughBatch it folded — written
+    *     last, so a stage missing either is uncommitted garbage.
+    *     Phase B deletes the folded partitions and renames the stage
+    *     in. A crash anywhere is recovered by re-running compactBands
+    *     before resuming ingestion; the staged fold preserves the data
+    *     across the delete/rename window, and a completed run deletes
+    *     the stage last. A committed stage is NEVER reused for a
+    *     different throughBatch (a crash between phases can leave the
+    *     store torn — partitions ≤ its recorded n already deleted — so
+    *     a fresh rebuild would read a torn store, and swapping in a
+    *     stale fold would silently drop the batches between n and the
+    *     new argument): the recorded fold is COMPLETED first, restoring
+    *     a whole store, and only then is the new argument folded. A
+    *     duplicate band row surviving a partial recovery is harmless to
+    *     results either way: the probe join feeding `dupIds` is
+    *     followed by `.distinct()`. */
   def compactBands(spark: SparkSession, stateDir: String,
       throughBatch: Long): Unit = {
     require(throughBatch >= 0, s"throughBatch=$throughBatch")
@@ -196,38 +205,60 @@ object CorpusStream {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new Path(stateDir))) return
     val stage = new Path(stateDir + ".compacting")
-    // phase A: stage the fold (skip only if a COMMITTED stage exists —
-    // _SUCCESS is the parquet committer's completion marker; a partial
-    // stage from a crash mid-write is rebuilt from the intact store)
-    if (!(fs.exists(new Path(stage, "_SUCCESS")) &&
-          fs.exists(new Path(stage, "batch_id=-1")))) {
+    // phase B of a (possibly crashed) run: drop the partitions the fold
+    // covers, swap the staged sentinel segment in, drop the stage.
+    def swapIn(upTo: Long): Unit = {
+      fs.listStatus(new Path(stateDir))
+        .filter(_.getPath.getName.startsWith("batch_id="))
+        .foreach { st =>
+          val id = st.getPath.getName.stripPrefix("batch_id=").toLong
+          if (id <= upTo || id == -1L) fs.delete(st.getPath, true)
+        }
+      // Hadoop rename signals failure by RETURN VALUE, not exception —
+      // an ignored false here followed by the stage delete would lose
+      // the fold. An absent source is the legitimate empty-fold case
+      // (an empty frame writes only _SUCCESS); anything else must abort
+      // BEFORE the stage is deleted.
+      val foldSrc = new Path(stage, "batch_id=-1")
+      if (fs.exists(foldSrc))
+        require(fs.rename(foldSrc, new Path(stateDir, "batch_id=-1")),
+          s"compaction swap failed: could not rename $foldSrc into " +
+            s"$stateDir — staged fold left intact for a re-run")
       fs.delete(stage, true)
-      spark.read.parquet(stateDir)
-        .filter(col("batch_id") <= throughBatch) // includes any prior -1
-        .select("doc_id", "band", "v1", "v2")
-        .withColumn("batch_id", lit(-1L))
-        .repartition(col("band"))
-        .write.partitionBy("batch_id", "band")
-        .parquet(stage.toString)
     }
-    // phase B: drop the folded partitions, swap the stage in
-    fs.listStatus(new Path(stateDir))
-      .filter(_.getPath.getName.startsWith("batch_id="))
-      .foreach { st =>
-        val id = st.getPath.getName.stripPrefix("batch_id=").toLong
-        if (id <= throughBatch || id == -1L) fs.delete(st.getPath, true)
-      }
-    // Hadoop rename signals failure by RETURN VALUE, not exception — an
-    // ignored false here followed by the stage delete would lose the
-    // fold. An absent source is the legitimate empty-fold case (an
-    // empty frame writes only _SUCCESS); anything else must abort
-    // BEFORE the stage is deleted.
-    val foldSrc = new Path(stage, "batch_id=-1")
-    if (fs.exists(foldSrc))
-      require(fs.rename(foldSrc, new Path(stateDir, "batch_id=-1")),
-        s"compaction swap failed: could not rename $foldSrc into " +
-          s"$stateDir — staged fold left intact for a re-run")
-    fs.delete(stage, true)
+    val recorded: Option[Long] =
+      if (fs.exists(new Path(stage, "_SUCCESS")))
+        fs.listStatus(stage).map(_.getPath.getName)
+          .collectFirst { case n if n.startsWith("_THROUGH=") =>
+            n.stripPrefix("_THROUGH=").toLong }
+      else None
+    recorded match {
+      case Some(n) =>
+        // a committed stage: finish ITS phase B first (the store may be
+        // torn mid-delete for exactly these partitions), then fall
+        // through to fold the current argument from the whole store
+        swapIn(n)
+        if (n == throughBatch) return
+      case None =>
+        // uncommitted stage (crash mid-write, or pre-marker): the store
+        // is still whole — discard and rebuild
+        fs.delete(stage, true)
+    }
+    // an empty store (e.g. only _SUCCESS after an empty first batch)
+    // has nothing to fold, and spark.read.parquet would throw on
+    // schema inference over zero partitions
+    if (!fs.listStatus(new Path(stateDir))
+          .exists(_.getPath.getName.startsWith("batch_id="))) return
+    // phase A: stage the fold, then bind it to its parameters
+    spark.read.parquet(stateDir)
+      .filter(col("batch_id") <= throughBatch) // includes any prior -1
+      .select("doc_id", "band", "v1", "v2")
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("band"))
+      .write.partitionBy("batch_id", "band")
+      .parquet(stage.toString)
+    fs.create(new Path(stage, s"_THROUGH=$throughBatch"), true).close()
+    swapIn(throughBatch)
   }
 
   def ingestStateful(docs: DataFrame, outDir: String, checkpointDir: String,

@@ -55,10 +55,20 @@ object CorpusScale {
       val tmp = s"$hold/_tmp$i"
       docs.filter(pmod(col("doc_id"), lit(chunks)) === i)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
-      val part = Files.list(Paths.get(tmp)).toArray.map(_.asInstanceOf[Path])
-        .find(_.getFileName.toString.endsWith(".parquet")).get
-      Files.move(part, Paths.get(f"$hold/chunk$i%03d.parquet"),
-        StandardCopyOption.ATOMIC_MOVE)
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.asInstanceOf[Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+        finally listing.close() // Files.list holds an fd until closed
+      part match {
+        case Some(p) =>
+          Files.move(p, Paths.get(f"$hold/chunk$i%03d.parquet"),
+            StandardCopyOption.ATOMIC_MOVE)
+        case None =>
+          // an empty slice writes only _SUCCESS — skip it (an absent
+          // chunk file is an empty micro-batch to the replay glob)
+          println(s"CORPSCALE chunk $i is empty; skipping")
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
     def place(from: Int, until: Int): Unit =

@@ -890,6 +890,81 @@ class StreamingSpec extends SparkSpec {
     assert(stored == Set((1L, -1L), (2L, -1L), (11L, 2L)), s"state $stored")
   }
 
+  test("compaction completes a crashed fold bound to a SMALLER throughBatch " +
+      "instead of reusing it") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-tear")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def text(prefix: String): String =
+      s"the " + (1 to 23).map(i => s"$prefix$i").mkString(" ")
+    def writeFile(name: String, mtimeOffsetMs: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+      new java.io.File(s"$watched/$name.parquet")
+        .setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+    }
+    writeFile("a", -120000, Seq(1L -> text("alpha")))
+    writeFile("b", -60000, Seq(2L -> text("beta")))
+    val q = CorpusStream.ingestStateful(
+      spark.readStream.schema(CorpusStream.documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(watched),
+      out, s"$base/ckpt", state)
+    try q.processAllAvailable() finally q.stop()
+    val allRows = spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // fabricate a compactBands(throughBatch = 0) run that crashed in
+    // phase B: a COMMITTED stage bound to 0 (parquet _SUCCESS plus the
+    // _THROUGH marker) and a store torn mid-delete (batch 0 gone)
+    val stage = s"$state.compacting"
+    spark.read.parquet(state).filter(col("batch_id") <= 0L)
+      .select("doc_id", "band", "v1", "v2")
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("band"))
+      .write.partitionBy("batch_id", "band").parquet(stage)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$stage/_THROUGH=0"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$state/batch_id=0"))
+    // a later call with a LARGER throughBatch must finish the recorded
+    // fold first, then fold batch 1 — reusing the stale stage would
+    // delete batch 1 and swap in a fold that never saw it
+    CorpusStream.compactBands(spark, state, throughBatch = 1L)
+    val partsAfter = new java.io.File(state).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(partsAfter == Set("batch_id=-1"), s"parts $partsAfter")
+    val rowsAfter = spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(rowsAfter == allRows, "recovery lost band rows")
+    assert(!new java.io.File(stage).exists(), "stage not cleaned up")
+  }
+
+  test("compaction no-ops on a store with no batch partitions") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-empty")
+    val state = s"$base/state"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(state))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$state/_SUCCESS"))
+    // only _SUCCESS (an empty first batch): schema inference over zero
+    // partitions would throw — must return quietly instead
+    CorpusStream.compactBands(spark, state, throughBatch = 0L)
+    assert(new java.io.File(state).exists())
+    assert(!new java.io.File(s"$state.compacting").exists())
+  }
+
   test("three-batch chained dedup state survives a MID-STREAM crash replay") {
     import graft.streaming.CorpusStream
     val base = java.nio.file.Files.createTempDirectory("graft-xbatch3")
