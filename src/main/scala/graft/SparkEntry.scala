@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.algo.PageRank
-import graft.operators.{Corpus, Dedup, EventsOps, GraphMetrics, Multimodal, Recommend, Relational, Retrieval, Similarity, TextOps}
+import graft.operators.{Corpus, Dedup, Distill, EventsOps, GraphMetrics, Multimodal, Recommend, Relational, Retrieval, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -169,6 +169,14 @@ object SparkEntry {
     // fingerprint-set near-dup pairing over them
     "winnow_fingerprints" -> ((s, d) => Dedup.winnowFingerprints(s, d)),
     "winnow_pairs"        -> ((s, d) => Dedup.winnowPairs(s, d)),
+    // quality-model distillation tier (round 14): exact closed-form fit
+    // of a cheap linear filter to an expensive teacher signal, the
+    // full-corpus scoring pass it enables, and per-domain curation by
+    // the teacher score; plus FIM training-example construction
+    "quality_fit"       -> ((s, d) => Distill.qualityFit(s, d)),
+    "quality_predict"   -> ((s, d) => Distill.qualityPredict(s, d)),
+    "domain_topk"       -> ((s, d) => Distill.domainTopk(s, d)),
+    "fim_transform"     -> ((s, d) => Corpus.fimTransform(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2512,6 +2520,150 @@ object SparkEntry {
         |       round(ln(sum(tf)) - sum(tf * ln(tf)) / sum(tf), 6)
         |         AS entropy
         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quality-model distillation: the fit is exact integer sums (DuckDB
+    // HUGEINT, Spark decimal→BigInt) + one 3×3 Cramer solve whose ONLY
+    // floats are a final int→double cast, one division, one round —
+    // the Distill scaladoc's cross-engine contract. The teacher target
+    // uses integer division throughout, so it is a BIGINT both engines
+    // compute identically.
+    "quality_fit" ->
+      """WITH f AS (SELECT
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS x2,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS u
+        |  FROM documents),
+        |y AS (SELECT x1, x2,
+        |        (1000000 * x2) // x1 + (1000000 * u) // x1 AS y
+        |      FROM f),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(x1) AS HUGEINT) AS s1,
+        |        CAST(sum(x2) AS HUGEINT) AS s2,
+        |        CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+        |        CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+        |        CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+        |        CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+        |        CAST(sum(x2 * y) AS HUGEINT) AS s2y
+        |      FROM y),
+        |d AS MATERIALIZED (SELECT
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS den,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS d0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS d1,
+        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS d2
+        |  FROM s)
+        |SELECT * FROM (
+        |  SELECT 'w0_intercept' AS feature,
+        |         round(CAST(d0 AS DOUBLE) / CAST(den AS DOUBLE), 6)
+        |           AS weight FROM d
+        |  UNION ALL SELECT 'w1_n_tokens',
+        |         round(CAST(d1 AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM d
+        |  UNION ALL SELECT 'w2_stop_cnt',
+        |         round(CAST(d2 AS DOUBLE) / CAST(den AS DOUBLE), 6) FROM d)
+        |ORDER BY feature""".stripMargin,
+
+    // the scoring pass: per-doc arithmetic over the ROUNDED fit weights
+    // in the same fixed 3-term order as the Spark projection
+    "quality_predict" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS x2,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS u
+        |  FROM documents),
+        |y AS MATERIALIZED (SELECT doc_id, x1, x2,
+        |        (1000000 * x2) // x1 + (1000000 * u) // x1 AS y
+        |      FROM f),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(x1) AS HUGEINT) AS s1,
+        |        CAST(sum(x2) AS HUGEINT) AS s2,
+        |        CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+        |        CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+        |        CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+        |        CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+        |        CAST(sum(x2 * y) AS HUGEINT) AS s2y
+        |      FROM y),
+        |d AS MATERIALIZED (SELECT
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS den,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS d0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS d1,
+        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS d2
+        |  FROM s),
+        |w AS (SELECT
+        |    round(CAST(d0 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS w0,
+        |    round(CAST(d1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS w1,
+        |    round(CAST(d2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS w2
+        |  FROM d)
+        |SELECT doc_id, x1 AS n_tokens, x2 AS stop_cnt, y AS q_teacher,
+        |       round(w0 + w1 * x1 + w2 * x2, 6) AS q_pred,
+        |       round(y - (w0 + w1 * x1 + w2 * x2), 6) AS resid
+        |FROM y, w ORDER BY doc_id""".stripMargin,
+
+    // per-domain curation: the oracle replays the ONE-stage top-k form;
+    // the engine's salted two-stage plan is exactly equal by the
+    // any-top-k-row-is-in-its-salt's-top-k argument (Distill scaladoc)
+    "domain_topk" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS x2,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS u
+        |  FROM documents),
+        |y AS (SELECT doc_id, source,
+        |        (1000000 * x2) // x1 + (1000000 * u) // x1 AS q_teacher
+        |      FROM f),
+        |r AS (SELECT source, doc_id, q_teacher,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY q_teacher DESC, doc_id ASC) AS rk
+        |      FROM y)
+        |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, q_teacher
+        |FROM r WHERE rk <= 5 ORDER BY source, rank""".stripMargin,
+
+    // FIM: the GREATEST(…, 1) modulus guard mirrors the Spark side
+    // (sub-3-token rows take the passthrough branch but the cut
+    // arithmetic is still evaluated)
+    "fim_transform" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, text, tk,
+        |        CAST(len(tk) AS BIGINT) AS n,
+        |        1 + CAST(('0x' || substr(md5('fim-a:'
+        |              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % GREATEST(CAST(len(tk) AS BIGINT) - 2, 1) AS pl
+        |      FROM t),
+        |c2 AS (SELECT *,
+        |        1 + CAST(('0x' || substr(md5('fim-b:'
+        |              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          % GREATEST(n - 1 - pl, 1) AS ml
+        |       FROM c)
+        |SELECT doc_id, n AS n_tokens,
+        |       CASE WHEN n >= 3 THEN pl ELSE 0 END AS p_len,
+        |       CASE WHEN n >= 3 THEN ml ELSE 0 END AS m_len,
+        |       (n >= 3) AS fim_applied,
+        |       CASE WHEN n >= 3 THEN
+        |         '<PRE> ' || array_to_string(list_slice(tk, 1, pl), ' ')
+        |         || ' <SUF> '
+        |         || array_to_string(list_slice(tk, pl + ml + 1, n), ' ')
+        |         || ' <MID> '
+        |         || array_to_string(list_slice(tk, pl + 1, pl + ml), ' ')
+        |       ELSE text END AS fim_text
+        |FROM c2 ORDER BY doc_id""".stripMargin,
   ) match {
     // jaccard_lsh_2l (the two-level-aggregation experiment variant,
     // round-12 verdict item 2) is value-identical to jaccard_lsh by

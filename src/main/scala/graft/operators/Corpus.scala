@@ -482,4 +482,46 @@ object Corpus {
       .select(col("lang"), col("rk").cast("long").as("rk"), col("doc_id"))
       .orderBy("lang", "rk")
   }
+
+  /** `fim_transform`: fill-in-the-middle training-example construction —
+    * each document is split at two deterministic token positions into
+    * (prefix, middle, suffix) and re-serialized in PSM order
+    * (`<PRE> prefix <SUF> suffix <MID> middle`), the standard infilling
+    * objective for code/text models: the model sees both context sides
+    * and learns to generate the middle. Cut points come from the salted
+    * [[TextOps.h32]] hash of the doc id — the same no-RNG determinism
+    * contract as [[splitAssign]]: the transform is reproducible across
+    * runs, engines, and cluster sizes, and a document's cuts never move
+    * when the corpus grows. All three spans are guaranteed non-empty
+    * (prefix length ∈ [1, n−2], middle ∈ [1, n−1−prefix]); documents
+    * under 3 tokens pass through untransformed with `fim_applied =
+    * false` — dropping them silently would make the op lossy in a way a
+    * mixture manifest downstream couldn't see.
+    *
+    * Scale posture: per-row arithmetic and array slicing only —
+    * shuffle-free scan→project, embarrassingly parallel at any scale. */
+  def fimTransform(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), " ")
+    val n = size(t).cast("long")
+    // greatest(…, 1) keeps the modulus positive on sub-3-token docs —
+    // those rows take the passthrough branch, but ANSI mode evaluates
+    // (and rejects) a `% 0` even under a when() that discards it
+    val pl = lit(1L) + h32(concat(lit("fim-a:"),
+      col("doc_id").cast("string"))) % greatest(n - 2, lit(1L))
+    val ml = lit(1L) + h32(concat(lit("fim-b:"),
+      col("doc_id").cast("string"))) % greatest(n - 1 - pl, lit(1L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), n.as("n_tokens"),
+        when(n >= 3, pl).otherwise(0L).as("p_len"),
+        when(n >= 3, ml).otherwise(0L).as("m_len"),
+        (n >= 3).as("fim_applied"),
+        when(n >= 3, concat(
+          lit("<PRE> "), array_join(slice(t, lit(1), pl), " "),
+          lit(" <SUF> "),
+          array_join(slice(t, pl + ml + 1, n - pl - ml), " "),
+          lit(" <MID> "),
+          array_join(slice(t, pl + 1, ml), " ")))
+          .otherwise(col("text")).as("fim_text"))
+      .orderBy("doc_id")
+  }
 }
