@@ -27,6 +27,11 @@ object Bench {
     // 2.63, span_survivors 2.31, × 1.5
     "bpe_merges" -> 2.9, "bpe_merges_bytes" -> 2.1,
     "jaccard_lsh_2l" -> 3.9, "span_survivors" -> 3.5,
+    // distillation tier, derived round 14 (same discipline: quiet
+    // sf0.1 TimeQuery 5-run warm medians 0.65 / 0.91 / 0.66 / 0.98,
+    // × 1.5)
+    "quality_fit" -> 1.0, "quality_predict" -> 1.4,
+    "domain_topk" -> 1.0, "fim_transform" -> 1.5,
     // chunk_assign/viz_dot joined in round 9: quiet TimeQuery warm
     // medians 0.83 / 0.80 s × 1.5
     "chunk_assign" -> 1.25,

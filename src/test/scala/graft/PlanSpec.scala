@@ -285,6 +285,24 @@ class PlanSpec extends SparkSpec {
     assert(p2.contains("TakeOrderedAndProject"), p2)
   }
 
+  test("round-14 distillation tier keeps its scale-relevant plan shapes") {
+    // fim_transform / quality_predict: per-row transforms — the ONLY
+    // exchange is the deterministic output sort (a second one would
+    // mean the transform itself started shuffling)
+    val pf = plan(graft.operators.Corpus.fimTransform(spark, dir))
+    assert("Exchange".r.findAllIn(pf).size == 1, pf)
+    assert(!pf.contains("Join") && !pf.contains("Window"), pf)
+    val pp = plan(graft.operators.Distill.qualityPredict(spark, dir))
+    assert("Exchange".r.findAllIn(pp).size == 1, pp)
+    assert(!pp.contains("Join") && !pp.contains("Window"), pp)
+    // domain_topk: both window stages are PARTITIONED and both carry
+    // the partial WindowGroupLimit (the top-k pushdown the Distill
+    // scaladoc's reducer-bound argument rests on)
+    val pd = plan(graft.operators.Distill.domainTopk(spark, dir))
+    assert("WindowGroupLimit".r.findAllIn(pd).size >= 4, pd)
+    assert(!pd.contains("Join"), pd)
+  }
+
   test("round-6 join queries avoid non-equi join physical plans") {
     // event_asof: the as-of join must plan as union + partitioned window
     // — no join operator at all between the touch and purchase sides
