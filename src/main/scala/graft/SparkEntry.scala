@@ -177,6 +177,7 @@ object SparkEntry {
     "quality_predict"   -> ((s, d) => Distill.qualityPredict(s, d)),
     "domain_topk"       -> ((s, d) => Distill.domainTopk(s, d)),
     "fim_transform"     -> ((s, d) => Corpus.fimTransform(s, d)),
+    "curriculum_order"  -> ((s, d) => Distill.curriculumOrder(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2634,6 +2635,43 @@ object SparkEntry {
         |      FROM y)
         |SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, q_teacher
         |FROM r WHERE rk <= 5 ORDER BY source, rank""".stripMargin,
+
+    // curriculum: exact global quartile staging by teacher score, then
+    // a deterministic hash shuffle within each stage — both ranks are
+    // plain window row_numbers here; the engine's distributed two-pass
+    // rank equals them by the total-order argument (Distill scaladoc)
+    "curriculum_order" ->
+      """WITH f AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS x2,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS u
+        |  FROM documents),
+        |y AS (SELECT doc_id,
+        |        (1000000 * x2) // x1 + (1000000 * u) // x1 AS q_teacher
+        |      FROM f),
+        |r AS (SELECT doc_id, q_teacher,
+        |        row_number() OVER (ORDER BY q_teacher DESC, doc_id ASC)
+        |          - 1 AS rk,
+        |        count(*) OVER () AS n
+        |      FROM y),
+        |s AS (SELECT doc_id, q_teacher,
+        |        CASE WHEN rk * 4 < n THEN 0
+        |             WHEN rk * 4 >= n * 3 THEN 2
+        |             ELSE 1 END AS si,
+        |        CAST(('0x' || substr(md5('cur:'
+        |              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |          AS h
+        |      FROM r)
+        |SELECT CAST(row_number()
+        |         OVER (ORDER BY si, h, doc_id) - 1 AS BIGINT) AS ord,
+        |       doc_id,
+        |       CASE si WHEN 0 THEN 'easy' WHEN 1 THEN 'core'
+        |               ELSE 'hard' END AS stage,
+        |       q_teacher
+        |FROM s ORDER BY ord""".stripMargin,
 
     // FIM: the GREATEST(…, 1) modulus guard mirrors the Spark side
     // (sub-3-token rows take the passthrough branch but the cut

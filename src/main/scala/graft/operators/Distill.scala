@@ -161,6 +161,54 @@ object Distill {
     * top-k is in its salt's top-k, so the two-stage result is exactly
     * the one-stage result (DistillSpec pins the equality; the oracle
     * replays the one-stage form). */
+  /** `curriculum_order`: the global TRAINING ORDER — the step after
+    * packing that decides what the model sees first. Documents are
+    * staged easy→core→hard by exact global teacher-score rank
+    * (quartiles: top 25 % = easy, bottom 25 % = hard — the
+    * [[graft.operators.Retrieval]] nll_bucket convention), then
+    * deterministically shuffled WITHIN each stage by the salted
+    * [[TextOps.h32]] hash (training order must be random-looking but
+    * reproducible — re-running the pipeline, or growing the cluster,
+    * must never change what example 1,000,000 is), and assigned a
+    * contiguous global position.
+    *
+    * Scale posture: both global ranks are the distributed two-pass
+    * shape (range-partition + sort on the total order, then
+    * zipWithIndex's per-partition-count + offset pass) — NOT a
+    * single-partition window, the same family as [[Corpus.packAssign]]
+    * and vocab_build; the quartile boundaries come from one 1-row
+    * broadcast count. Partition boundaries cannot change positions
+    * (both ranks are over total orders, wherever they are cut). */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ranked = featuredOf(spark, dir)
+      .select(col("doc_id"), col("q_teacher"))
+      .repartitionByRange(desc("q_teacher"), asc("doc_id"))
+      .sortWithinPartitions(desc("q_teacher"), asc("doc_id"))
+      .as[(Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, q), r) => (id, q, r) }
+      .toDF("doc_id", "q_teacher", "rk")
+    val n = featuredOf(spark, dir)
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+    val staged = ranked.crossJoin(broadcast(n))
+      .select(col("doc_id"), col("q_teacher"),
+        when(col("rk") * 4 < col("n_docs"), 0L)
+          .when(col("rk") * 4 >= col("n_docs") * 3, 2L)
+          .otherwise(1L).as("si"),
+        TextOps.h32(concat(lit("cur:"), col("doc_id").cast("string")))
+          .as("h"))
+    staged
+      .repartitionByRange(asc("si"), asc("h"), asc("doc_id"))
+      .sortWithinPartitions(asc("si"), asc("h"), asc("doc_id"))
+      .select(col("doc_id"), col("q_teacher"), col("si"))
+      .as[(Long, Long, Long)].rdd.zipWithIndex()
+      .map { case ((id, q, si), ord) =>
+        (ord, id, Seq("easy", "core", "hard")(si.toInt), q)
+      }
+      .toDF("ord", "doc_id", "stage", "q_teacher")
+      .orderBy("ord")
+  }
+
   def domainTopk(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val scored = featuredOf(spark, dir)

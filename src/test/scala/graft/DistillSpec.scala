@@ -83,6 +83,40 @@ class DistillSpec extends SparkSpec {
     assert(staged.nonEmpty)
   }
 
+  test("curriculum_order: two-pass distributed ranks equal the naive " +
+      "windows; ord is a contiguous permutation") {
+    import org.apache.spark.sql.expressions.Window
+    val wq = Window.orderBy(col("q_teacher").desc, col("doc_id").asc)
+    val base = Distill.featuredOf(spark, dir)
+      .select(col("doc_id"), col("q_teacher"))
+    val n = base.count()
+    val naive = base
+      .withColumn("rk", row_number().over(wq).cast("long") - 1)
+      .withColumn("si",
+        when(col("rk") * 4 < n, 0L)
+          .when(col("rk") * 4 >= n * 3, 2L).otherwise(1L))
+      .withColumn("h", graft.operators.TextOps.h32(
+        concat(lit("cur:"), col("doc_id").cast("string"))))
+      .withColumn("ord", row_number().over(
+        Window.orderBy(col("si"), col("h"), col("doc_id")))
+        .cast("long") - 1)
+      .select(col("ord"), col("doc_id"),
+        element_at(array(lit("easy"), lit("core"), lit("hard")),
+          (col("si") + 1).cast("int")).as("stage"),
+        col("q_teacher"))
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    val got = Distill.curriculumOrder(spark, dir)
+      .as[(Long, Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == naive)
+    assert(got.map(_._1) == (0L until n).toSeq, "ord not contiguous")
+    // quartile staging: stage sizes follow the exact-rank arithmetic
+    val sizes = got.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val easy = (0L until n).count(r => r * 4 < n)
+    val hard = (0L until n).count(r => r * 4 >= n * 3)
+    assert(sizes("easy") == easy && sizes("hard") == hard &&
+      sizes("core") == n - easy - hard, sizes.toString)
+  }
+
   test("fim_transform: spans are non-empty, lossless, and short docs " +
       "pass through") {
     // synthetic corpus exercising the n<3 passthrough and the minimal
