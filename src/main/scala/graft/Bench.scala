@@ -34,6 +34,8 @@ object Bench {
     "domain_topk" -> 1.0, "fim_transform" -> 1.5,
     // curriculum_order: quiet warm median 1.06 × 1.5
     "curriculum_order" -> 1.6,
+    // source_cap: quiet warm median 0.76 × 1.5
+    "source_cap" -> 1.15,
     // chunk_assign/viz_dot joined in round 9: quiet TimeQuery warm
     // medians 0.83 / 0.80 s × 1.5
     "chunk_assign" -> 1.25,

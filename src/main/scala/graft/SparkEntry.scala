@@ -178,6 +178,7 @@ object SparkEntry {
     "domain_topk"       -> ((s, d) => Distill.domainTopk(s, d)),
     "fim_transform"     -> ((s, d) => Corpus.fimTransform(s, d)),
     "curriculum_order"  -> ((s, d) => Distill.curriculumOrder(s, d)),
+    "source_cap"        -> ((s, d) => Corpus.sourceCap(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -2672,6 +2673,25 @@ object SparkEntry {
         |               ELSE 'hard' END AS stage,
         |       q_teacher
         |FROM s ORDER BY ord""".stripMargin,
+
+    // per-source token-budget cap: the oracle replays the naive
+    // one-window cumsum; the engine's two-level bucket decomposition
+    // equals it by the high-bits total-order argument (Corpus scaladoc)
+    "source_cap" ->
+      """WITH f AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('cap:'
+        |          || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        COALESCE(CAST(sum(n_tokens) OVER (PARTITION BY source
+        |            ORDER BY h ASC, doc_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |          AS BIGINT), 0) AS cum_before
+        |      FROM f)
+        |SELECT source, doc_id, n_tokens, cum_before,
+        |       (cum_before < 1500) AS kept
+        |FROM c ORDER BY source, cum_before""".stripMargin,
 
     // FIM: the GREATEST(…, 1) modulus guard mirrors the Spark side
     // (sub-3-token rows take the passthrough branch but the cut

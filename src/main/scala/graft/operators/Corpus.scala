@@ -483,6 +483,64 @@ object Corpus {
       .orderBy("lang", "rk")
   }
 
+  /** `source_cap`: per-domain token-budget capping — the domain-
+    * balancing step that stops one oversampled source from dominating
+    * the mixture: within each source, documents are laid out in the
+    * deterministic salted-hash order (the [[splitAssign]] no-RNG
+    * contract — adding documents never reorders existing ones) and
+    * kept while the EXCLUSIVE running token total is under `budget`
+    * (so the crossing document is kept, overshooting by at most one
+    * doc — the deterministic greedy rule).
+    *
+    * Scale posture: the naive form is `sum() OVER (PARTITION BY source
+    * ORDER BY h)` — a partitioned window whose hot-domain partition
+    * sorts that ENTIRE domain in one task. This is the two-LEVEL
+    * prefix sum instead, both levels bounded: the hash's high byte
+    * splits each source into 256 buckets, level 1 cumsums the
+    * per-bucket token totals (window partitions of ≤ 256 rows), level
+    * 2 cumsums WITHIN each (source, bucket) (partitions of ~1/256 of
+    * a domain) and adds the bucket offset. Because the bucket is the
+    * hash's high bits, (bucket, h, doc_id) is the same total order as
+    * (h, doc_id), so per-doc prefixes are EXACTLY the naive form's
+    * (CorpusSpec pins the equality; the oracle replays the naive
+    * window). Same family as [[packAssign]]'s two-pass sum, expressed
+    * entirely in windows — no RDD hop needed because the offsets join
+    * back by key instead of by partition index. */
+  def sourceCap(spark: SparkSession, dir: String,
+      budget: Long = 1500L): DataFrame =
+    sourceCapOf(
+      Tables.documents(spark, dir)
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          h32(concat(lit("cap:"), col("doc_id").cast("string")))
+            .as("h")),
+      budget)
+
+  /** [[sourceCap]] over any (doc_id, source, n_tokens, h) relation —
+    * factored out so the bounded-partition path is testable on a
+    * synthetic hot domain. */
+  private[graft] def sourceCapOf(docs: DataFrame,
+      budget: Long): DataFrame = {
+    // h < 2^32, so div 2^24 gives the high byte: 256 buckets whose
+    // order refines the global h-order
+    val bucketed = docs.withColumn("bkt", expr("h div 16777216"))
+    val bCum = bucketed.groupBy("source", "bkt")
+      .agg(sum("n_tokens").as("bt"))
+      .withColumn("off", coalesce(
+        sum("bt").over(Window.partitionBy("source").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("source", "bkt", "off")
+    val within = Window.partitionBy("source", "bkt")
+      .orderBy(asc("h"), asc("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(bCum, Seq("source", "bkt"))
+      .withColumn("cum_before",
+        col("off") + coalesce(sum("n_tokens").over(within), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), (col("cum_before") < budget).as("kept"))
+      .orderBy("source", "cum_before")
+  }
+
   /** `fim_transform`: fill-in-the-middle training-example construction —
     * each document is split at two deterministic token positions into
     * (prefix, middle, suffix) and re-serialized in PSM order

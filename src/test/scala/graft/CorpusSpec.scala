@@ -319,6 +319,42 @@ class CorpusSpec extends SparkSpec {
     q.unpersist()
   }
 
+  test("source_cap: two-level bucketed prefix sum equals the naive " +
+      "one-window cumsum, including on a hot domain") {
+    import graft.operators.TextOps
+    // synthetic skew: one domain with 10,000 docs beside two small ones
+    // — the shape whose naive window sorts the whole domain in one task
+    val docs = ((1L to 10000L).map(i => (i, "hot")) ++
+      (10001L to 10050L).map(i => (i, "cold1")) ++
+      (10051L to 10060L).map(i => (i, "cold2")))
+      .toDF("doc_id", "source")
+      .withColumn("n_tokens", lit(1L) + pmod(col("doc_id"), lit(7L)))
+      .withColumn("h", TextOps.h32(
+        concat(lit("cap:"), col("doc_id").cast("string"))))
+    val budget = 2000L
+    val got = Corpus.sourceCapOf(docs, budget)
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    val naive = docs
+      .withColumn("cum_before", coalesce(
+        sum("n_tokens").over(Window.partitionBy("source")
+          .orderBy(asc("h"), asc("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("cum_before"), (col("cum_before") < budget).as("kept"))
+      .orderBy("source", "cum_before")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == naive)
+    // the cap binds on the hot domain and spares the small ones
+    val byKept = got.groupBy(r => (r._1, r._5)).view
+      .mapValues(_.size).toMap
+    assert(byKept.contains(("hot", false)), "hot domain never capped")
+    assert(!byKept.contains(("cold2", false)), "small domain capped")
+    // kept set's token total lands in [budget, budget + max n_tokens)
+    val hotKept = got.filter(r => r._1 == "hot" && r._5)
+      .map(_._3).sum
+    assert(hotKept >= budget && hotKept < budget + 7, hotKept.toString)
+  }
+
   test("shingles of docs shorter than the window are empty, not garbage") {
     // Spark's sequence(0, negative) descends — the CASE guard in
     // shinglesOf must keep short docs shingle-free (DuckDB range parity)
