@@ -199,6 +199,34 @@ class GuardSpec extends SparkSpec {
       a == 20001L && b == 20002L && j > 0 }, out.take(5).mkString(","))
   }
 
+  test("degenerate corpus: quality_fit fails fast on singular normal " +
+      "equations; the rank/cap ops still complete") {
+    // every doc identical → both features constant → collinear with the
+    // intercept → zero determinant. A silent division would emit NaN
+    // weights; the fit must refuse instead.
+    val d = Files.createTempDirectory("graft-degen").toString
+    (1L to 2000L).map(i => (i, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+      .selectExpr("doc_id", "text", "'en' AS lang", "'src0' AS source",
+        "CAST(length(text) AS BIGINT) AS n_chars")
+      .coalesce(2).write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.Distill.qualityFit(spark, d).collect()
+    }
+    assert(e.getMessage.contains("singular normal equations"),
+      e.getMessage)
+    // rank-based ops are tie-broken by doc_id, so full degeneracy is
+    // fine: contiguous order, every row ranked/capped deterministically
+    val cur = graft.operators.Distill.curriculumOrder(spark, d)
+      .select("ord").as[Long].collect()
+    assert(cur.sorted.toSeq == (0L until 2000L).toSeq)
+    val topk = graft.operators.Distill.domainTopk(spark, d)
+      .as[(String, Long, Long, Long)].collect()
+    assert(topk.map(r => (r._1, r._2)).toSeq ==
+      (1L to 5L).map(r => ("src0", r)).toSeq)
+    assert(graft.operators.Corpus.sourceCap(spark, d).count() == 2000L)
+  }
+
   test("span survivor hot span: 10k-doc shared span completes; one keeper") {
     // a span shared by 10k documents is one df row + per-doc start
     // lists — never a doc-pair surface (spanSurvivorsOf scaladoc); each
