@@ -132,16 +132,33 @@ object Distill {
   def qualityPredict(spark: SparkSession, dir: String): DataFrame = {
     // empty corpus: the projection below emits 0 rows regardless, so the
     // weights only need to be well-typed
-    val (w0, w1, w2) = fitWeights(spark, dir).getOrElse((0.0, 0.0, 0.0))
-    featuredOf(spark, dir)
+    val w = fitWeights(spark, dir).getOrElse((0.0, 0.0, 0.0))
+    scoreWith(w)(featuredOf(spark, dir)).orderBy("doc_id")
+  }
+
+  /** The scoring projection over any featured slice, as a reusable
+    * transform — the batch-fit → stream-apply composition: fit offline
+    * with [[fitWeights]], then apply the three numbers to a LIVE
+    * document stream ([[graft.streaming.CorpusStream.scoredStream]]).
+    * Stateless and sort-free (the declared query adds its
+    * deterministic orderBy on top), so it is legal in a streaming
+    * append-mode plan and identical row-for-row to the batch form. */
+  private[graft] def scoreWith(w: (Double, Double, Double))(
+      featured: DataFrame): DataFrame = {
+    val (w0, w1, w2) = w
+    featured
       .select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
         col("q_teacher"),
         round(lit(w0) + lit(w1) * col("n_tokens")
           + lit(w2) * col("stop_cnt"), 6).as("q_pred"),
         round(col("q_teacher") - (lit(w0) + lit(w1) * col("n_tokens")
           + lit(w2) * col("stop_cnt")), 6).as("resid"))
-      .orderBy("doc_id")
   }
+
+  /** [[featured]] over an arbitrary (doc_id, source, text) relation —
+    * batch or streaming (every column is row-local). */
+  private[graft] def featuredSlice(docs: DataFrame): DataFrame =
+    featured(docs)
 
   /** `domain_topk`: per-domain curation — the k highest-quality
     * documents of every source by the teacher score (ties broken by

@@ -73,6 +73,22 @@ object CorpusStream {
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
   }
 
+  /** The batch-fit → stream-score composition: apply a PRE-FITTED
+    * quality model (three numbers from
+    * [[graft.operators.Distill.fitWeights]], trained offline on the
+    * accumulated corpus) to a LIVE document stream. Unlike the
+    * preparation pipeline this needs no foreachBatch bridge — scoring
+    * is a stateless row-local projection, so it composes as a fully
+    * incremental append-mode plan (no state store, no watermark, any
+    * trigger), and each row's score is byte-identical to the batch
+    * `quality_predict` projection's (StreamingSpec pins the parity).
+    * This is the production shape for model-based quality filtering at
+    * ingest: refit periodically in batch, hot-swap three literals. */
+  def scoredStream(docs: DataFrame,
+      weights: (Double, Double, Double)): DataFrame =
+    graft.operators.Distill.scoreWith(weights)(
+      graft.operators.Distill.featuredSlice(docs))
+
   /** [[prepareSlice]] plus the round-5 gates — the streaming twin of
     * [[Corpus.corpusPrepareFull]] minus packing: repetition gate over
     * the slice, decontamination of the slice's train split against its

@@ -951,6 +951,42 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(stage).exists(), "stage not cleaned up")
   }
 
+  test("stream scoring with a batch-fitted model matches quality_predict " +
+      "row-for-row") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Distill
+    val dir = "/root/testdata/sf0.001"
+    val w = Distill.fitWeights(spark, dir).get
+    // stream the same documents table as a 2-file source (each file one
+    // micro-batch) through the incremental scoring plan
+    val base = java.nio.file.Files.createTempDirectory("graft-score")
+    val watched = s"$base/in"
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(0, 1).foreach { i =>
+      val staging = s"$base/staging-$i"
+      docs.filter(pmod(col("doc_id"), lit(2)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/chunk$i.parquet"))
+    }
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+    val q = CorpusStream.scoredStream(src, w).writeStream
+      .format("memory").queryName("scored_parity")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("scored_parity")
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    val want = Distill.qualityPredict(spark, dir)
+      .as[(Long, Long, Long, Long, Double, Double)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("compaction no-ops on a store with no batch partitions") {
     import graft.streaming.CorpusStream
     val base = java.nio.file.Files.createTempDirectory("graft-compact-empty")
