@@ -36,6 +36,9 @@ object Bench {
     "curriculum_order" -> 1.6,
     // source_cap: quiet warm median 0.76 × 1.5
     "source_cap" -> 1.15,
+    // bpe_encode re-runs the learn loop plus k encode passes every
+    // run: quiet warm median 2.4 × 1.5
+    "bpe_encode" -> 3.6,
     // chunk_assign/viz_dot joined in round 9: quiet TimeQuery warm
     // medians 0.83 / 0.80 s × 1.5
     "chunk_assign" -> 1.25,

@@ -179,6 +179,7 @@ object SparkEntry {
     "fim_transform"     -> ((s, d) => Corpus.fimTransform(s, d)),
     "curriculum_order"  -> ((s, d) => Distill.curriculumOrder(s, d)),
     "source_cap"        -> ((s, d) => Corpus.sourceCap(s, d)),
+    "bpe_encode"        -> ((s, d) => TextOps.bpeEncode(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -377,6 +378,44 @@ object SparkEntry {
        |$steps
        |$out
        |ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB oracle for `bpe_encode`: [[bpeMergesSql]]'s learn chain
+    * with doc_id carried through every d-CTE and the FINAL merge also
+    * applied (the learn chain skips the last apply — encoding needs
+    * it), then per-doc before/after counts joined back to documents.
+    * Merge selection is unchanged (pair counts group by (a, b) only,
+    * so carrying doc_id cannot move a winner). */
+  private def bpeEncodeSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT t, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT string_split(s, ' ') AS t FROM d$k))
+         |  GROUP BY 1, 2),
+         |w$k AS MATERIALIZED (
+         |  SELECT a, b, a || '_' || b AS m, cnt
+         |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |d${k + 1} AS MATERIALIZED (
+         |  SELECT doc_id, trim(regexp_replace(
+         |           replace(' ' || replace(s, ' ', '  ') || ' ',
+         |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
+         |                   (SELECT ' ' || m || ' ' FROM w$k)),
+         |           ' +', ' ', 'g')) AS s
+         |  FROM d$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d1 AS MATERIALIZED (SELECT doc_id, text AS s FROM documents),
+       |$steps
+       |SELECT d.doc_id,
+       |       CAST(len(string_split(doc.text, ' ')) AS BIGINT)
+       |         AS n_tokens,
+       |       CAST(len(string_split(d.s, ' ')) AS BIGINT)
+       |         AS n_tokens_bpe,
+       |       round(CAST(len(string_split(d.s, ' ')) AS DOUBLE)
+       |             / len(string_split(doc.text, ' ')), 6)
+       |         AS compression
+       |FROM d${iters + 1} d JOIN documents doc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB oracle for `bpe_merges_bytes`: the byte/char-level variant
@@ -1756,6 +1795,7 @@ object SparkEntry {
     // byte/char-level BPE over the word-frequency type table — the
     // production tokenizer-training granularity (TextOps.bpeMergesBytes)
     "bpe_merges_bytes" -> bpeMergesBytesSql(4),
+    "bpe_encode" -> bpeEncodeSql(4),
 
     // the pipeline terminal (Corpus.packTokens): the UNK-tokenized
     // token stream of every pipeline survivor, tagged with its

@@ -806,6 +806,48 @@ object TextOps {
       .orderBy("step")
   }
 
+  /** `bpe_encode`: apply the LEARNED merges back to the corpus — the
+    * encode step that closes the tokenizer loop (learn the merge table
+    * with [[bpeMerges]], then encode the token stream with it). Merges
+    * apply in rank order with the exact doubled-space literal replace
+    * the learner uses (left-to-right scan = BPE's greedy non-overlap
+    * rule), so k merges are k linear codegen'd string passes over the
+    * corpus and the merge table itself is k driver-side rows (boundary
+    * metadata, the [[graft.operators.Distill]] fit-weights class).
+    * Output: per-document token counts before and after encoding plus
+    * the compression ratio — the tokenizer-efficiency audit that
+    * decides whether a merge budget is paying for itself.
+    *
+    * Scale posture: the learn phase is [[bpeMerges]] (its scaladoc owns
+    * that story); the encode phase is shuffle-free scan→project at any
+    * corpus size. */
+  def bpeEncode(spark: SparkSession, dir: String,
+      nMerges: Int = 4): DataFrame = {
+    import spark.implicits._
+    def esc(t: String): String =
+      t.replace("\\", "\\\\").replace("'", "\\'")
+    val ms = bpeMerges(spark, dir, nMerges)
+      .select("lhs", "rhs", "merged")
+      .as[(String, String, String)].collect()
+    var cur = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        col("text").as("s"))
+    ms.foreach { case (a, b, m) =>
+      val (ea, eb, em) = (esc(a), esc(b), esc(m))
+      cur = cur.select(col("doc_id"), col("n_tokens"), expr(
+        s"""trim(replace(
+           |  replace(' ' || replace(s, ' ', '  ') || ' ',
+           |          ' $ea  $eb ', ' $em '),
+           |  '  ', ' '))""".stripMargin).as("s"))
+    }
+    cur.select(col("doc_id"), col("n_tokens"),
+      size(split(col("s"), " ")).cast("long").as("n_tokens_bpe"),
+      round(size(split(col("s"), " ")).cast("double") / col("n_tokens"),
+        6).as("compression"))
+      .orderBy("doc_id")
+  }
+
   /** `bpe_merges_bytes`: BYTE/CHAR-level BPE merge learning — the
     * production tokenizer-training shape (Sennrich, Haddow & Birch,
     * ACL 2016, learn_bpe.py's actual granularity), where [[bpeMerges]]

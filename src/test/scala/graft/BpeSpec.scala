@@ -110,6 +110,49 @@ class BpeSpec extends SparkSpec {
       s"got=$got expected=${refMerges(texts, 5)}")
   }
 
+  test("encode: per-doc counts match an independent greedy re-application") {
+    val texts = Seq(
+      "the quick fox the quick fox jumps",
+      "a a a a b a a b",
+      "the quick brown fox",
+      "b a b a b a",
+      "quick quick quick the the the",
+      "fox jumps fox jumps fox")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = corpusDir(docs)
+    val merges = TextOps.bpeMerges(spark, d, nMerges = 4)
+      .select("lhs", "rhs", "merged")
+      .as[(String, String, String)].collect().toSeq
+    assert(merges.nonEmpty)
+    // independent application: the reference's greedy left-to-right
+    // fold, one pass per merge in rank order
+    def applyAll(t0: Seq[String]): Seq[String] =
+      merges.foldLeft(t0) { case (t, (a, b, m)) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        t.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc(acc.length - 1) = m
+          else acc += x
+        }
+        acc.toSeq
+      }
+    val got = TextOps.bpeEncode(spark, d, nMerges = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(got.map(_._1) == docs.map(_._1))
+    got.foreach { case (id, n, nb, comp) =>
+      val t = texts(id.toInt).split(' ').toSeq
+      val enc = applyAll(t)
+      assert(n == t.size && nb == enc.size,
+        s"doc $id: got ($n,$nb) want (${t.size},${enc.size}); enc=$enc")
+      assert(comp ==
+        BigDecimal(enc.size.toDouble / t.size)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      assert(nb <= n)
+    }
+    // the merges actually fired somewhere
+    assert(got.exists { case (_, n, nb, _) => nb < n })
+  }
+
   // ---- byte/char-level mode (TextOps.bpeMergesBytes) ----
 
   /** Independent byte-level reference: Sennrich learn_bpe.py's actual
