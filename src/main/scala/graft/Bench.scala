@@ -25,7 +25,8 @@ object Bench {
     // quiet sf0.1 TimeQuery 5-run medians 1.95 / 1.38 × 1.5. The two
     // r13 queries follow the same derivation — jaccard_lsh_2l median
     // 2.63, span_survivors 2.31, × 1.5
-    "bpe_merges" -> 2.9, "bpe_merges_bytes" -> 2.1,
+    // bpe_merges is cold-gated below since round 15 (merge table memoized)
+    "bpe_merges_bytes" -> 2.1,
     "jaccard_lsh_2l" -> 3.9, "span_survivors" -> 3.5,
     // distillation tier, derived round 14 (same discipline: quiet
     // sf0.1 TimeQuery 5-run warm medians 0.65 / 0.91 / 0.66 / 0.98,
@@ -159,7 +160,11 @@ object Bench {
     // rank two-pass — the one gate that still sees a tf-build
     // regression after the round-9 memo. Forced-adjudication solo
     // measurement 2.07 s at loadavg 3.6 (PROFILE_r09 §8) × 1.5
-    "nll_bucket" -> 3.1)
+    "nll_bucket" -> 3.1,
+    // memoized round 15 (the bpe_encode learn-twice fix): cold run is
+    // the 4-round learn loop; runs 2..N are memo reads. Budget = the
+    // r15 quiet solo-released cold × 1.5
+    "bpe_merges" -> 3.0)
 
   /** Memo-release hooks for the cold-gated queries above: before a solo
     * re-run, drop EXACTLY the memo state the query owns — its
@@ -194,7 +199,10 @@ object Bench {
       ((s: SparkSession) =>
         graft.model.BuilderCache.release(s, "triangleCounts")),
     "nll_bucket" ->
-      ((s: SparkSession) => graft.model.BuilderCache.release(s, "docTf")))
+      ((s: SparkSession) => graft.model.BuilderCache.release(s, "docTf")),
+    "bpe_merges" ->
+      ((s: SparkSession) =>
+        graft.model.BuilderCache.release(s, "bpeMerges")))
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

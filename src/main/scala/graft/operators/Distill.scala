@@ -198,14 +198,25 @@ object Distill {
     * (both ranks are over total orders, wherever they are cut). */
   def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val ranked = featuredOf(spark, dir)
-      .select(col("doc_id"), col("q_teacher"))
+    // Featurize ONCE: the rank pipeline and the quartile-boundary count
+    // both consume the same 2-long-per-doc projection, and without a
+    // materialization point each would re-scan and re-featurize the
+    // whole corpus (r14 advice — at 100 TB the second scan is real
+    // money). An eager localCheckpoint pins the ~16-bytes/doc
+    // projection (the reach_hops/bpeMerges pattern); under plan
+    // inspection it is skipped so PlanSpec sweeps see the full tree.
+    val cut: DataFrame => DataFrame =
+      if (graft.model.BuilderCache.inspecting) identity
+      else _.localCheckpoint()
+    val feats = cut(featuredOf(spark, dir)
+      .select(col("doc_id"), col("q_teacher")))
+    val ranked = feats
       .repartitionByRange(desc("q_teacher"), asc("doc_id"))
       .sortWithinPartitions(desc("q_teacher"), asc("doc_id"))
       .as[(Long, Long)].rdd.zipWithIndex()
       .map { case ((id, q), r) => (id, q, r) }
       .toDF("doc_id", "q_teacher", "rk")
-    val n = featuredOf(spark, dir)
+    val n = feats
       .agg(count(lit(1)).cast("long").as("n_docs"))
     val staged = ranked.crossJoin(broadcast(n))
       .select(col("doc_id"), col("q_teacher"),

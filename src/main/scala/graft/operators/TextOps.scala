@@ -720,9 +720,19 @@ object TextOps {
     * minutes; it composes with this loop unchanged if that day comes. */
   def bpeMerges(spark: SparkSession, dir: String,
       nMerges: Int = 4): DataFrame =
-    bpeMergesOf(spark,
-      Tables.documents(spark, dir).select(toks(col("text")).as("t")),
-      nMerges)
+    // Session-memoized (the simhash/pagerank-fixpoint pattern): the
+    // merge table is the learn loop's whole output — nMerges rows — and
+    // a pipeline that both learns (`bpe_merges`) and encodes
+    // (`bpe_encode` collects this table for its k encode passes) would
+    // otherwise pay the 4-round corpus-sized learn loop twice (r14
+    // verdict item 2). Bench-wise this makes bpe_merges a cold-gated
+    // query (Bench.coldBaselineSec) with a release hook, like the other
+    // memoized chains.
+    graft.model.BuilderCache.memo(spark, s"bpeMerges:$dir:$nMerges") {
+      bpeMergesOf(spark,
+        Tables.documents(spark, dir).select(toks(col("text")).as("t")),
+        nMerges)
+    }
 
   /** Plan-depth cap for [[bpeMerges]]: rounds between eager
     * localCheckpoints of the rewritten corpus. Measured at sf0.1 with
@@ -789,12 +799,17 @@ object TextOps {
           // double every separator so each token owns a space on both
           // sides, literal-replace ` a␣␣b ` left-to-right (replace()'s
           // scan order IS the greedy non-overlap rule), re-normalize —
-          // exactly the oracle's formulation, and linear in doc length
+          // exactly the oracle's formulation, and linear in doc length.
+          // The re-normalize is ' +' REGEX, not a literal '  ' pass: a
+          // literal pass halves a run of spaces instead of collapsing
+          // it, so raw text containing consecutive spaces (doubling
+          // makes a 4-run; literal → 2, regex → 1) would diverge from
+          // the oracle's regexp_replace from round 2 on (r14 advice)
           cur = cur.select(expr(
-            s"""trim(replace(
+            s"""trim(regexp_replace(
                |  replace(' ' || replace(s, ' ', '  ') || ' ',
                |          ' $ea  $eb ', ' $em '),
-               |  '  ', ' '))""".stripMargin).as("s"))
+               |  ' +', ' '))""".stripMargin).as("s"))
         case None => step = nMerges // empty corpus: nothing to merge
       }
       if (step % BpeCheckpointEvery == 0 && step < nMerges)
@@ -835,11 +850,13 @@ object TextOps {
         col("text").as("s"))
     ms.foreach { case (a, b, m) =>
       val (ea, eb, em) = (esc(a), esc(b), esc(m))
+      // ' +' regex collapse, matching the oracle (see bpeMergesOf): the
+      // encode input is RAW text, where consecutive spaces are live
       cur = cur.select(col("doc_id"), col("n_tokens"), expr(
-        s"""trim(replace(
+        s"""trim(regexp_replace(
            |  replace(' ' || replace(s, ' ', '  ') || ' ',
            |          ' $ea  $eb ', ' $em '),
-           |  '  ', ' '))""".stripMargin).as("s"))
+           |  ' +', ' '))""".stripMargin).as("s"))
     }
     cur.select(col("doc_id"), col("n_tokens"),
       size(split(col("s"), " ")).cast("long").as("n_tokens_bpe"),

@@ -203,7 +203,11 @@ object CorpusStream {
     *     in. A crash anywhere is recovered by re-running compactBands
     *     before resuming ingestion; the staged fold preserves the data
     *     across the delete/rename window, and a completed run deletes
-    *     the stage last. A committed stage is NEVER reused for a
+    *     the stage last. The one ambiguous-looking recovery state — a
+    *     committed stage whose batch_id=-1 is GONE (crash between the
+    *     rename and the stage delete) — is disambiguated inside swapIn
+    *     against the store's own -1 partition before any delete runs
+    *     (see the inline note; StreamingSpec fabricates the crash). A committed stage is NEVER reused for a
     *     different throughBatch (a crash between phases can leave the
     *     store torn — partitions ≤ its recorded n already deleted — so
     *     a fresh rebuild would read a torn store, and swapping in a
@@ -224,6 +228,22 @@ object CorpusStream {
     // phase B of a (possibly crashed) run: drop the partitions the fold
     // covers, swap the staged sentinel segment in, drop the stage.
     def swapIn(upTo: Long): Unit = {
+      val foldSrc = new Path(stage, "batch_id=-1")
+      // Recovery disambiguation (r14 advice, HIGH): a committed stage
+      // with NO batch_id=-1 while the STORE already holds one means the
+      // rename below ALREADY ran and the crash landed before the final
+      // stage delete — the store's -1 is the only copy of every row the
+      // fold covered, and re-running the delete loop would destroy it.
+      // The state is unambiguous: a genuinely EMPTY fold (stage holds
+      // only _SUCCESS) cannot coexist with a nonempty store -1, because
+      // the fold reads `batch_id <= n` INCLUDING any prior -1 — a
+      // surviving store -1 would have made the fold nonempty. So:
+      // finish the crashed run's only remaining step and return.
+      if (!fs.exists(foldSrc) &&
+          fs.exists(new Path(stateDir, "batch_id=-1"))) {
+        fs.delete(stage, true)
+        return
+      }
       fs.listStatus(new Path(stateDir))
         .filter(_.getPath.getName.startsWith("batch_id="))
         .foreach { st =>
@@ -235,7 +255,6 @@ object CorpusStream {
       // the fold. An absent source is the legitimate empty-fold case
       // (an empty frame writes only _SUCCESS); anything else must abort
       // BEFORE the stage is deleted.
-      val foldSrc = new Path(stage, "batch_id=-1")
       if (fs.exists(foldSrc))
         require(fs.rename(foldSrc, new Path(stateDir, "batch_id=-1")),
           s"compaction swap failed: could not rename $foldSrc into " +

@@ -153,6 +153,25 @@ class BpeSpec extends SparkSpec {
     assert(got.exists { case (_, n, nb, _) => nb < n })
   }
 
+  test("encode: consecutive spaces collapse like the oracle's regex, " +
+      "not halve like a literal pass") {
+    // doc 1 contains a DOUBLE space and no occurrence of the learned
+    // merge. The encode pass doubles separators (run of 4), applies the
+    // merge (no-op here), then collapses runs: the oracle's
+    // regexp_replace(' +', ' ') yields "x y" (2 tokens), while the
+    // pre-r15 literal replace('  ', ' ') only halved the run back to
+    // "x  y" (split → 3 tokens, one empty) — the r14-advice divergence.
+    val d = corpusDir(Seq(0L -> "p q p q p q", 1L -> "x  y"))
+    val got = TextOps.bpeEncode(spark, d, nMerges = 1)
+      .as[(Long, Long, Long, Double)].collect().sortBy(_._1)
+    val (_, n0, nb0, _) = got(0)
+    assert(n0 == 6L && nb0 == 3L, s"doc 0: got ($n0, $nb0)") // p_q × 3
+    val (_, n1, nb1, _) = got(1)
+    // raw split counts the empty token (n_tokens = 3); the encoded
+    // stream is whitespace-normalized exactly as the oracle's (= 2)
+    assert(n1 == 3L && nb1 == 2L, s"doc 1: got ($n1, $nb1)")
+  }
+
   // ---- byte/char-level mode (TextOps.bpeMergesBytes) ----
 
   /** Independent byte-level reference: Sennrich learn_bpe.py's actual

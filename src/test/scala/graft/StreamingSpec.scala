@@ -951,6 +951,81 @@ class StreamingSpec extends SparkSpec {
     assert(!new java.io.File(stage).exists(), "stage not cleaned up")
   }
 
+  test("compaction recovery after a crash between the rename and the " +
+      "stage delete keeps the swapped-in fold") {
+    import graft.streaming.CorpusStream
+    val base = java.nio.file.Files.createTempDirectory("graft-compact-post")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    def text(prefix: String): String =
+      s"the " + (1 to 23).map(i => s"$prefix$i").mkString(" ")
+    def writeFile(name: String, mtimeOffsetMs: Long,
+        rows: Seq[(Long, String)]): Unit = {
+      val staging = s"$base/staging-$name"
+      rows.toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("synthetic").as("source"),
+          length(col("text")).cast("long").as("n_chars"))
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/$name.parquet"))
+      new java.io.File(s"$watched/$name.parquet")
+        .setLastModified(System.currentTimeMillis() + mtimeOffsetMs)
+    }
+    writeFile("a", -120000, Seq(1L -> text("alpha")))
+    writeFile("b", -60000, Seq(2L -> text("beta")))
+    val q = CorpusStream.ingestStateful(
+      spark.readStream.schema(CorpusStream.documentsSchema)
+        .option("maxFilesPerTrigger", "1").parquet(watched),
+      out, s"$base/ckpt", state)
+    try q.processAllAvailable() finally q.stop()
+    val allRows = spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    // fabricate a compactBands(throughBatch = 1) run that crashed AFTER
+    // phase B's rename but BEFORE the final stage delete: the stage is
+    // committed (_SUCCESS + _THROUGH=1) but its batch_id=-1 is already
+    // renamed into the store, and the covered partitions are deleted —
+    // the store's -1 is now the ONLY copy of every folded row
+    val stage = s"$state.compacting"
+    spark.read.parquet(state).filter(col("batch_id") <= 1L)
+      .select("doc_id", "band", "v1", "v2")
+      .withColumn("batch_id", lit(-1L))
+      .repartition(col("band"))
+      .write.partitionBy("batch_id", "band").parquet(stage)
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(s"$stage/_THROUGH=1"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$state/batch_id=0"))
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(s"$state/batch_id=1"))
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(s"$stage/batch_id=-1"),
+      java.nio.file.Paths.get(s"$state/batch_id=-1"))
+    // the rerun must recognize the rename already happened (stage
+    // committed, foldSrc absent, store -1 present) and ONLY delete the
+    // stage — re-running the delete loop would destroy the store's -1,
+    // the exact data-loss scenario of the r14 HIGH advice
+    CorpusStream.compactBands(spark, state, throughBatch = 1L)
+    val partsAfter = new java.io.File(state).listFiles()
+      .filter(_.isDirectory).map(_.getName).toSet
+    assert(partsAfter == Set("batch_id=-1"), s"parts $partsAfter")
+    val rowsAfter = spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet
+    assert(rowsAfter == allRows, "post-rename recovery lost band rows")
+    assert(!new java.io.File(stage).exists(), "stage not cleaned up")
+    // and a LARGER-argument rerun over the recovered store still folds
+    // correctly (the -1 sentinel re-enters the next fold)
+    CorpusStream.compactBands(spark, state, throughBatch = 2L)
+    assert(spark.read.parquet(state)
+      .select("doc_id", "band", "v1", "v2")
+      .as[(Long, Int, Long, Long)].collect().toSet == allRows)
+  }
+
   test("stream scoring with a batch-fitted model matches quality_predict " +
       "row-for-row") {
     import graft.streaming.CorpusStream
