@@ -107,6 +107,8 @@ object SparkEntry {
     "sample_stratified" -> ((s, d) => Corpus.sampleStratified(s, d)),
     "corpus_mix"        -> ((s, d) =>
       Corpus.corpusMix(s, d, Corpus.defaultMixRates)),
+    "mix_quality"       -> ((s, d) =>
+      Corpus.mixQuality(s, d, Corpus.defaultMixRates)),
     "pack_assign"       -> ((s, d) => Corpus.packAssign(s, d)),
     "corpus_prepare"    -> ((s, d) => Corpus.corpusPrepare(s, d)),
     "decontaminate"     -> ((s, d) => Corpus.decontaminate(s, d)),
@@ -1634,6 +1636,83 @@ object SparkEntry {
         |SELECT doc_id, source,
         |       CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
         |FROM k WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
+    },
+
+    // quality-aware mixing: the distillation fit (HUGEINT normal
+    // equations + Cramer, the quality_predict oracle's chain), per-doc
+    // q_pred over the ROUNDED weights, then corpus_mix's copy expansion
+    // with tier-modulated (base vs doubled) rate decompositions — both
+    // generated from the SAME rate map the Spark query uses
+    "mix_quality" -> {
+      val vals = graft.operators.Corpus.defaultMixRates.toSeq.sorted
+        .map { case (s, r) =>
+          def dec(x: Double): (Long, Long) = {
+            val c = math.floor(x).toLong
+            (c, math.round((x - c) * (1L << 32).toDouble))
+          }
+          val (c1, t1) = dec(r)
+          val (c2, t2) = dec(2 * r)
+          s"('$s', $c1, $t1, $c2, $t2)"
+        }.mkString(", ")
+      s"""WITH f AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS x1,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the', 'a', 'of', 'and', 'in'))) AS BIGINT)
+        |      AS x2,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS u
+        |  FROM documents),
+        |y AS MATERIALIZED (SELECT doc_id, source, x1, x2,
+        |        (1000000 * x2) // x1 + (1000000 * u) // x1 AS y
+        |      FROM f),
+        |s AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |        CAST(sum(x1) AS HUGEINT) AS s1,
+        |        CAST(sum(x2) AS HUGEINT) AS s2,
+        |        CAST(sum(x1 * x1) AS HUGEINT) AS s11,
+        |        CAST(sum(x1 * x2) AS HUGEINT) AS s12,
+        |        CAST(sum(x2 * x2) AS HUGEINT) AS s22,
+        |        CAST(sum(y) AS HUGEINT) AS sy,
+        |        CAST(sum(x1 * y) AS HUGEINT) AS s1y,
+        |        CAST(sum(x2 * y) AS HUGEINT) AS s2y
+        |      FROM y),
+        |d AS MATERIALIZED (SELECT
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS den,
+        |    sy*(s11*s22 - s12*s12) - s1*(s1y*s22 - s12*s2y)
+        |      + s2*(s1y*s12 - s11*s2y) AS d0,
+        |    n*(s1y*s22 - s12*s2y) - sy*(s1*s22 - s12*s2)
+        |      + s2*(s1*s2y - s1y*s2) AS d1,
+        |    n*(s11*s2y - s1y*s12) - s1*(s1*s2y - s1y*s2)
+        |      + sy*(s1*s12 - s11*s2) AS d2
+        |  FROM s),
+        |w AS (SELECT
+        |    round(CAST(d0 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS w0,
+        |    round(CAST(d1 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS w1,
+        |    round(CAST(d2 AS DOUBLE) / CAST(den AS DOUBLE), 6) AS w2
+        |  FROM d),
+        |p AS (SELECT doc_id, source,
+        |        round(w0 + w1 * x1 + w2 * x2, 6) AS q_pred
+        |      FROM y, w),
+        |cfg(source, c1, t1, c2, t2) AS (VALUES $vals),
+        |k AS (SELECT doc_id, p.source AS source, q_pred,
+        |        CASE WHEN q_pred < 400000.0 THEN 0
+        |             WHEN q_pred >= 700000.0 THEN 2
+        |             ELSE 1 END AS tier,
+        |        CAST(('0x' || substr(md5('mixq:'
+        |              || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h,
+        |        c1, t1, c2, t2
+        |      FROM p JOIN cfg ON p.source = cfg.source),
+        |nc AS (SELECT doc_id, source, q_pred,
+        |         CAST(tier AS BIGINT) AS tier,
+        |         CAST(CASE WHEN tier = 0 THEN 0
+        |                   WHEN tier = 2 THEN
+        |                     c2 + CASE WHEN h < t2 THEN 1 ELSE 0 END
+        |                   ELSE c1 + CASE WHEN h < t1 THEN 1 ELSE 0 END
+        |              END AS BIGINT) AS n
+        |       FROM k)
+        |SELECT doc_id, source, q_pred, tier,
+        |       CAST(unnest(range(1, n + 1)) AS BIGINT) AS copy_idx
+        |FROM nc WHERE n > 0 ORDER BY doc_id, copy_idx""".stripMargin
     },
 
     // the naive single-partition window form of the distributed

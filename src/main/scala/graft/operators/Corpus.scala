@@ -94,6 +94,71 @@ object Corpus {
   def defaultMixRates: Map[String, Double] =
     (0 until 20).map(i => s"src$i" -> Seq(1.5, 1.0, 0.5, 0.25)(i % 4)).toMap
 
+  /** `mix_quality`: QUALITY-AWARE source mixing — the composition that
+    * closes the distillation loop (fit → score → assemble): the
+    * [[graft.operators.Distill]] model's prediction modulates each
+    * document's effective sampling rate before the [[corpusMix]]
+    * machinery runs. Three tiers by predicted quality: below `qLow`
+    * the document is DROPPED regardless of its source's rate (the
+    * cheap-filter pass a production pipeline runs at full scale),
+    * at or above `qHigh` the source rate DOUBLES (upsample the best
+    * material — doubling keeps dyadic rates dyadic, so thresholds stay
+    * exact longs), in between the base rate applies unchanged.
+    *
+    * Determinism contract: q_pred is the same fixed-order 3-term
+    * expression over the ROUNDED fit weights as `quality_predict`
+    * (hash-verified cross-engine), so literal-threshold comparisons on
+    * it cannot diverge; the extra-copy decision is the salted-hash
+    * rule of [[corpusMix]] under its own salt (`mixq:` — independent
+    * hash per purpose). Both (copies, threshold) decompositions —
+    * base rate and doubled rate — are computed driver-side from the
+    * same map the oracle's VALUES literal is generated from.
+    *
+    * Scale posture: the fit is a memoized 9-number reduction
+    * (Distill.fitSums); scoring folds in as literals — no join, no
+    * shuffle; the rate config is a bounded broadcast; copies explode
+    * in-row. The whole plan is scan→broadcast-join→project at any
+    * corpus size, exactly like [[corpusMix]]. */
+  def mixQuality(spark: SparkSession, dir: String,
+      rates: Map[String, Double],
+      qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame = {
+    import spark.implicits._
+    require(rates.nonEmpty, "mixQuality needs at least one source rate")
+    require(qLow <= qHigh, s"qLow=$qLow > qHigh=$qHigh")
+    val (w0, w1, w2) = Distill.fitWeights(spark, dir)
+      .getOrElse((0.0, 0.0, 0.0)) // empty corpus: projection emits 0 rows
+    def dec(x: Double): (Long, Long) = {
+      val c = math.floor(x).toLong
+      (c, math.round((x - c) * (1L << 32).toDouble))
+    }
+    val cfg = rates.toSeq.sorted.map { case (src, r) =>
+      require(r >= 0, s"negative rate for $src")
+      val (c1, t1) = dec(r)
+      val (c2, t2) = dec(2 * r)
+      (src, c1, t1, c2, t2)
+    }.toDF("source", "copies1", "thr1", "copies2", "thr2")
+    Distill.featuredOf(spark, dir)
+      .select(col("doc_id"), col("source"),
+        round(lit(w0) + lit(w1) * col("n_tokens")
+          + lit(w2) * col("stop_cnt"), 6).as("q_pred"))
+      .withColumn("tier",
+        when(col("q_pred") < qLow, 0L)
+          .when(col("q_pred") >= qHigh, 2L)
+          .otherwise(1L))
+      .join(broadcast(cfg), "source")
+      .withColumn("h", h32(concat(lit("mixq:"), col("doc_id"))))
+      .withColumn("n_copies",
+        when(col("tier") === 0L, 0L)
+          .when(col("tier") === 2L, col("copies2") +
+            when(col("h") < col("thr2"), 1L).otherwise(0L))
+          .otherwise(col("copies1") +
+            when(col("h") < col("thr1"), 1L).otherwise(0L)))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("q_pred"), col("tier"),
+        explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   /** `pack_assign`: token-budget sequence packing — documents are laid
     * out in a deterministic global order (salted hash, then doc_id) and
     * greedily assigned to fixed-budget packs: pack_id = floor(exclusive

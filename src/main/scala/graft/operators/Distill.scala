@@ -73,20 +73,32 @@ object Distill {
     * to 6 dp — the cross-engine contract is: exact integer sums, exact
     * integer determinants, ONE int→double cast per weight, one
     * division, one round. */
+  /** The nine normal-equation sums as a session-memoized 1-row frame:
+    * every consumer of the fit — `quality_fit`, `quality_predict`,
+    * `mix_quality`, the stream-score composition — needs the same
+    * reduction over the same corpus, and without the memo each would
+    * re-scan and re-featurize it (the bpeMerges learn-twice pattern,
+    * fixed the same way). One row ≈ boundary metadata; the cache holds
+    * 9 decimals. */
+  private def fitSums(spark: SparkSession, dir: String): DataFrame =
+    graft.model.BuilderCache.memo(spark, s"qualityFitSums:$dir") {
+      featuredOf(spark, dir)
+        .select(col("n_tokens").cast("decimal(38,0)").as("x1"),
+          col("stop_cnt").cast("decimal(38,0)").as("x2"),
+          col("q_teacher").cast("decimal(38,0)").as("y"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x1").as("s1"), sum("x2").as("s2"),
+          sum(col("x1") * col("x1")).as("s11"),
+          sum(col("x1") * col("x2")).as("s12"),
+          sum(col("x2") * col("x2")).as("s22"),
+          sum("y").as("sy"),
+          sum(col("x1") * col("y")).as("s1y"),
+          sum(col("x2") * col("y")).as("s2y"))
+    }
+
   private[graft] def fitWeights(spark: SparkSession,
       dir: String): Option[(Double, Double, Double)] = {
-    val s = featuredOf(spark, dir)
-      .select(col("n_tokens").cast("decimal(38,0)").as("x1"),
-        col("stop_cnt").cast("decimal(38,0)").as("x2"),
-        col("q_teacher").cast("decimal(38,0)").as("y"))
-      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-        sum("x1").as("s1"), sum("x2").as("s2"),
-        sum(col("x1") * col("x1")).as("s11"),
-        sum(col("x1") * col("x2")).as("s12"),
-        sum(col("x2") * col("x2")).as("s22"),
-        sum("y").as("sy"),
-        sum(col("x1") * col("y")).as("s1y"),
-        sum(col("x2") * col("y")).as("s2y"))
+    val s = fitSums(spark, dir)
       .collect()(0) // one 9-number row: boundary metadata, not data
     if (s.getDecimal(0).longValueExact == 0L) return None // empty corpus
     def bi(i: Int): BigInt = BigInt(s.getDecimal(i).toBigInteger)

@@ -161,4 +161,57 @@ class DistillSpec extends SparkSpec {
       assert(pl + ml < n)
     }
   }
+
+  test("mix_quality: tiers follow quality_predict's scores and copy " +
+      "counts follow the tier-modulated rate decomposition") {
+    import graft.operators.TextOps
+    val (qLow, qHigh) = (400000.0, 700000.0)
+    val rates = Corpus.defaultMixRates
+    val mixed = Corpus.mixQuality(spark, dir, rates, qLow, qHigh)
+      .as[(Long, String, Double, Long, Long)].collect().toSeq
+    assert(mixed.nonEmpty)
+    // cross-check every emitted row's q_pred and tier against the
+    // hash-verified quality_predict projection
+    val pred = Distill.qualityPredict(spark, dir)
+      .select("doc_id", "q_pred").as[(Long, Double)].collect().toMap
+    mixed.foreach { case (id, _, qp, tier, _) =>
+      assert(qp == pred(id), s"doc $id q_pred $qp != ${pred(id)}")
+      val want = if (qp < qLow) 0L else if (qp >= qHigh) 2L else 1L
+      assert(tier == want, s"doc $id tier $tier != $want (q_pred $qp)")
+    }
+    // nothing below qLow survives, and both surviving tiers are
+    // exercised by the testdata
+    assert(mixed.forall(_._3 >= qLow))
+    assert(mixed.exists(_._4 == 1L) && mixed.exists(_._4 == 2L))
+    // per-doc copy count equals the (base | doubled) decomposition of
+    // its source rate under the mixq: salt — recomputed independently
+    // from the rate map here
+    val srcOf = graft.model.Tables.documents(spark, dir)
+      .select("doc_id", "source").as[(Long, String)].collect().toMap
+    val h = srcOf.keys.toSeq.toDF("id")
+      .select(col("id"), TextOps.h32(concat(lit("mixq:"),
+        col("id").cast("string"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    def dec(x: Double): (Long, Long) = {
+      val c = math.floor(x).toLong
+      (c, math.round((x - c) * (1L << 32).toDouble))
+    }
+    val copies = mixed.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    copies.foreach { case (id, got) =>
+      val r = rates(srcOf(id))
+      val (c, t) = if (pred(id) >= qHigh) dec(2 * r) else dec(r)
+      val want = c + (if (h(id) < t) 1L else 0L)
+      assert(got == want, s"doc $id copies $got != $want")
+    }
+    // dropped-tier docs are genuinely absent (some doc scored < qLow)
+    assert(pred.values.exists(_ < qLow))
+    pred.collect { case (id, qp) if qp < qLow =>
+      assert(!copies.contains(id), s"doc $id (q_pred $qp) not dropped")
+    }
+    // copy_idx is 1..n per doc (the corpus_mix expansion contract)
+    mixed.groupBy(_._1).foreach { case (id, rows) =>
+      assert(rows.map(_._5).sorted == (1L to rows.size.toLong),
+        s"doc $id copy_idx not contiguous")
+    }
+  }
 }
