@@ -80,26 +80,34 @@ object Distill {
     * re-scan and re-featurize it (the bpeMerges learn-twice pattern,
     * fixed the same way). One row ≈ boundary metadata; the cache holds
     * 9 decimals. */
+  /** The nine normal-equation sums of any featured slice — the whole
+    * fit state, and the reason the fit is trivially INCREMENTAL: every
+    * entry is an exact integer sum, so per-batch sums merge by
+    * addition ([[graft.streaming.CorpusStream.fittedStream]] exploits
+    * exactly this). */
+  private[graft] def sumsOf(featured: DataFrame): DataFrame =
+    featured
+      .select(col("n_tokens").cast("decimal(38,0)").as("x1"),
+        col("stop_cnt").cast("decimal(38,0)").as("x2"),
+        col("q_teacher").cast("decimal(38,0)").as("y"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum("x1").as("s1"), sum("x2").as("s2"),
+        sum(col("x1") * col("x1")).as("s11"),
+        sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum("y").as("sy"),
+        sum(col("x1") * col("y")).as("s1y"),
+        sum(col("x2") * col("y")).as("s2y"))
+
   private def fitSums(spark: SparkSession, dir: String): DataFrame =
     graft.model.BuilderCache.memo(spark, s"qualityFitSums:$dir") {
-      featuredOf(spark, dir)
-        .select(col("n_tokens").cast("decimal(38,0)").as("x1"),
-          col("stop_cnt").cast("decimal(38,0)").as("x2"),
-          col("q_teacher").cast("decimal(38,0)").as("y"))
-        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
-          sum("x1").as("s1"), sum("x2").as("s2"),
-          sum(col("x1") * col("x1")).as("s11"),
-          sum(col("x1") * col("x2")).as("s12"),
-          sum(col("x2") * col("x2")).as("s22"),
-          sum("y").as("sy"),
-          sum(col("x1") * col("y")).as("s1y"),
-          sum(col("x2") * col("y")).as("s2y"))
+      sumsOf(featuredOf(spark, dir))
     }
 
-  private[graft] def fitWeights(spark: SparkSession,
-      dir: String): Option[(Double, Double, Double)] = {
-    val s = fitSums(spark, dir)
-      .collect()(0) // one 9-number row: boundary metadata, not data
+  /** The driver-side half: one 9-number row → rounded weights. Exact
+    * BigInt Cramer; None on an empty corpus. */
+  private[graft] def solveSums(s: org.apache.spark.sql.Row)
+      : Option[(Double, Double, Double)] = {
     if (s.getDecimal(0).longValueExact == 0L) return None // empty corpus
     def bi(i: Int): BigInt = BigInt(s.getDecimal(i).toBigInteger)
     val (n, s1, s2, s11, s12, s22, sy, s1y, s2y) =
@@ -118,6 +126,11 @@ object Distill {
     }
     Some((w(0), w(1), w(2)))
   }
+
+  private[graft] def fitWeights(spark: SparkSession,
+      dir: String): Option[(Double, Double, Double)] =
+    solveSums(fitSums(spark, dir)
+      .collect()(0)) // one 9-number row: boundary metadata, not data
 
   /** `quality_fit`: the fitted model as a 3-row relation (0 rows on an
     * empty corpus — there is no model to emit). */

@@ -89,6 +89,63 @@ object CorpusStream {
     graft.operators.Distill.scoreWith(weights)(
       graft.operators.Distill.featuredSlice(docs))
 
+  /** INCREMENTAL quality-model fitting (the online half of the
+    * distillation tier): each micro-batch reduces its slice to the nine
+    * normal-equation sums ([[graft.operators.Distill.sumsOf]] — exact
+    * integers, so per-batch rows merge by plain ADDITION) and lands the
+    * 1-row result under its own `batch_id=N` partition with dynamic
+    * partition overwrite — a replayed batch overwrites its own row, so
+    * the accumulated state is effectively-once, the
+    * [[ingest]]/[[ingestStateful]] contract. [[runningFit]] re-solves
+    * from the summed state at any point; after batch k it equals the
+    * BATCH fit over the union of batches 1..k exactly (integer sums
+    * have no merge-order error — StreamingSpec pins the equality), so
+    * the production loop "refit periodically, hot-swap three literals
+    * into [[scoredStream]]" needs no offline pass at all.
+    *
+    * Scale posture: per batch, one map-side-combined reduction to ONE
+    * row; the state grows one 9-decimal row per batch (boundary
+    * metadata — compaction never needed in practice; a million batches
+    * is ~100 MB of parquet overhead dominated by file count, foldable
+    * by the [[compactBands]] pattern if that day comes). */
+  def fittedStream(docs: DataFrame, stateDir: String,
+      checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Distill.sumsOf(
+            graft.operators.Distill.featuredSlice(batch))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+        ()
+      }
+      .start()
+
+  /** Solve the running fit from [[fittedStream]]'s accumulated state:
+    * add the per-batch integer sums (a count-weighted merge is just
+    * addition — the whole point of normal-equation state), then the
+    * same BigInt Cramer solve as the batch fit. None before the first
+    * batch or on an all-empty stream. */
+  def runningFit(spark: SparkSession,
+      stateDir: String): Option[(Double, Double, Double)] =
+    scala.util.Try(spark.read.parquet(stateDir)).toOption.flatMap { st =>
+      val total = st.agg(
+        sum("n").cast("decimal(38,0)").as("n"),
+        sum("s1").cast("decimal(38,0)").as("s1"),
+        sum("s2").cast("decimal(38,0)").as("s2"),
+        sum("s11").cast("decimal(38,0)").as("s11"),
+        sum("s12").cast("decimal(38,0)").as("s12"),
+        sum("s22").cast("decimal(38,0)").as("s22"),
+        sum("sy").cast("decimal(38,0)").as("sy"),
+        sum("s1y").cast("decimal(38,0)").as("s1y"),
+        sum("s2y").cast("decimal(38,0)").as("s2y")).collect()(0)
+      if (total.isNullAt(0)) None // state dir exists but holds no rows
+      else graft.operators.Distill.solveSums(total)
+    }
+
   /** [[prepareSlice]] plus the round-5 gates — the streaming twin of
     * [[Corpus.corpusPrepareFull]] minus packing: repetition gate over
     * the slice, decontamination of the slice's train split against its

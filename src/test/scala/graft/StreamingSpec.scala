@@ -1062,6 +1062,49 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("incremental quality fit over batches equals the batch fit " +
+      "over their union") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Distill
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-fitstream")
+    val (watched, state) = (s"$base/in", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    // three micro-batches partitioning the corpus
+    Seq(0, 1, 2).foreach { i =>
+      val staging = s"$base/staging-$i"
+      docs.filter(pmod(col("doc_id"), lit(3)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/chunk$i.parquet"))
+    }
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+    val q = CorpusStream.fittedStream(src, state, s"$base/ckpt")
+    try q.processAllAvailable() finally q.stop()
+    // one 9-sum row per batch landed
+    assert(spark.read.parquet(state).select("batch_id")
+      .distinct().as[Long].collect().toSet == Set(0L, 1L, 2L))
+    // the merged-sums solve equals the batch fit over the whole corpus
+    // EXACTLY (integer sums have no merge-order error)
+    val running = CorpusStream.runningFit(spark, state)
+    val batch = Distill.fitWeights(spark, dir)
+    assert(running == batch && running.isDefined,
+      s"running $running != batch $batch")
+    // restart with the same checkpoint and no new input: replay-safe,
+    // fit unchanged
+    val q2 = CorpusStream.fittedStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched),
+      state, s"$base/ckpt")
+    try q2.processAllAvailable() finally q2.stop()
+    assert(CorpusStream.runningFit(spark, state) == batch)
+  }
+
   test("compaction no-ops on a store with no batch partitions") {
     import graft.streaming.CorpusStream
     val base = java.nio.file.Files.createTempDirectory("graft-compact-empty")
