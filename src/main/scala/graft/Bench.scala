@@ -9,162 +9,121 @@ import org.apache.spark.sql.SparkSession
   * the bench by computing nothing. */
 object Bench {
 
-  /** Per-query budgets, RE-DERIVED in round 9 from the r9 QUIET sweep
-    * (PROFILE_r09.md §1: loadavg 1.3 at start, total 30.28 s, zero
-    * exceedances against the prior budgets): each entry is that sweep's
-    * per-query MEDIAN × 1.5 headroom, floored at 0.3 s so sub-100 ms
-    * queries don't alarm on scheduler jitter. The round-5 derivation
-    * had drifted — the engine sped up ~35% on several entries (r8
-    * verdict item 5), leaving dead headroom where a creeping quadratic
-    * could hide. Any query whose MEDIAN exceeds 2× its budget lands in
-    * `"regressions"` (after load-gated solo adjudication below) — i.e.
-    * the alarm fires at ~3× today's steady state. */
+  /** Per-query budgets, RE-DERIVED in round 15 from the r15 QUIET
+    * 5-run sweep (PROFILE_r15.md §1: loadavg 1.30/1.37 at start, warm
+    * total 52.3 s over 105 queries, zero exceedances against the prior
+    * budgets): each entry is that sweep's per-query MEDIAN × 1.5
+    * headroom, floored at 0.3 s so sub-100 ms queries don't alarm on
+    * scheduler jitter. The r9/r10-era table had gone soft (r14 verdict
+    * top item): several queries got 3–10× faster since their budget
+    * era (jaccard_sim 0.74→1.09 median is the one that got SLOWER-
+    * looking only because its r12 rewrite moved cost into the shared
+    * builder; winnow_pairs 1.91→0.87, dedup_simhash_pairs 3.5→2.86,
+    * jaccard_lsh 2.7→1.82), so a real 3–5× regression in those passed
+    * the old gate silently. Any query whose MEDIAN exceeds 2× its
+    * budget lands in `"regressions"` (after load-gated solo
+    * adjudication below) — i.e. the alarm fires at ~3× today's steady
+    * state. Old→new per-query deltas are recorded in PROFILE_r15.md. */
   private val baselineSec: Map[String, Double] = Map(
-    "adjacency_norm" -> 0.32, "bipartite_edges" -> 0.3,
-    // bpe rows derived round 13 (the r12 verdict's budget-table gap):
-    // quiet sf0.1 TimeQuery 5-run medians 1.95 / 1.38 × 1.5. The two
-    // r13 queries follow the same derivation — jaccard_lsh_2l median
-    // 2.63, span_survivors 2.31, × 1.5
-    // bpe_merges is cold-gated below since round 15 (merge table memoized)
-    "bpe_merges_bytes" -> 2.1,
-    "jaccard_lsh_2l" -> 3.9, "span_survivors" -> 3.5,
-    // distillation tier, derived round 14 (same discipline: quiet
-    // sf0.1 TimeQuery 5-run warm medians 0.65 / 0.91 / 0.66 / 0.98,
-    // × 1.5)
-    "quality_fit" -> 1.0, "quality_predict" -> 1.4,
-    "domain_topk" -> 1.0, "fim_transform" -> 1.5,
-    // curriculum_order: quiet warm median 1.06 × 1.5
-    "curriculum_order" -> 1.6,
-    // source_cap: quiet warm median 0.76 × 1.5
-    "source_cap" -> 1.15,
-    // bpe_encode re-runs the learn loop plus k encode passes every
-    // run: quiet warm median 2.4 × 1.5
-    "bpe_encode" -> 3.6,
-    // chunk_assign/viz_dot joined in round 9: quiet TimeQuery warm
-    // medians 0.83 / 0.80 s × 1.5
-    "chunk_assign" -> 1.25,
-    "collab_topk" -> 1.22, "cooc_pairs" -> 0.3,
-    "cooc_topk" -> 0.76, "corpus_mix" -> 0.43,
-    "corpus_prepare" -> 1.11, "corpus_quantiles" -> 0.3,
-    "corpus_stats" -> 0.31, "decontaminate" -> 0.36,
-    "dedup_clusters" -> 0.3, "dedup_embedding" -> 0.3,
-    "dedup_exact" -> 0.35, "dedup_minhash" -> 0.3,
-    "dedup_simhash" -> 0.3, "dedup_simhash_pairs" -> 5.26,
-    "dedup_survivors" -> 0.3, "edges_build" -> 1.77,
-    "embed_quantize" -> 0.3, "event_asof" -> 0.3,
-    "event_edges" -> 0.3, "event_funnel" -> 0.3,
-    "event_hourly" -> 0.3, "event_retention" -> 0.49,
-    "event_sliding" -> 0.3, "event_weights" -> 0.3,
-    "event_window_join" -> 0.3, "jaccard_lsh" -> 4.06,
-    "jaccard_sim" -> 0.74,
-    "json_props" -> 0.3, "knn_bucketed" -> 0.46,
-    "knn_ivf" -> 0.41, "knn_ivf_fixed" -> 1.07,
-    "knn_multiprobe" -> 0.45, "knn_quantized" -> 0.66,
+    "adjacency_norm" -> 0.32, "bigram_nll" -> 4.68,
+    "bipartite_edges" -> 0.3, "bm25_topk" -> 0.96,
+    // bpe_merges is a memo read after bpe_encode (sorted first) warms
+    // the shared merge table; the learn CHAIN is carried by
+    // bpe_encode's cold gate below
+    "bpe_merges" -> 0.3, "bpe_merges_bytes" -> 1.78,
+    "chunk_assign" -> 0.3, "cluster_stats" -> 0.85,
+    "collab_topk" -> 0.89, "cooc_pairs" -> 0.3,
+    "cooc_topk" -> 0.74, "corpus_mix" -> 0.3,
+    "corpus_prepare" -> 0.95, "corpus_quantiles" -> 0.3,
+    "corpus_stats" -> 0.3, "curriculum_order" -> 0.89,
+    "decontaminate" -> 0.3, "dedup_clusters" -> 0.3,
+    "dedup_embedding" -> 0.3, "dedup_exact" -> 0.3,
+    "dedup_minhash" -> 0.3, "dedup_simhash" -> 0.3,
+    "dedup_simhash_pairs" -> 4.28, "dedup_survivors" -> 0.3,
+    "degree_dist" -> 0.56, "domain_stats" -> 0.3,
+    "domain_topk" -> 0.45, "edges_build" -> 1.37,
+    "embed_quantize" -> 0.3, "event_anomaly" -> 0.4,
+    "event_asof" -> 0.3, "event_edges" -> 0.3,
+    "event_funnel" -> 0.3, "event_hourly" -> 0.3,
+    "event_retention" -> 0.36, "event_sliding" -> 0.3,
+    "event_weights" -> 0.3, "event_window_join" -> 0.3,
+    "fim_transform" -> 0.3, "jaccard_lsh" -> 2.73,
+    "jaccard_lsh_2l" -> 3.14, "jaccard_sim" -> 1.64,
+    "json_props" -> 0.3, "knn_bucketed" -> 0.39,
+    "knn_ivf" -> 0.33, "knn_ivf_fixed" -> 0.57,
+    "knn_multiprobe" -> 0.41, "knn_quantized" -> 0.62,
     "lang_id" -> 0.3, "lang_id_ngram" -> 0.3,
-    "multimodal_features" -> 0.48, "multimodal_frames" -> 0.3,
-    "multimodal_resize" -> 0.3, "ngram_counts" -> 3.27,
-    // re-derived round 10 with the corpus-relative guard chain (quiet
-    // sweep loadavg 1.08 at start): median 1.94 × 1.5
-    "ngram_jaccard" -> 2.9, "orderfreq_topk" -> 1.08,
-    "pack_assign" -> 0.53, "pack_manifest" -> 0.61,
-    "pack_tokens" -> 0.78, "popularity_approx" -> 2.61,
-    "popularity_topk" -> 0.87, "rec_blend" -> 0.76,
-    "rec_blend_fixed" -> 0.89, "rec_blend_full" -> 1.5,
-    "sample_stratified" -> 0.77, "scan_project" -> 0.3,
-    "sessionize" -> 0.54, "sim_topk" -> 0.3,
-    "span_dup_rate" -> 0.3, "split_assign" -> 0.3,
+    "multimodal_features" -> 0.6, "multimodal_frames" -> 0.3,
+    "multimodal_resize" -> 0.3, "ngram_counts" -> 3.05,
+    "ngram_jaccard" -> 2.98, "orderfreq_topk" -> 0.96,
+    "pack_assign" -> 0.42, "pack_manifest" -> 0.43,
+    "pack_tokens" -> 0.83, "pii_redact" -> 0.3,
+    "pmi_bigrams" -> 4.15, "popularity_approx" -> 1.74,
+    "popularity_topk" -> 0.56,
+    // quality_fit's warm runs are fitSums-memo reads since round 15;
+    // the fit CHAIN is carried by mix_quality's cold gate (the
+    // alphabetically-first toucher, the graph_stats pattern)
+    "quality_fit" -> 0.3, "quality_predict" -> 0.3,
+    "reach_hops" -> 2.93, "rec_blend" -> 1.02,
+    "rec_blend_fixed" -> 1.08, "rec_blend_full" -> 1.17,
+    "sample_stratified" -> 0.68, "scan_project" -> 0.3,
+    "semdedup_fixed" -> 0.51, "sessionize" -> 0.47,
+    "sim_topk" -> 0.3, "source_cap" -> 0.42,
+    "source_kl" -> 0.45, "span_dup_rate" -> 0.3,
+    "span_survivors" -> 0.3, "split_assign" -> 0.3,
+    "text_clean" -> 0.3, "text_entropy" -> 0.47,
     "text_fingerprint" -> 0.3, "text_quality" -> 0.3,
-    // late round-9 queries: quiet TimeQuery warm medians × 1.5.
-    // degree_dist recomputes two aggs off the warm cooc memo;
-    // triangle_counts reads the memoized triangle frame (graph_stats —
-    // sorted first — carries the chain cost in coldBaselineSec), so its
-    // median is a memo read
-    "degree_dist" -> 0.9,
-    "text_clean" -> 3.3,
-    // round-9 late tiers (observability, semdedup/PII/BFS, retrieval):
-    // quiet QProfile warm medians × 1.5, floored at 0.3 (PROFILE_r09 §7)
-    "domain_stats" -> 0.45, "vocab_coverage" -> 0.72,
-    "cluster_stats" -> 0.98, "semdedup_fixed" -> 0.7,
-    // reach_hops: per-level localCheckpoint landed after the first
-    // QProfile pass — warm median 3.2 s × 1.5
-    "pii_redact" -> 0.3, "reach_hops" -> 4.8,
-    "bm25_topk" -> 1.35, "unigram_logprob" -> 0.95,
-    // nll_bucket has NO median budget: it cold-gates below — its input
-    // tf frame is BuilderCache-memoized, so after the round-9 memo its
-    // warm median no longer contains the token-stream shuffle a
-    // regression would hit (the round-5 memoization rule)
-    "pmi_bigrams" -> 3.75, "text_entropy" -> 0.44,
-    // winnow_fingerprints / bigram_nll / source_kl RE-DERIVED round 10
-    // on a quiet box (r9 had set them under loadavg ~4-6, verdict item
-    // 6): quiet sweep medians 2.80 / 3.22 / 0.44 × 1.5
-    "event_anomaly" -> 1.02, "winnow_fingerprints" -> 4.2,
-    "bigram_nll" -> 4.8, "source_kl" -> 0.66,
-    // winnow_pairs reads the memoized fingerprint sets after
-    // winnow_fingerprints in sorted order → warm median is the pairing
-    // (quiet median 1.91 × 1.5 under the round-10 relative guard)
-    "winnow_pairs" -> 2.9,
-    "text_repetition" -> 2.27, "text_tokens" -> 0.3,
-    "tfidf" -> 0.8, "tokenize_ids" -> 0.67,
-    "tokenize_unk" -> 0.62, "triangle_counts" -> 0.5,
-    // triangle_est re-runs its sampled chain every run (only the cooc
-    // builder is shared): quiet median 1.64 × 1.5
-    "triangle_est" -> 2.45,
-    "viz_dot" -> 1.2,
-    "vocab_build" -> 0.41)
+    "text_repetition" -> 2.46, "text_tokens" -> 0.3,
+    "tfidf" -> 0.56, "tokenize_ids" -> 0.59,
+    "tokenize_unk" -> 0.59, "triangle_counts" -> 0.3,
+    "triangle_est" -> 1.29, "unigram_logprob" -> 0.88,
+    "viz_dot" -> 0.48, "vocab_build" -> 0.37,
+    "vocab_coverage" -> 0.53, "winnow_fingerprints" -> 3.55,
+    "winnow_pairs" -> 1.31)
 
   /** Queries whose WHOLE RESULT is session-memoized (BuilderCache memo /
     * PageRank fixpoint memo): bench runs 2..N are memo reads (~0.1 s), so
     * a warm median can never see a regression in the actual computation
-    * chain (round-5 advice). These gate on the COLD run-1 time instead,
-    * against round-5 sf0.1 cold times × 1.5 — the same headroom
-    * discipline as the median budgets. Cold times carry builder
-    * first-touch + co-tenant noise, which is exactly why everything ELSE
-    * gates on medians; for a memoized query the cold run is the only run
-    * that executes the chain at all. */
-  /** RE-DERIVED in round 8 from SOLO-RELEASED first-touch times (the
-    * [[soloRelease]] hooks drop exactly the query's own memo, upstream
-    * shared state warm — PROFILE_r08.md §3), not from in-sequence sweep
-    * colds, so the budgets no longer encode alphabetical bench order.
-    * Each is the r8 sf0.1 solo-released measurement × 1.5 headroom
-    * (same discipline as the median budgets); the in-sequence quiet
-    * colds (PROFILE_r08.md §1) agree within noise, confirming the two
-    * regimes coincide under sorted order. Load-inflated sweep colds that
-    * cross the 2× gate are cleared by the solo re-adjudication, so
-    * these can stay tight enough that a real ~3× chain regression
-    * actually fires. */
+    * chain (round-5 advice). These gate on the COLD run-1 time instead.
+    * RE-DERIVED in round 15 from the same quiet 5-run sweep as the
+    * median budgets: each entry is the r15 in-sequence quiet cold
+    * × 1.5 headroom (the r8 solo-released regime and in-sequence
+    * sorted-order colds were shown to coincide within noise —
+    * PROFILE_r08.md §3 — and every r15 cold was taken at start
+    * loadavg 1.3). Load-inflated sweep colds that cross the 2× gate
+    * are cleared by the solo re-adjudication, so these stay tight
+    * enough that a real ~3× chain regression actually fires. */
   private val coldBaselineSec: Map[String, Double] = Map(
-    // solo-released 3.65 s (own memo dropped, corpus_prepare's shared
-    // builders warm); quiet in-sequence cold 4.46 s, loaded 10.2 s —
-    // the 2× gate (11 s) still clears a loaded sweep via adjudication
-    "corpus_prepare_full" -> 5.5,
-    // solo-released 4.84 s: its hook is the only one that also drops
-    // the shared adjacency cache, so this budget alone carries the
-    // DF→RDD + groupByKey first-touch (quiet in-sequence cold 6.02 s)
-    "pagerank_fixed" -> 7.5,
-    // solo-released 0.55 s (warm adjacency, own converged fixpoint);
-    // in-sequence colds 0.55–0.85 s across load — budget on the
-    // loaded upper × 1.5
-    "pagerank_global" -> 1.3,
-    // solo-released 1.25 s (warm adjacency, own 8-step seeded fixpoint;
-    // 12 s standalone when it must first-touch the whole cooc chain)
-    "ppr_fixed" -> 1.9,
-    // solo-released 0.94 s (warm adjacency, own converged seeded
-    // fixpoint)
-    "ppr_seeded" -> 1.4,
+    // r15 in-sequence cold 4.62 s (corpus_prepare's shared builders
+    // warm by then)
+    "corpus_prepare_full" -> 6.9,
+    // r15 cold 5.82 s: its hook is the only one that also drops the
+    // shared adjacency cache, so this budget alone carries the
+    // DF→RDD + groupByKey first-touch
+    "pagerank_fixed" -> 8.7,
+    // r15 cold 0.57 s (warm adjacency, own converged fixpoint)
+    "pagerank_global" -> 0.9,
+    // r15 cold 0.83 s (warm adjacency, own 8-step seeded fixpoint)
+    "ppr_fixed" -> 1.25,
+    // r15 cold 0.71 s (warm adjacency, own converged seeded fixpoint)
+    "ppr_seeded" -> 1.1,
     // first toucher of the memoized triangle frame in sorted order
-    // (cooc builder warm by then — the c-queries precede it); quiet
-    // warm-chain ~5–6.5 s at sf0.1, the adjacency-intersection form
-    "graph_stats" -> 9.8,
-    // its solo-released cold re-runs the shared docTf token-stream
-    // shuffle (the memoized input of the whole LM tier) PLUS its own
-    // rank two-pass — the one gate that still sees a tf-build
-    // regression after the round-9 memo. Forced-adjudication solo
-    // measurement 2.07 s at loadavg 3.6 (PROFILE_r09 §8) × 1.5
-    "nll_bucket" -> 3.1,
-    // memoized round 15 (the bpe_encode learn-twice fix): cold run is
-    // the 4-round learn loop; runs 2..N are memo reads. Budget = the
-    // r15 quiet solo-released cold × 1.5
-    "bpe_merges" -> 3.0)
+    // (cooc builder warm by then); r15 cold 6.38 s
+    "graph_stats" -> 9.6,
+    // r15 cold 1.42 s (docTf warm in-sequence); its solo hook drops
+    // the shared docTf memo, and a solo rebuild (~2.1 s, PROFILE_r09
+    // §8) still clears the 2× gate — the one gate that sees a
+    // tf-build regression after the round-9 memo
+    "nll_bucket" -> 2.1,
+    // first toucher of the memoized BPE merge table in sorted order
+    // (round 15, the learn-twice fix): its cold runs the 4-round
+    // learn loop PLUS its own k encode passes; r15 cold 3.59 s
+    "bpe_encode" -> 5.4,
+    // first toucher of the memoized fitSums reduction in sorted order
+    // (round 15): its cold carries the 9-sum corpus scan the whole
+    // distillation tier shares, plus its own score+mix pass; r15
+    // cold 0.92 s
+    "mix_quality" -> 1.4)
 
   /** Memo-release hooks for the cold-gated queries above: before a solo
     * re-run, drop EXACTLY the memo state the query owns — its
@@ -200,9 +159,12 @@ object Bench {
         graft.model.BuilderCache.release(s, "triangleCounts")),
     "nll_bucket" ->
       ((s: SparkSession) => graft.model.BuilderCache.release(s, "docTf")),
-    "bpe_merges" ->
+    "bpe_encode" ->
       ((s: SparkSession) =>
-        graft.model.BuilderCache.release(s, "bpeMerges")))
+        graft.model.BuilderCache.release(s, "bpeMerges")),
+    "mix_quality" ->
+      ((s: SparkSession) =>
+        graft.model.BuilderCache.release(s, "qualityFitSums")))
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""

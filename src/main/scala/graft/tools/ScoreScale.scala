@@ -1,0 +1,96 @@
+package graft.tools
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.CorpusStream
+
+/** Round-15 instrument (r14 verdict item 4): `scoredStream` — the
+  * batch-fit → stream-score composition — is parity-tested at two-batch
+  * toy scale; this replays a GenScale'd documents table through it at
+  * volume and measures what the scaladoc claims: the plan is STATELESS
+  * (a fully incremental append-mode projection — no state store, no
+  * watermark), so per-batch latency must track batch input size with
+  * zero state rows/bytes in the engine's own progress metrics and no
+  * upward drift as cumulative ingest grows.
+  *
+  * Replay shape: the documents table split into `chunks` files
+  * (doc_id mod bucketing, the [[CorpusScale]] staging pattern), file
+  * source `maxFilesPerTrigger=1` → one micro-batch per chunk; the
+  * model weights come from the BATCH fit over the SAME source dir
+  * (fit offline, hot-swap literals — the production shape); sink is
+  * noop (full projection computed, nothing shipped — the TimeQuery
+  * method).
+  *
+  * Usage: runMain graft.tools.ScoreScale <sfDir> [chunks=20] */
+object ScoreScale {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val chunks = args.lift(1).map(_.toInt).getOrElse(20)
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val staging = Files.createTempDirectory("graft-scorescale").toString
+    val ck = Files.createTempDirectory("graft-scorescale-ck").toString
+
+    val docs = spark.read.schema(CorpusStream.documentsSchema)
+      .parquet(s"$dir/documents.parquet")
+    val nTotal = docs.count()
+    // the offline half: one memoized 9-sum reduction + O(1) solve
+    val tFit0 = System.nanoTime()
+    val w = graft.operators.Distill.fitWeights(spark, dir)
+      .getOrElse(sys.error(s"empty corpus at $dir"))
+    val fitSec = (System.nanoTime() - tFit0) / 1e9
+    println(f"SCORESCALE input dir=$dir docs=$nTotal chunks=$chunks " +
+      f"fit=$fitSec%.1f s weights=$w")
+    (0 until chunks).foreach { i =>
+      val tmp = s"$staging/_tmp$i"
+      docs.filter(pmod(col("doc_id"), lit(chunks)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val listing = Files.list(Paths.get(tmp))
+      val part =
+        try listing.toArray.map(_.asInstanceOf[Path])
+          .find(_.getFileName.toString.endsWith(".parquet"))
+        finally listing.close()
+      part.foreach { p =>
+        Files.move(p, Paths.get(f"$staging/chunk$i%03d.parquet"),
+          StandardCopyOption.ATOMIC_MOVE)
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+    val src = spark.readStream.schema(CorpusStream.documentsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("pathGlobFilter", "chunk*.parquet")
+      .parquet(staging)
+    val t0 = System.nanoTime()
+    val q = CorpusStream.scoredStream(src, w).writeStream
+      .format("noop").option("checkpointLocation", ck)
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progs = q.recentProgress.filter(_.numInputRows > 0).toSeq
+    q.stop()
+    var stateRows = 0L
+    var stateBytes = 0L
+    progs.foreach { p =>
+      val st = p.stateOperators.map(s =>
+        (s.numRowsTotal, s.memoryUsedBytes)).toSeq
+      stateRows += st.map(_._1).sum
+      stateBytes += st.map(_._2).sum
+      println(s"SCOREBATCH batch=${p.batchId} in=${p.numInputRows} " +
+        s"ms=${p.batchDuration} stateOps=${p.stateOperators.length}")
+    }
+    println(f"SCORESCALE result docs=$nTotal batches=${progs.length} " +
+      f"wall=$wall%.1f s rate=${nTotal / wall}%.0f docs/s " +
+      f"stateRowsTotal=$stateRows stateBytesTotal=$stateBytes")
+    spark.stop()
+  }
+}
