@@ -774,6 +774,22 @@ object TextOps {
     // token: O(len²) per doc per application, measured 5× slower over a
     // 64-round loop at sf0.1.
     var cur = corpus.select(array_join(col("t"), " ").as("s"))
+    // Whitespace-collapse strategy (r14 advice + r15 A/B): the ORACLE
+    // re-normalizes with regexp ' +' every round, and raw text can
+    // carry multi-space runs, so round 1 MUST regex-collapse to stay
+    // hash-equal on such input. But regexp_replace is measurably
+    // slower than the literal replace, and the loop's lineage
+    // RE-EVALUATES every earlier apply in each later round's count
+    // (no checkpoint until cadence 16), so an all-regex loop pays the
+    // regex k(k−1)/2-ish times — measured +20.5 s at sf10 / +155 s at
+    // sf30 over this form (SCALING.md r15 §2). Only the FIRST collapse
+    // ever sees a run longer than 2 spaces: its output is
+    // single-spaced, doubling then makes every separator exactly 2,
+    // and a literal '  '→' ' pass is byte-identical to the regex on
+    // that shape. So: regex once, literal thereafter — exact oracle
+    // parity, and the single remaining regex eval costs ~6 s of the
+    // ~54 s sf10 learn wall (A/B: all-literal 47.7 s).
+    var rawSpaces = true // true until the first collapse normalizes
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, String, Long)]
     var step = 1
@@ -799,17 +815,16 @@ object TextOps {
           // double every separator so each token owns a space on both
           // sides, literal-replace ` a␣␣b ` left-to-right (replace()'s
           // scan order IS the greedy non-overlap rule), re-normalize —
-          // exactly the oracle's formulation, and linear in doc length.
-          // The re-normalize is ' +' REGEX, not a literal '  ' pass: a
-          // literal pass halves a run of spaces instead of collapsing
-          // it, so raw text containing consecutive spaces (doubling
-          // makes a 4-run; literal → 2, regex → 1) would diverge from
-          // the oracle's regexp_replace from round 2 on (r14 advice)
-          cur = cur.select(expr(
-            s"""trim(regexp_replace(
-               |  replace(' ' || replace(s, ' ', '  ') || ' ',
-               |          ' $ea  $eb ', ' $em '),
-               |  ' +', ' '))""".stripMargin).as("s"))
+          // exactly the oracle's formulation, and linear in doc length
+          // (regex-vs-literal collapse: see the rawSpaces note above)
+          val merged =
+            s"""replace(' ' || replace(s, ' ', '  ') || ' ',
+               |        ' $ea  $eb ', ' $em ')""".stripMargin
+          val collapsed =
+            if (rawSpaces) s"regexp_replace($merged, ' +', ' ')"
+            else s"replace($merged, '  ', ' ')"
+          cur = cur.select(expr(s"trim($collapsed)").as("s"))
+          rawSpaces = false
         case None => step = nMerges // empty corpus: nothing to merge
       }
       if (step % BpeCheckpointEvery == 0 && step < nMerges)
@@ -848,15 +863,22 @@ object TextOps {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         col("text").as("s"))
+    // pass 1 sees RAW text (live multi-space runs → regex collapse for
+    // oracle parity); every later pass sees the single-spaced output,
+    // where the literal '  '→' ' pass is byte-identical and much
+    // faster (the bpeMergesOf rawSpaces note has the argument)
+    var rawSpaces = true
     ms.foreach { case (a, b, m) =>
       val (ea, eb, em) = (esc(a), esc(b), esc(m))
-      // ' +' regex collapse, matching the oracle (see bpeMergesOf): the
-      // encode input is RAW text, where consecutive spaces are live
-      cur = cur.select(col("doc_id"), col("n_tokens"), expr(
-        s"""trim(regexp_replace(
-           |  replace(' ' || replace(s, ' ', '  ') || ' ',
-           |          ' $ea  $eb ', ' $em '),
-           |  ' +', ' '))""".stripMargin).as("s"))
+      val merged =
+        s"""replace(' ' || replace(s, ' ', '  ') || ' ',
+           |        ' $ea  $eb ', ' $em ')""".stripMargin
+      val collapsed =
+        if (rawSpaces) s"regexp_replace($merged, ' +', ' ')"
+        else s"replace($merged, '  ', ' ')"
+      cur = cur.select(col("doc_id"), col("n_tokens"),
+        expr(s"trim($collapsed)").as("s"))
+      rawSpaces = false
     }
     cur.select(col("doc_id"), col("n_tokens"),
       size(split(col("s"), " ")).cast("long").as("n_tokens_bpe"),
