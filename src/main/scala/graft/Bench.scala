@@ -16,11 +16,14 @@ object Bench {
     * headroom, floored at 0.3 s so sub-100 ms queries don't alarm on
     * scheduler jitter. The r9/r10-era table had gone soft (r14 verdict
     * top item): several queries got 3–10× faster since their budget
-    * era (jaccard_sim 0.74→1.09 median is the one that got SLOWER-
-    * looking only because its r12 rewrite moved cost into the shared
-    * builder; winnow_pairs 1.91→0.87, dedup_simhash_pairs 3.5→2.86,
+    * era (winnow_pairs 1.91→0.87, dedup_simhash_pairs 3.5→2.86,
     * jaccard_lsh 2.7→1.82), so a real 3–5× regression in those passed
-    * the old gate silently. Any query whose MEDIAN exceeds 2× its
+    * the old gate silently. A few rows LOOSENED (jaccard_sim
+    * 0.74→1.64, pmi_bigrams 3.75→4.15): the driver regenerates the
+    * sf0.1 testdata each round, so pair/ngram cardinalities — and the
+    * medians that track them — drift with the data, not the code
+    * (r14's quiet sweep already had jaccard_sim near 1 s; the 0.5 s
+    * era was r12's data). Any query whose MEDIAN exceeds 2× its
     * budget lands in `"regressions"` (after load-gated solo
     * adjudication below) — i.e. the alarm fires at ~3× today's steady
     * state. Old→new per-query deltas are recorded in PROFILE_r15.md. */
