@@ -303,6 +303,21 @@ class PlanSpec extends SparkSpec {
     assert(!pd.contains("Join"), pd)
   }
 
+  test("round-15 mix_quality keeps its scale-relevant plan shape") {
+    // the rate config is the ONLY join side and it is a bounded
+    // literal relation → broadcast hash join, never a shuffled join
+    // of the corpus against 20 rows; the scoring weights fold in as
+    // literals (no second join); copies explode in-row (no Window);
+    // the only exchange is the deterministic output sort
+    val pm = plan(graft.operators.Corpus.mixQuality(
+      spark, dir, graft.operators.Corpus.defaultMixRates))
+    assert(pm.contains("BroadcastHashJoin"), pm)
+    assert(!pm.contains("SortMergeJoin") && !pm.contains("ShuffledHashJoin"),
+      pm)
+    assert(!pm.contains("Window"), pm)
+    assert("Exchange".r.findAllIn(pm).size == 1, pm)
+  }
+
   test("round-6 join queries avoid non-equi join physical plans") {
     // event_asof: the as-of join must plan as union + partitioned window
     // — no join operator at all between the touch and purchase sides
