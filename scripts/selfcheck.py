@@ -123,10 +123,10 @@ def main():
         if name in bigcmp:
             import time
             t0 = time.time()
-            sq = staged.get("queries", {}).get(name)
-            if sq is not None:
-                ensure_stages(sq["needs"])
             try:
+                sq = staged.get("queries", {}).get(name)
+                if sq is not None:
+                    ensure_stages(sq["needs"])
                 err = big_compare(sq["sql"] if sq else sql, files)
             except Exception as e:
                 err = f"oracle error {e}"

@@ -34,6 +34,10 @@ object ScoreScale {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // recentProgress is a ring buffer (default 100); size it to the
+      // chunk count so per-batch metrics below see EVERY batch
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        math.max(chunks + 8, 100).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

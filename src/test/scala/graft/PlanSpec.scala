@@ -315,7 +315,10 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("SortMergeJoin") && !pm.contains("ShuffledHashJoin"),
       pm)
     assert(!pm.contains("Window"), pm)
-    assert("Exchange".r.findAllIn(pm).size == 1, pm)
+    // count SHUFFLE exchanges only — the plain "Exchange" regex also
+    // matches inside the BroadcastExchange this very test requires
+    assert("Exchange (range|hash)partitioning".r.findAllIn(pm).size == 1, pm)
+    assert(!pm.contains("Exchange hashpartitioning"), pm)
   }
 
   test("round-6 join queries avoid non-equi join physical plans") {
