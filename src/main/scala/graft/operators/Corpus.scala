@@ -122,11 +122,27 @@ object Corpus {
   def mixQuality(spark: SparkSession, dir: String,
       rates: Map[String, Double],
       qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame = {
+    val w = Distill.fitWeights(spark, dir)
+      .getOrElse((0.0, 0.0, 0.0)) // empty corpus: projection emits 0 rows
+    mixQualityOf(spark, Distill.featuredOf(spark, dir), w, rates,
+        qLow, qHigh)
+      .orderBy("doc_id", "copy_idx")
+  }
+
+  /** [[mixQuality]]'s core as a slice-form over any pre-featured
+    * relation (doc_id, source, n_tokens, stop_cnt) with EXPLICIT
+    * weights — the shape [[graft.streaming.CorpusStream.mixedStream]]
+    * composes per micro-batch (a stream cannot globally sort, so the
+    * deterministic orderBy stays with the batch caller; everything
+    * else — tiering, broadcast rate config, in-row copy explosion — is
+    * a stateless row-local projection and streams as-is). */
+  private[graft] def mixQualityOf(spark: SparkSession, featured: DataFrame,
+      weights: (Double, Double, Double), rates: Map[String, Double],
+      qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame = {
     import spark.implicits._
     require(rates.nonEmpty, "mixQuality needs at least one source rate")
     require(qLow <= qHigh, s"qLow=$qLow > qHigh=$qHigh")
-    val (w0, w1, w2) = Distill.fitWeights(spark, dir)
-      .getOrElse((0.0, 0.0, 0.0)) // empty corpus: projection emits 0 rows
+    val (w0, w1, w2) = weights
     def dec(x: Double): (Long, Long) = {
       val c = math.floor(x).toLong
       (c, math.round((x - c) * (1L << 32).toDouble))
@@ -137,7 +153,7 @@ object Corpus {
       val (c2, t2) = dec(2 * r)
       (src, c1, t1, c2, t2)
     }.toDF("source", "copies1", "thr1", "copies2", "thr2")
-    Distill.featuredOf(spark, dir)
+    featured
       .select(col("doc_id"), col("source"),
         round(lit(w0) + lit(w1) * col("n_tokens")
           + lit(w2) * col("stop_cnt"), 6).as("q_pred"))
@@ -156,7 +172,6 @@ object Corpus {
       .filter(col("n_copies") > 0)
       .select(col("doc_id"), col("source"), col("q_pred"), col("tier"),
         explode(expr("sequence(1L, n_copies)")).as("copy_idx"))
-      .orderBy("doc_id", "copy_idx")
   }
 
   /** `pack_assign`: token-budget sequence packing — documents are laid

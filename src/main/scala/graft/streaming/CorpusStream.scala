@@ -89,6 +89,31 @@ object CorpusStream {
     graft.operators.Distill.scoreWith(weights)(
       graft.operators.Distill.featuredSlice(docs))
 
+  /** QUALITY-AWARE streaming assembly — the full fit → score → assemble
+    * loop closed over a LIVE stream: [[graft.operators.Corpus.mixQualityOf]]
+    * applied per micro-batch with weights from [[runningFit]] (or any
+    * pre-fitted triple). Tier assignment, the broadcast rate config,
+    * and the in-row copy explosion are all stateless row-local work,
+    * so — like [[scoredStream]] — this composes as a fully incremental
+    * append-mode plan: no state store, no watermark, any trigger. The
+    * only batch-vs-stream delta is the deterministic output sort, which
+    * stays with the batch declared query (a stream has no global
+    * order); per-row VALUES are byte-identical to the batch
+    * `mix_quality` under the same weights (StreamingSpec pins the
+    * parity on a one-batch slice).
+    *
+    * Production loop: `fittedStream` accumulates the nine sums →
+    * `runningFit` re-solves → hot-swap the triple into this stream.
+    * Because the incremental fit is EXACTLY the batch fit (integer
+    * sums), the streamed mix after batch k equals the batch mix over
+    * batches 1..k — no drift to monitor. */
+  def mixedStream(docs: DataFrame, weights: (Double, Double, Double),
+      rates: Map[String, Double],
+      qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame =
+    graft.operators.Corpus.mixQualityOf(docs.sparkSession,
+      graft.operators.Distill.featuredSlice(docs), weights, rates,
+      qLow, qHigh)
+
   /** INCREMENTAL quality-model fitting (the online half of the
     * distillation tier): each micro-batch reduces its slice to the nine
     * normal-equation sums ([[graft.operators.Distill.sumsOf]] — exact

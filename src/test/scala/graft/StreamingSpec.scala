@@ -1062,6 +1062,55 @@ class StreamingSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streamed quality-aware mix with the running fit matches " +
+      "mix_quality row-for-row") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Corpus
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-mixstream")
+    val (watched, state) = (s"$base/in", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    Seq(0, 1).foreach { i =>
+      val staging = s"$base/staging-$i"
+      docs.filter(pmod(col("doc_id"), lit(2)) === i)
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/chunk$i.parquet"))
+    }
+    // the production loop end-to-end: accumulate the nine sums over the
+    // stream, re-solve, and hot-swap the triple into the mixing stream
+    val qf = CorpusStream.fittedStream(
+      spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched),
+      state, s"$base/ckpt-fit")
+    try qf.processAllAvailable() finally qf.stop()
+    val w = CorpusStream.runningFit(spark, state).get
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+    val q = CorpusStream
+      .mixedStream(src, w, Corpus.defaultMixRates).writeStream
+      .format("memory").queryName("mixed_parity")
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table("mixed_parity")
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    // parity target: the BATCH mix_quality declared query — tiering and
+    // copy decisions are row-local (salted per-doc hash), so batching
+    // cannot move them; only the output order differs, hence sets
+    val want = Corpus.mixQuality(spark, dir, Corpus.defaultMixRates)
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    // tier-0 documents are DROPPED, never emitted — only base and
+    // doubled tiers can reach the sink
+    assert(spark.table("mixed_parity").select("tier")
+      .distinct().as[Long].collect().toSet.subsetOf(Set(1L, 2L)))
+  }
+
   test("incremental quality fit over batches equals the batch fit " +
       "over their union") {
     import graft.streaming.CorpusStream
