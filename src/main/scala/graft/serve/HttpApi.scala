@@ -47,9 +47,14 @@ import graft.rec.{Engine, RecsApi}
   * session), not a per-JVM thread-pool concern: Spark job throughput
   * on one session is scheduler-bound long before handler threading
   * matters at top-10-result sizes. */
-final class HttpApi(spark: SparkSession, dir: String, port: Int = 0) {
+final class HttpApi(spark: SparkSession, dir: String, port: Int = 0,
+    graph: Option[Engine.ProductGraph] = None) {
 
-  private val g = Engine.fromOrders(spark, dir)
+  // injectable graph: the reference's incidence includes event→product
+  // edges the testdata schema cannot carry, so golden-fixture parity
+  // tests (SURVEY §3.1 via FIXTURES §A.2) serve the exact toy
+  // ProductGraph; production servers use the order-derived default
+  private val g = graph.getOrElse(Engine.fromOrders(spark, dir))
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   // null executor = the dispatcher thread handles every exchange in

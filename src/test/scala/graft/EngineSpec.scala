@@ -11,19 +11,9 @@ import graft.rec.{Engine, RecsApi}
 class EngineSpec extends SparkSpec {
   import spark.implicits._
 
-  /** The reference toy graph EXACTLY as `build_graph` derives it
-    * (incidence from orders AND events, graph.py:55-66; cooc from orders
-    * only). C1..C3 → 1..3, P1..P4 → 1..4. */
-  private lazy val toy = Engine.ProductGraph(
-    customers = Seq(1L, 2L, 3L).toDF("customer_id"),
-    products = Seq(1L, 2L, 3L, 4L).toDF("id"),
-    incidence = Seq(
-      (1L, 1L), (1L, 2L), (1L, 4L), (1L, 3L), // C1 orders + event P3
-      (2L, 3L), (2L, 2L), (2L, 4L),           // C2 order + events P2,P4
-      (3L, 1L)                                // C3 event-only P1
-    ).toDF("customer_id", "product_id"),
-    cooc = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 4L, 1L), (4L, 2L, 1L))
-      .toDF("src", "dst", "cnt"))
+  /** The reference toy graph EXACTLY as `build_graph` derives it —
+    * shared with ServeSpec via [[Fixtures.toyGraph]]. */
+  private lazy val toy = Fixtures.toyGraph(spark)
 
   private def rec(cid: Long) =
     Engine.recommend(spark, toy, cid)

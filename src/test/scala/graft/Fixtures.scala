@@ -55,4 +55,23 @@ object Fixtures {
     d
   }
   @volatile private var dir: String = _
+
+  /** The reference toy graph EXACTLY as tp1 `build_graph` derives it
+    * (incidence from orders AND events, graph.py:55-66; cooc from orders
+    * only; FIXTURES.md §A.2). C1..C3 → 1..3, P1..P4 → 1..4. Shared by
+    * EngineSpec (engine-level goldens) and ServeSpec (the same goldens
+    * through the HTTP layer). */
+  def toyGraph(spark: SparkSession): graft.rec.Engine.ProductGraph = {
+    import spark.implicits._
+    graft.rec.Engine.ProductGraph(
+      customers = Seq(1L, 2L, 3L).toDF("customer_id"),
+      products = Seq(1L, 2L, 3L, 4L).toDF("id"),
+      incidence = Seq(
+        (1L, 1L), (1L, 2L), (1L, 4L), (1L, 3L), // C1 orders + event P3
+        (2L, 3L), (2L, 2L), (2L, 4L),           // C2 order + events P2,P4
+        (3L, 1L)                                // C3 event-only P1
+      ).toDF("customer_id", "product_id"),
+      cooc = Seq((1L, 2L, 1L), (2L, 1L, 1L), (2L, 4L, 1L), (4L, 2L, 1L))
+        .toDF("src", "dst", "cnt"))
+  }
 }

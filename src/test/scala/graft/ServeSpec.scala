@@ -127,4 +127,46 @@ class ServeSpec extends SparkSpec with BeforeAndAfterAll {
     assert(body.contains("\"personalized_pagerank\":["), body)
     assert(body.contains("\"co_occurrence\":["), body)
   }
+
+  test("SURVEY §3.1 goldens through HTTP: C1 all-excluded empty, " +
+      "C3 seeded blend") {
+    // serve the EXACT reference toy graph (incidence includes the
+    // event→product edges the parquet schema cannot carry) so the HTTP
+    // layer pins the same goldens EngineSpec pins at the engine level
+    val toyApi = new HttpApi(spark, Fixtures.write(spark),
+      graph = Some(Fixtures.toyGraph(spark)))
+    val toyPort = toyApi.start()
+    def toyGet(path: String): (Int, String) = {
+      val req = HttpRequest
+        .newBuilder(URI.create(s"http://127.0.0.1:$toyPort$path"))
+        .GET().build()
+      val resp = client.send(req, HttpResponse.BodyHandlers.ofString())
+      (resp.statusCode(), resp.body())
+    }
+    try {
+      // C1 purchased {P1,P2,P4} and interacted with {P3}: every catalog
+      // product is excluded → empty list, HTTP 200 (tp1/main.py:21-24)
+      val (c1Code, c1Body) = toyGet("/customers/1/recommendations")
+      assert(c1Code == 200, c1Body)
+      assert(c1Body.contains("\"recommendations\":[]"), c1Body)
+      // C3 (event-only seed {P1}): golden [(P2,1.0),(P4,0.427511),(P3,0.3)]
+      val (c3Code, c3Body) = toyGet("/customers/3/recommendations")
+      assert(c3Code == 200, c3Body)
+      val item = """"product_id":(\d+),"score":([-0-9.eE]+)""".r
+      val items = item.findAllMatchIn(c3Body)
+        .map(m => (m.group(1).toLong, m.group(2).toDouble)).toList
+      assert(items.map(_._1) == List(2L, 4L, 3L), c3Body)
+      val golden = List(1.0, 0.427511, 0.3)
+      items.zip(golden).foreach { case ((pid, score), want) =>
+        assert(math.abs(score - want) < 2e-6, s"P$pid score $score")
+      }
+      // and C3's P3 row carries a zero PPR contribution (unreachable
+      // sink under seeded PPR) — the contributions map survives the
+      // JSON envelope intact
+      val contrib =
+        (""""product_id":3,[^}]*"personalized_pagerank":([-0-9.eE]+)""").r
+      assert(contrib.findFirstMatchIn(c3Body)
+        .exists(_.group(1).toDouble == 0.0), c3Body)
+    } finally toyApi.stop()
+  }
 }
