@@ -436,12 +436,34 @@ object Bench {
     // default -Xmx to the sf dir; recording it makes scale artifacts
     // self-describing instead of env-var archaeology)
     val heapGb = f"${Runtime.getRuntime.maxMemory / 1073741824.0}%.1f"
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    // Data fingerprint (round-15 verdict item 6): the testdata is
+    // REGENERATED per round, so a moved median has two candidate causes
+    // — code or data. Recording the drift-relevant shape of the input
+    // alongside every sweep makes that adjudication mechanical: equal
+    // fingerprints ⇒ code; moved fingerprints ⇒ data (jaccard_sim's r15
+    // 0.74→1.64 budget move was data — distinct-token growth fans out
+    // its pair join — and took a SCALING re-derivation to attribute).
+    // Computed AFTER the sweep so the extra documents scan cannot
+    // perturb run1 cold attribution. Cost: one count + one distinct agg.
+    val fp = {
+      import org.apache.spark.sql.functions.{col, countDistinct, explode, split}
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      val nDocs = docs.count()
+      val nTok = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")))
+        .head().getLong(0)
+      val nLine = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+      val nEvents = graft.model.Tables.events(spark, sfDir).count()
+      s"""{"documents":$nDocs,"doc_tokens_distinct":$nTok,""" +
+        s""""lineitem":$nLine,"events":$nEvents}"""
+    }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"data_fingerprint":$fp,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     // The driver keeps only the LAST 2000 chars of stdout: the 59-query
     // "queries"/"cold" maps above push the gate fields (value/ok/
     // regressions) past that window (round-5 verdict). Repeat them in a
     // compact FINAL line so truncation can never eat the gate.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"data_fingerprint":$fp,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }
