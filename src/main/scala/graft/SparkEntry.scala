@@ -182,6 +182,7 @@ object SparkEntry {
     "curriculum_order"  -> ((s, d) => Distill.curriculumOrder(s, d)),
     "source_cap"        -> ((s, d) => Corpus.sourceCap(s, d)),
     "bpe_encode"        -> ((s, d) => TextOps.bpeEncode(s, d)),
+    "bpe_encode_bytes"  -> ((s, d) => TextOps.bpeEncodeBytes(s, d)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -457,6 +458,48 @@ object SparkEntry {
        |$steps
        |$out
        |ORDER BY step""".stripMargin
+  }
+
+  /** DuckDB oracle for `bpe_encode_bytes`: [[bpeMergesBytesSql]]'s
+    * learn chain with the word `w` carried through every type-table
+    * CTE and the FINAL merge also applied (merge selection groups by
+    * (a, b) only, so carrying w cannot move a winner — the same
+    * argument as [[bpeEncodeSql]]), then the per-doc word stream joins
+    * the encoded type table and aggregates symbol counts — mirroring
+    * the Spark side's one-corpus-pass broadcast-join shape. */
+  private def bpeEncodeBytesSql(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""p$k AS (
+         |  SELECT t[i] AS a, t[i + 1] AS b, CAST(sum(f) AS BIGINT) AS cnt
+         |  FROM (SELECT t, f, unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM (SELECT string_split(s, ' ') AS t, f FROM d$k))
+         |  GROUP BY 1, 2),
+         |w$k AS MATERIALIZED (
+         |  SELECT a, b, a || b AS m, cnt
+         |  FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |d${k + 1} AS MATERIALIZED (
+         |  SELECT w, trim(regexp_replace(
+         |           replace(' ' || replace(s, ' ', '  ') || ' ',
+         |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
+         |                   (SELECT ' ' || m || ' ' FROM w$k)),
+         |           ' +', ' ', 'g')) AS s, f
+         |  FROM d$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH d1 AS MATERIALIZED (
+       |  SELECT w, trim(regexp_replace(w, '(.)', '\\1 ', 'g')) || '</w>' AS s,
+       |         CAST(count(*) AS BIGINT) AS f
+       |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  GROUP BY 1),
+       |$steps,
+       |x AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+       |      FROM documents)
+       |SELECT x.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |       CAST(sum(len(string_split(t.s, ' '))) AS BIGINT)
+       |         AS n_tokens_bpe,
+       |       round(CAST(sum(len(string_split(t.s, ' '))) AS DOUBLE)
+       |             / count(*), 6) AS compression
+       |FROM x JOIN d${iters + 1} t USING (w)
+       |GROUP BY 1 ORDER BY doc_id""".stripMargin
   }
 
   /** The co-purchase graph CTE prefix (undirected edge list + degrees),
@@ -1875,6 +1918,7 @@ object SparkEntry {
     // production tokenizer-training granularity (TextOps.bpeMergesBytes)
     "bpe_merges_bytes" -> bpeMergesBytesSql(4),
     "bpe_encode" -> bpeEncodeSql(4),
+    "bpe_encode_bytes" -> bpeEncodeBytesSql(4),
 
     // the pipeline terminal (Corpus.packTokens): the UNK-tokenized
     // token stream of every pipeline survivor, tagged with its

@@ -853,6 +853,18 @@ object TextOps {
     * corpus size. */
   def bpeEncode(spark: SparkSession, dir: String,
       nMerges: Int = 4): DataFrame = {
+    // Deep-merge default (r15 verdict item 5): the word-level learn
+    // loop below is measured super-linear past sf30 at depth (cold
+    // sf30→sf100 exp ~1.5 — the corpus-sized rewrite leaves page
+    // cache), while the byte-level learner's loop is VOCABULARY-
+    // bounded (invariant in corpus size at fixed vocabulary). At the
+    // production merge-budget class (10⁴–10⁵ rounds) byte-level is the
+    // only shape that survives 100 TB, so it is the documented default
+    // there: opt in per-session with SPARK_GRAFT_BPE_BYTELEVEL=1 (the
+    // declared `bpe_encode` query keeps the word-level semantics its
+    // oracle pins; `bpe_encode_bytes` is the byte-level declared twin).
+    if (sys.env.get("SPARK_GRAFT_BPE_BYTELEVEL").contains("1"))
+      return bpeEncodeBytes(spark, dir, nMerges)
     import spark.implicits._
     def esc(t: String): String =
       t.replace("\\", "\\\\").replace("'", "\\'")
@@ -918,9 +930,15 @@ object TextOps {
     * as chained CTEs (hash-exact). */
   def bpeMergesBytes(spark: SparkSession, dir: String,
       nMerges: Int = 4): DataFrame =
-    bpeMergesBytesOf(spark,
-      Tables.documents(spark, dir).select(toks(col("text")).as("t")),
-      nMerges)
+    // session-memoized like bpeMerges (r14 verdict item 2): the merge
+    // table is nMerges rows, and bpe_encode_bytes collects it for its
+    // type-table encode — without the memo a learn+encode pipeline
+    // would pay the merge loop twice
+    graft.model.BuilderCache.memo(spark, s"bpeMergesBytes:$dir:$nMerges") {
+      bpeMergesBytesOf(spark,
+        Tables.documents(spark, dir).select(toks(col("text")).as("t")),
+        nMerges)
+    }
 
   /** [[bpeMergesBytes]] over any (t: array<string>) corpus — the
     * fixture-testable form. */
@@ -985,5 +1003,60 @@ object TextOps {
     require(!(a + b).exists(c => c == '\'' || c == '\\'),
       s"unexpected symbol chars in merge ($a, $b)")
     (s" $a  $b ", s" $m ")
+  }
+
+  /** `bpe_encode_bytes`: encode the corpus with a [[bpeMergesBytes]]
+    * merge table — the byte-level twin of [[bpeEncode]] and the
+    * tokenizer shape that holds at depth. The decisive structural
+    * difference from the word-level encode: merges apply to word
+    * TYPES, so the k merge passes run over the vocabulary-bounded type
+    * table (≤ distinct word types, invariant in corpus size), each
+    * type's post-merge SYMBOL count is derived there once, and the
+    * only corpus-sized work is one explode → broadcast-join → sum —
+    * no per-merge corpus pass at all. At a production merge budget
+    * (10⁴–10⁵ rounds) the word-level encode pays k corpus scans; this
+    * pays k vocabulary scans plus ONE corpus pass, which is why
+    * production tokenizers encode via a type/cache table.
+    *
+    * Output mirrors `bpe_encode`: (doc_id, n_tokens, n_tokens_bpe,
+    * compression) with n_tokens the pre-encode word count and
+    * n_tokens_bpe the post-merge symbol count, so compression here is
+    * the FERTILITY (symbols per word, ~word length +1 at 0 merges,
+    * falling toward 1 as the vocabulary absorbs whole words) — the
+    * metric a tokenizer budget is actually tuned on. One exact long
+    * division, round 6 — the suite-wide determinism contract. */
+  def bpeEncodeBytes(spark: SparkSession, dir: String,
+      nMerges: Int = 4): DataFrame = {
+    import spark.implicits._
+    val ms = bpeMergesBytes(spark, dir, nMerges)
+      .select("lhs", "rhs", "merged")
+      .as[(String, String, String)].collect()
+    val words = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(toks(col("text"))).as("w"))
+    // the type table: every distinct word as its symbol sequence, all
+    // k merges applied (literal doubled-space replaces — the greedy
+    // non-overlap rule, identical to the learner's own rewrite)
+    var types = words.select("w").distinct()
+      .select(col("w"), expr(
+        "concat(trim(regexp_replace(w, '(.)', '$1 ')), '</w>')").as("s"))
+    ms.foreach { case (a, b, m) =>
+      val (find, repl) = cur2(a, b, m)
+      types = types.select(col("w"), expr(
+        s"""trim(replace(
+           |  replace(' ' || replace(s, ' ', '  ') || ' ',
+           |          '$find', '$repl'),
+           |  '  ', ' '))""".stripMargin).as("s"))
+    }
+    val symCounts = types
+      .select(col("w"), size(split(col("s"), " ")).cast("long").as("n_sym"))
+    // vocabulary-bounded join side → broadcast: the corpus never
+    // shuffles on the join, only the final per-doc aggregation does
+    words.join(broadcast(symCounts), "w")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_sym").as("n_tokens_bpe"))
+      .select(col("doc_id"), col("n_tokens"), col("n_tokens_bpe"),
+        round(col("n_tokens_bpe").cast("double") / col("n_tokens"), 6)
+          .as("compression"))
+      .orderBy("doc_id")
   }
 }

@@ -248,6 +248,45 @@ class BpeSpec extends SparkSpec {
       s"got=$got expected=${refBytes(texts, 8)}")
   }
 
+  test("byte-level encode: per-doc symbol counts match an independent " +
+      "re-application of the reference merge table") {
+    val texts = Seq(
+      "low lower lowest low low",
+      "new newer newest new",
+      "wide wider widest",
+      "abab abab baba")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val n = 6
+    val merges = refBytes(texts, n).map { case (_, a, b, m, _) => (a, b, m) }
+    // independent encode: char-split each word + marker, apply the
+    // merges in rank order with the same greedy left-to-right fold the
+    // byte-level reference uses for its own rewrites
+    def encodeWord(w: String): Long = {
+      var t: Seq[String] = {
+        val cs = w.map(_.toString)
+        cs.dropRight(1) :+ (cs.last + "</w>")
+      }
+      merges.foreach { case (a, b, m) =>
+        val acc = scala.collection.mutable.ArrayBuffer.empty[String]
+        t.foreach { x =>
+          if (acc.nonEmpty && acc.last == a && x == b)
+            acc(acc.length - 1) = m
+          else acc += x
+        }
+        t = acc.toSeq
+      }
+      t.size.toLong
+    }
+    val want = docs.map { case (id, text) =>
+      val ws = text.split(' ').toSeq
+      (id, ws.size.toLong, ws.map(encodeWord).sum)
+    }.toSet
+    val got = TextOps.bpeEncodeBytes(spark, corpusDir(docs), nMerges = n)
+      .select("doc_id", "n_tokens", "n_tokens_bpe")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("byte-level: 64 rounds with checkpoint generations match the reference") {
     // distinct 4-char words whose char pairs chain: each word type
     // yields 4 symbols → 3 pairs + marker handling; 30 types keep the
