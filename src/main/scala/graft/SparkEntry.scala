@@ -2604,7 +2604,7 @@ object SparkEntry {
         |          AS mn,
         |        count(*) OVER (PARTITION BY doc_id) AS np
         |      FROM g),
-        |sets AS (SELECT DISTINCT doc_id, mn AS fp
+        |sets AS MATERIALIZED (SELECT DISTINCT doc_id, mn AS fp
         |         FROM m WHERE s <= np - 4),
         |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
         |          FROM sets GROUP BY 1),
@@ -2613,7 +2613,8 @@ object SparkEntry {
         |         HAVING count(*) <= GREATEST(${Dedup.DfFloor},
         |           (SELECT (n_docs + ${Dedup.RelDfDenom - 1})
         |                    // ${Dedup.RelDfDenom} FROM nd))),
-        |i AS (SELECT s.doc_id, s.fp FROM sets s JOIN keep USING (fp)),
+        |i AS MATERIALIZED (
+        |  SELECT s.doc_id, s.fp FROM sets s JOIN keep USING (fp)),
         |common AS (SELECT x.doc_id AS p1, y.doc_id AS p2,
         |                  CAST(count(*) AS BIGINT) AS common
         |           FROM i x JOIN i y
