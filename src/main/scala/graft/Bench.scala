@@ -33,7 +33,10 @@ object Bench {
     // bpe_merges is a memo read after bpe_encode (sorted first) warms
     // the shared merge table; the learn CHAIN is carried by
     // bpe_encode's cold gate below
-    "bpe_merges" -> 0.3, "bpe_merges_bytes" -> 1.78,
+    // bpe_merges_bytes re-tightened in r16: bpe_encode_bytes now
+    // first-touches the byte merge memo, so this median is a table
+    // read (r16 sweep 0.046 s) — floor applies
+    "bpe_merges" -> 0.3, "bpe_merges_bytes" -> 0.3,
     "chunk_assign" -> 0.3, "cluster_stats" -> 0.85,
     "collab_topk" -> 0.89, "cooc_pairs" -> 0.3,
     "cooc_topk" -> 0.74, "corpus_mix" -> 0.3,
@@ -126,7 +129,13 @@ object Bench {
     // (round 15): its cold carries the 9-sum corpus scan the whole
     // distillation tier shares, plus its own score+mix pass; r15
     // cold 0.92 s
-    "mix_quality" -> 1.4)
+    "mix_quality" -> 1.4,
+    // first toucher of the memoized byte-level BPE merge table in
+    // sorted order (round 16): its cold runs the vocabulary-bounded
+    // learn loop plus its own type-table encode + broadcast join; r16
+    // quiet 5-run sweep cold 2.09 s (bpe_merges_bytes then reads the
+    // memo — its median moved 1.19 → 0.05 s in the same sweep)
+    "bpe_encode_bytes" -> 3.1)
 
   /** Memo-release hooks for the cold-gated queries above: before a solo
     * re-run, drop EXACTLY the memo state the query owns — its
@@ -167,7 +176,10 @@ object Bench {
         graft.model.BuilderCache.release(s, "bpeMerges")),
     "mix_quality" ->
       ((s: SparkSession) =>
-        graft.model.BuilderCache.release(s, "qualityFitSums")))
+        graft.model.BuilderCache.release(s, "qualityFitSums")),
+    "bpe_encode_bytes" ->
+      ((s: SparkSession) =>
+        graft.model.BuilderCache.release(s, "bpeMergesBytes")))
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
