@@ -24,11 +24,19 @@ import graft.streaming.CorpusStream
   * noop (full projection computed, nothing shipped — the TimeQuery
   * method).
   *
-  * Usage: runMain graft.tools.ScoreScale <sfDir> [chunks=20] */
+  * Round 16: a `mix` mode replays [[CorpusStream.mixedStream]] — the
+  * quality-aware assembly composition — through the same harness, with
+  * the same stateless claim to verify (tier assignment, broadcast rate
+  * config, and in-row copy explosion are all row-local, so
+  * stateOperators must stay empty and latency flat).
+  *
+  * Usage: runMain graft.tools.ScoreScale <sfDir> [chunks=20] [score|mix] */
 object ScoreScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(20)
+    val mode = args.lift(2).getOrElse("score")
+    require(mode == "score" || mode == "mix", s"unknown mode $mode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -53,7 +61,7 @@ object ScoreScale {
     val w = graft.operators.Distill.fitWeights(spark, dir)
       .getOrElse(sys.error(s"empty corpus at $dir"))
     val fitSec = (System.nanoTime() - tFit0) / 1e9
-    println(f"SCORESCALE input dir=$dir docs=$nTotal chunks=$chunks " +
+    println(f"SCORESCALE mode=$mode dir=$dir docs=$nTotal chunks=$chunks " +
       f"fit=$fitSec%.1f s weights=$w")
     (0 until chunks).foreach { i =>
       val tmp = s"$staging/_tmp$i"
@@ -75,7 +83,12 @@ object ScoreScale {
       .option("pathGlobFilter", "chunk*.parquet")
       .parquet(staging)
     val t0 = System.nanoTime()
-    val q = CorpusStream.scoredStream(src, w).writeStream
+    val streamed =
+      if (mode == "mix")
+        CorpusStream.mixedStream(src, w,
+          graft.operators.Corpus.defaultMixRates)
+      else CorpusStream.scoredStream(src, w)
+    val q = streamed.writeStream
       .format("noop").option("checkpointLocation", ck)
       .outputMode("append").start()
     q.processAllAvailable()

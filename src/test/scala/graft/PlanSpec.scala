@@ -321,6 +321,20 @@ class PlanSpec extends SparkSpec {
     assert(!pm.contains("Exchange hashpartitioning"), pm)
   }
 
+  test("round-16 bpe_encode_bytes keeps its one-corpus-pass plan shape") {
+    // the k merge passes run over the vocabulary-bounded type table,
+    // which then BROADCASTS to the exploded corpus — the corpus side
+    // must reach the join unshuffled, and the only exchanges are the
+    // type-table distinct, the per-doc aggregation (both behind
+    // map-side partial aggregates), and the deterministic output sort
+    val pb = plan(graft.operators.TextOps.bpeEncodeBytes(spark, dir))
+    assert(pb.contains("BroadcastHashJoin"), pb)
+    assert(!pb.contains("SortMergeJoin") && !pb.contains("ShuffledHashJoin"),
+      pb)
+    assert(!pb.contains("Window") && !pb.contains("Cartesian"), pb)
+    assert("Exchange (range|hash)partitioning".r.findAllIn(pb).size <= 3, pb)
+  }
+
   test("round-6 join queries avoid non-equi join physical plans") {
     // event_asof: the as-of join must plan as union + partitioned window
     // — no join operator at all between the touch and purchase sides
