@@ -1049,9 +1049,17 @@ object TextOps {
     }
     val symCounts = types
       .select(col("w"), size(split(col("s"), " ")).cast("long").as("n_sym"))
-    // vocabulary-bounded join side → broadcast: the corpus never
-    // shuffles on the join, only the final per-doc aggregation does
-    words.join(broadcast(symCounts), "w")
+    // the join strategy is deliberately LEFT TO AQE: the type table is
+    // vocabulary-bounded (Heaps-law slow), so at working scales AQE
+    // converts this to a broadcast join at runtime (PlanSpec pins the
+    // conversion at test scale) — but it is still a corpus-DERIVED
+    // aggregate, and at extreme corpus sizes the vocabulary itself can
+    // outgrow a broadcast, where a shuffled join on w is the only
+    // correct plan. Forcing broadcast() here would encode the small-
+    // case as policy (the tfidf-guard class of bug); letting the
+    // optimizer decide from runtime statistics is the shape that
+    // survives both ends.
+    words.join(symCounts, "w")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum("n_sym").as("n_tokens_bpe"))
       .select(col("doc_id"), col("n_tokens"), col("n_tokens_bpe"),
