@@ -171,15 +171,18 @@ object Bench {
         graft.model.BuilderCache.release(s, "triangleCounts")),
     "nll_bucket" ->
       ((s: SparkSession) => graft.model.BuilderCache.release(s, "docTf")),
+    // ":"-terminated so the WORD memo prefix cannot also evict the
+    // byte-level sibling's "bpeMergesBytes:*" entries (release is
+    // prefix-matched)
     "bpe_encode" ->
       ((s: SparkSession) =>
-        graft.model.BuilderCache.release(s, "bpeMerges")),
+        graft.model.BuilderCache.release(s, "bpeMerges:")),
     "mix_quality" ->
       ((s: SparkSession) =>
         graft.model.BuilderCache.release(s, "qualityFitSums")),
     "bpe_encode_bytes" ->
       ((s: SparkSession) =>
-        graft.model.BuilderCache.release(s, "bpeMergesBytes")))
+        graft.model.BuilderCache.release(s, "bpeMergesBytes:")))
 
   private def esc(s: String): String = s.flatMap {
     case '"'  => "\\\""
