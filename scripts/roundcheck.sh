@@ -31,7 +31,12 @@ TALLY=$(grep -E '^\[info\] Tests: succeeded' "$LOG" | tail -1)
 echo "$TALLY"
 TOTAL=$(grep -E '^\[info\] Total number of tests run:' "$LOG" | tail -1)
 echo "$TOTAL"
-if [ $SBT_RC -ne 0 ] || ! echo "$TALLY" | grep -q 'failed 0'; then
+# Green means: sbt exited 0 AND the tally line exists AND it shows
+# zero failed AND zero canceled (a canceled test is work that did not
+# run — it must not pass the gate, r16 advice).
+if [ $SBT_RC -ne 0 ] || [ -z "$TALLY" ] \
+   || ! echo "$TALLY" | grep -q 'failed 0' \
+   || ! echo "$TALLY" | grep -q 'canceled 0'; then
   echo "ROUNDCHECK: sbt test NOT GREEN (rc=$SBT_RC) — see $LOG"
   grep -E '^\[info\] .*\*\*\* FAILED' "$LOG" | head -20
   FAIL=1
@@ -48,9 +53,15 @@ if [ $? -ne 0 ]; then
 else
   echo "== roundcheck: DuckDB oracle selfcheck =="
   SC=$(python3 scripts/selfcheck.py "$SF_DIR" "$OUT_DIR" 2>&1)
+  SC_RC=$?
   echo "$SC" | tail -5
-  if echo "$SC" | grep -q '^FAIL'; then
-    echo "ROUNDCHECK: selfcheck NOT GREEN"
+  # Green means: selfcheck exited 0 AND printed no FAIL line AND its
+  # final "== N ok, 0 fail ==" tally is present. A crash before the
+  # per-query loop (import error, missing dir) has no ^FAIL lines but
+  # a non-zero rc and no tally — it must not pass (r16 advice, medium).
+  if [ $SC_RC -ne 0 ] || echo "$SC" | grep -q '^FAIL' \
+     || ! echo "$SC" | grep -qE '^== [0-9]+ ok, 0 fail'; then
+    echo "ROUNDCHECK: selfcheck NOT GREEN (rc=$SC_RC)"
     echo "$SC" | grep '^FAIL' | head -20
     FAIL=1
   else

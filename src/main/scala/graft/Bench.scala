@@ -207,6 +207,21 @@ object Bench {
     s(s.length / 2) // odd run counts; even → upper median, still robust
   }
 
+  /** The sf0.1 data fingerprint the current budget tables were last
+    * CONFIRMED under (the r16 quiet 5-run sweep, PROFILE_r16.md §5 —
+    * the first sweep to record one). The driver regenerates testdata
+    * per round, so a moved budget median has two candidate causes; a
+    * moved fingerprint adjudicates it as DATA mechanically (r16
+    * verdict item 6: jaccard_sim's r15 1.09 → r16 0.50 median move at
+    * constant code was a distinct-token-count move, and cost a manual
+    * SCALING re-derivation to attribute). Field order here is the
+    * emission order of the data_fingerprint JSON. */
+  private val fingerprintFields =
+    Seq("documents", "doc_tokens_distinct", "lineitem", "events")
+  private val baselineFingerprint: Map[String, Long] = Map(
+    "documents" -> 5000L, "doc_tokens_distinct" -> 31L,
+    "lineitem" -> 600000L, "events" -> 100000L)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -244,6 +259,35 @@ object Bench {
       .getOrElse(Set.empty[String])
     val skippedJson = skip.toSeq.sorted
       .map("\"" + _ + "\"").mkString("[", ",", "]")
+    // quiet = 1-min AND 5-min loadavg both at/under the threshold: the
+    // 1-min recovers within seconds of a co-tenant draining while the
+    // 5-min still carries the drain — gating on both is what keeps a
+    // measured run from timing against work that is still unwinding
+    val quietLoad =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
+    def loadPair: (Double, Double) = loadavg match {
+      case Seq(l1, l5, _*) => (l1, l5)
+      case Seq(l1) => (l1, l1)
+      case _ => (0.0, 0.0)
+    }
+    def isQuiet(l: (Double, Double)): Boolean =
+      l._1 <= quietLoad && l._2 <= quietLoad
+    // Quiet-gate the SWEEP itself (r16 verdict item 2): the
+    // driver-recorded BENCH_r16.json started at loadavg 5.11 (residual
+    // co-tenant load) and read 27% over the same tree's quiet sweeps,
+    // costing a round of artifact comparability. Bounded wait for a
+    // quiet box before the first measured query; if the budget expires
+    // first, proceed anyway and say so ("load_waived":true) — the
+    // sweep must always produce an artifact.
+    var startWait =
+      sys.env.getOrElse("SPARK_GRAFT_START_WAIT_SECS", "300").toDouble
+    var lStart0 = loadPair
+    while (!isQuiet(lStart0) && startWait > 0) {
+      val s = math.min(15.0, startWait)
+      Thread.sleep((s * 1000).toLong); startWait -= s
+      lStart0 = loadPair
+    }
+    val loadWaived = !isQuiet(lStart0)
     val load0 = loadavg
     val results = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1)).map {
@@ -331,21 +375,8 @@ object Bench {
           else if (isCold) c else v
         (k, swept, budget, isCold)
     }
-    val quietLoad =
-      sys.env.getOrElse("SPARK_GRAFT_QUIET_LOAD", "2.0").toDouble
     var sleepBudget =
       sys.env.getOrElse("SPARK_GRAFT_SOLO_WAIT_SECS", "240").toDouble
-    // quiet = 1-min AND 5-min loadavg both at/under the threshold: the
-    // 1-min recovers within seconds of a co-tenant draining while the
-    // 5-min still carries the drain — gating on both is what keeps a
-    // "solo" run from timing against work that is still unwinding
-    def loadPair: (Double, Double) = loadavg match {
-      case Seq(l1, l5, _*) => (l1, l5)
-      case Seq(l1) => (l1, l1)
-      case _ => (0.0, 0.0)
-    }
-    def isQuiet(l: (Double, Double)): Boolean =
-      l._1 <= quietLoad && l._2 <= quietLoad
     def nap(secs: Double): Unit = {
       val s = math.min(secs, sleepBudget)
       if (s > 0) { Thread.sleep((s * 1000).toLong); sleepBudget -= s }
@@ -411,6 +442,45 @@ object Bench {
       (k, swept, solo, budget, quietRun)
     }
     val load2 = loadavg
+    // Data fingerprint (round-15 verdict item 6; GATING since r17): the
+    // testdata is REGENERATED per round, so a moved median has two
+    // candidate causes — code or data. Recording the drift-relevant
+    // shape of the input alongside every sweep makes that adjudication
+    // mechanical: equal fingerprints ⇒ code; moved fingerprints ⇒ data
+    // (jaccard_sim's r15 0.74→1.64 budget move was data —
+    // distinct-token growth fans out its pair join — and took a
+    // SCALING re-derivation to attribute). Computed AFTER all timing
+    // (sweep + solo adjudication) so the extra scans cannot perturb
+    // attribution. Guarded (r16 advice): a missing table in this sfDir
+    // must not throw after a completed sweep — the gate lines below
+    // would never print and a green sweep would report as nothing.
+    val fpTry = scala.util.Try {
+      import org.apache.spark.sql.functions.{col, countDistinct, explode, split}
+      val docs = graft.model.Tables.documents(spark, sfDir)
+      val nTok = docs
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .agg(countDistinct(col("tok")))
+        .head().getLong(0)
+      Map(
+        "documents" -> docs.count(),
+        "doc_tokens_distinct" -> nTok,
+        "lineitem" -> spark.read.parquet(s"$sfDir/lineitem.parquet").count(),
+        "events" -> graft.model.Tables.events(spark, sfDir).count())
+    }
+    val fp = fpTry
+      .map(m => fingerprintFields.map(f => s""""$f":${m(f)}""")
+        .mkString("{", ",", "}"))
+      .recover { case e => s"""{"error":"${esc(e.toString.take(200))}"}""" }
+      .get
+    // The budgets only describe the baseline fingerprint's data: when
+    // the fingerprint MOVED, a confirmed exceedance adjudicates as
+    // "data_drift" (name → solo/budget ratio), not "regression" — the
+    // budget row needs re-derivation, the code didn't change its cost.
+    // A fingerprint we could not compute does NOT demote anything
+    // (conservative: unexplained exceedances stay regressions), and a
+    // solo CRASH is never data drift.
+    val fpMoved =
+      budgetsApply && fpTry.toOption.exists(_ != baselineFingerprint)
     // pagerank_fixed's hook is the only one that drops the app-wide
     // shared adjacency cache; if ITS solo run fails, the later-
     // adjudicated adjacency-dependent queries pay the DF→RDD+groupByKey
@@ -434,10 +504,18 @@ object Bench {
         f""""$k":[$swept%.3f,$solo%.3f,$l1%.2f,$l5%.2f]"""
     }.mkString("{", ",", "}")
     val regs = adjudicated.collect {
-      case (k, _, solo, b, quietRun) if confirmed(k, solo, b, quietRun) =>
+      case (k, _, solo, b, quietRun)
+          if confirmed(k, solo, b, quietRun) &&
+            (solo.isInfinity || !fpMoved) =>
         // -1 = the solo run itself failed (see solo_errors)
         if (solo.isInfinity) s""""$k":-1"""
         else f""""$k":${solo / b}%.2f"""
+    }.mkString("{", ",", "}")
+    val dataDrift = adjudicated.collect {
+      case (k, _, solo, b, quietRun)
+          if confirmed(k, solo, b, quietRun) && !solo.isInfinity &&
+            fpMoved =>
+        f""""$k":${solo / b}%.2f"""
     }.mkString("{", ",", "}")
     // per attempt: [loadavg_1min, loadavg_5min] at attempt start
     val soloLoad = soloLoads.map { case (k, ls) =>
@@ -451,34 +529,12 @@ object Bench {
     // default -Xmx to the sf dir; recording it makes scale artifacts
     // self-describing instead of env-var archaeology)
     val heapGb = f"${Runtime.getRuntime.maxMemory / 1073741824.0}%.1f"
-    // Data fingerprint (round-15 verdict item 6): the testdata is
-    // REGENERATED per round, so a moved median has two candidate causes
-    // — code or data. Recording the drift-relevant shape of the input
-    // alongside every sweep makes that adjudication mechanical: equal
-    // fingerprints ⇒ code; moved fingerprints ⇒ data (jaccard_sim's r15
-    // 0.74→1.64 budget move was data — distinct-token growth fans out
-    // its pair join — and took a SCALING re-derivation to attribute).
-    // Computed AFTER the sweep so the extra documents scan cannot
-    // perturb run1 cold attribution. Cost: one count + one distinct agg.
-    val fp = {
-      import org.apache.spark.sql.functions.{col, countDistinct, explode, split}
-      val docs = graft.model.Tables.documents(spark, sfDir)
-      val nDocs = docs.count()
-      val nTok = docs
-        .select(explode(split(col("text"), " ")).as("tok"))
-        .agg(countDistinct(col("tok")))
-        .head().getLong(0)
-      val nLine = spark.read.parquet(s"$sfDir/lineitem.parquet").count()
-      val nEvents = graft.model.Tables.events(spark, sfDir).count()
-      s"""{"documents":$nDocs,"doc_tokens_distinct":$nTok,""" +
-        s""""lineitem":$nLine,"events":$nEvents}"""
-    }
-    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"data_fingerprint":$fp,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"data_fingerprint":$fp,"fingerprint_moved":$fpMoved,"data_drift":$dataDrift,"load_waived":$loadWaived,"queries":$qs,"cold":$colds,"sf":"$sfDir"}""")
     // The driver keeps only the LAST 2000 chars of stdout: the 59-query
     // "queries"/"cold" maps above push the gate fields (value/ok/
     // regressions) past that window (round-5 verdict). Repeat them in a
     // compact FINAL line so truncation can never eat the gate.
-    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"data_fingerprint":$fp,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"summary","value":$total,"unit":"sec","ok":$ok,"runs":$runsN,"skipped":$skippedJson,"heap_gb":$heapGb,"cold_total":$coldTotal,"errors":$errs,"regressions":$regs,"suspect_load":$suspect,"unadjudicated":$unadjudicated,"solo_load":$soloLoad,"solo_errors":$soloErrs,"data_fingerprint":$fp,"fingerprint_moved":$fpMoved,"data_drift":$dataDrift,"load_waived":$loadWaived,"loadavg":${la(load0)},"loadavg_end":${la(load1)},"loadavg_solo_end":${la(load2)},"sf":"$sfDir"}""")
     spark.stop()
     if (!ok) sys.exit(1)
   }

@@ -361,8 +361,10 @@ object SparkEntry {
            |d${k + 1} AS MATERIALIZED (
            |  SELECT trim(regexp_replace(
            |           replace(' ' || replace(s, ' ', '  ') || ' ',
-           |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
-           |                   (SELECT ' ' || m || ' ' FROM w$k)),
+           |                   coalesce((SELECT ' ' || a || '  ' || b || ' '
+           |                             FROM w$k), chr(1)),
+           |                   coalesce((SELECT ' ' || m || ' ' FROM w$k),
+           |                            chr(1))),
            |           ' +', ' ', 'g')) AS s
            |  FROM d$k)""".stripMargin
       s"""p$k AS (
@@ -402,8 +404,10 @@ object SparkEntry {
          |d${k + 1} AS MATERIALIZED (
          |  SELECT doc_id, trim(regexp_replace(
          |           replace(' ' || replace(s, ' ', '  ') || ' ',
-         |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
-         |                   (SELECT ' ' || m || ' ' FROM w$k)),
+         |                   coalesce((SELECT ' ' || a || '  ' || b || ' '
+         |                             FROM w$k), chr(1)),
+         |                   coalesce((SELECT ' ' || m || ' ' FROM w$k),
+         |                            chr(1))),
          |           ' +', ' ', 'g')) AS s
          |  FROM d$k)""".stripMargin
     }.mkString(",\n")
@@ -434,8 +438,10 @@ object SparkEntry {
            |d${k + 1} AS MATERIALIZED (
            |  SELECT trim(regexp_replace(
            |           replace(' ' || replace(s, ' ', '  ') || ' ',
-           |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
-           |                   (SELECT ' ' || m || ' ' FROM w$k)),
+           |                   coalesce((SELECT ' ' || a || '  ' || b || ' '
+           |                             FROM w$k), chr(1)),
+           |                   coalesce((SELECT ' ' || m || ' ' FROM w$k),
+           |                            chr(1))),
            |           ' +', ' ', 'g')) AS s, f
            |  FROM d$k)""".stripMargin
       s"""p$k AS (
@@ -480,8 +486,10 @@ object SparkEntry {
          |d${k + 1} AS MATERIALIZED (
          |  SELECT w, trim(regexp_replace(
          |           replace(' ' || replace(s, ' ', '  ') || ' ',
-         |                   (SELECT ' ' || a || '  ' || b || ' ' FROM w$k),
-         |                   (SELECT ' ' || m || ' ' FROM w$k)),
+         |                   coalesce((SELECT ' ' || a || '  ' || b || ' '
+         |                             FROM w$k), chr(1)),
+         |                   coalesce((SELECT ' ' || m || ' ' FROM w$k),
+         |                            chr(1))),
          |           ' +', ' ', 'g')) AS s, f
          |  FROM d$k)""".stripMargin
     }.mkString(",\n")

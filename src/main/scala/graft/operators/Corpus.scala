@@ -88,6 +88,13 @@ object Corpus {
       .orderBy("doc_id", "copy_idx")
   }
 
+  /** Quality-tier thresholds shared by [[mixQuality]], [[mixQualityOf]]
+    * and [[graft.streaming.CorpusStream.mixedStream]] — hoisted so a
+    * retune cannot silently break the streamed-vs-batch parity
+    * StreamingSpec pins (r16 advice). */
+  val DefaultQLow: Double = 400000.0
+  val DefaultQHigh: Double = 700000.0
+
   /** Declared-query rates for the testdata's src0..src19: cycle
     * 1.5 / 1.0 / 0.5 / 0.25 by source index — exercises upsampling,
     * identity, and two downsampling rates, all dyadic. */
@@ -121,7 +128,7 @@ object Corpus {
     * corpus size, exactly like [[corpusMix]]. */
   def mixQuality(spark: SparkSession, dir: String,
       rates: Map[String, Double],
-      qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame = {
+      qLow: Double = DefaultQLow, qHigh: Double = DefaultQHigh): DataFrame = {
     val w = Distill.fitWeights(spark, dir)
       .getOrElse((0.0, 0.0, 0.0)) // empty corpus: projection emits 0 rows
     mixQualityOf(spark, Distill.featuredOf(spark, dir), w, rates,
@@ -138,7 +145,7 @@ object Corpus {
     * a stateless row-local projection and streams as-is). */
   private[graft] def mixQualityOf(spark: SparkSession, featured: DataFrame,
       weights: (Double, Double, Double), rates: Map[String, Double],
-      qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame = {
+      qLow: Double = DefaultQLow, qHigh: Double = DefaultQHigh): DataFrame = {
     import spark.implicits._
     require(rates.nonEmpty, "mixQuality needs at least one source rate")
     require(qLow <= qHigh, s"qLow=$qLow > qHigh=$qHigh")

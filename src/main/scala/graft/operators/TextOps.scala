@@ -853,18 +853,6 @@ object TextOps {
     * corpus size. */
   def bpeEncode(spark: SparkSession, dir: String,
       nMerges: Int = 4): DataFrame = {
-    // Deep-merge default (r15 verdict item 5): the word-level learn
-    // loop below is measured super-linear past sf30 at depth (cold
-    // sf30→sf100 exp ~1.5 — the corpus-sized rewrite leaves page
-    // cache), while the byte-level learner's loop is VOCABULARY-
-    // bounded (invariant in corpus size at fixed vocabulary). At the
-    // production merge-budget class (10⁴–10⁵ rounds) byte-level is the
-    // only shape that survives 100 TB, so it is the documented default
-    // there: opt in per-session with SPARK_GRAFT_BPE_BYTELEVEL=1 (the
-    // declared `bpe_encode` query keeps the word-level semantics its
-    // oracle pins; `bpe_encode_bytes` is the byte-level declared twin).
-    if (sys.env.get("SPARK_GRAFT_BPE_BYTELEVEL").contains("1"))
-      return bpeEncodeBytes(spark, dir, nMerges)
     import spark.implicits._
     def esc(t: String): String =
       t.replace("\\", "\\\\").replace("'", "\\'")
@@ -898,6 +886,25 @@ object TextOps {
         6).as("compression"))
       .orderBy("doc_id")
   }
+
+  /** Deep-merge dispatch for CLI/pipeline sessions (r15 verdict item
+    * 5, moved OUT of [[bpeEncode]] per r16 advice: an env var must
+    * never silently change the VALUES of a declared, oracle-pinned
+    * query). The word-level learn loop is measured super-linear past
+    * sf30 at depth (cold sf30→sf100 exp ~1.5; at 64 merges sf100 is a
+    * measured disk wall — SCALING.md r16 §2b), while the byte-level
+    * learner is VOCABULARY-bounded (invariant in corpus size at fixed
+    * vocabulary). At the production merge-budget class (10⁴–10⁵
+    * rounds) byte-level is the only shape that survives 100 TB, so
+    * callers choosing a granularity at runtime dispatch HERE —
+    * `SPARK_GRAFT_BPE_BYTELEVEL=1` selects [[bpeEncodeBytes]] — while
+    * the declared queries stay fixed: `bpe_encode` is always
+    * word-level, `bpe_encode_bytes` always byte-level. */
+  def bpeEncodeAuto(spark: SparkSession, dir: String,
+      nMerges: Int = 4): DataFrame =
+    if (sys.env.get("SPARK_GRAFT_BPE_BYTELEVEL").contains("1"))
+      bpeEncodeBytes(spark, dir, nMerges)
+    else bpeEncode(spark, dir, nMerges)
 
   /** `bpe_merges_bytes`: BYTE/CHAR-level BPE merge learning — the
     * production tokenizer-training shape (Sennrich, Haddow & Birch,

@@ -109,7 +109,7 @@ object CorpusStream {
     * batches 1..k — no drift to monitor. */
   def mixedStream(docs: DataFrame, weights: (Double, Double, Double),
       rates: Map[String, Double],
-      qLow: Double = 400000.0, qHigh: Double = 700000.0): DataFrame =
+      qLow: Double = graft.operators.Corpus.DefaultQLow, qHigh: Double = graft.operators.Corpus.DefaultQHigh): DataFrame =
     graft.operators.Corpus.mixQualityOf(docs.sparkSession,
       graft.operators.Distill.featuredSlice(docs), weights, rates,
       qLow, qHigh)

@@ -299,4 +299,29 @@ class BpeSpec extends SparkSpec {
     val got = runBytes(docs, 64)
     assert(got == refBytes(texts, 64))
   }
+
+  test("merge exhaustion: learners stop cleanly, encodes keep clean-stop " +
+      "semantics (the r16-advice oracle-guard contract)") {
+    // 'ab ab' + 'ab': exactly ONE productive merge at either
+    // granularity, then no pairs remain — the learner must emit fewer
+    // rows than nMerges (no crash, no NULL poisoning) and the encode
+    // must treat the missing rounds as no-ops. The DuckDB oracles
+    // encode the same semantics via coalesce(..., chr(1)) guards on
+    // their scalar subqueries; these literals were cross-checked
+    // against DuckDB on this exact corpus (PROFILE_r17).
+    val docs = Seq((1L, "ab ab"), (2L, "ab"))
+    val d = corpusDir(docs)
+    val mw = TextOps.bpeMerges(spark, d, nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(mw == Seq((1, "ab", "ab", "ab_ab", 1L)))
+    val mb = TextOps.bpeMergesBytes(spark, d, nMerges = 4)
+      .as[(Int, String, String, String, Long)].collect().toSeq
+    assert(mb == Seq((1, "a", "b</w>", "ab</w>", 3L)))
+    val ew = TextOps.bpeEncode(spark, d, nMerges = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(ew == Seq((1L, 2L, 1L, 0.5), (2L, 1L, 1L, 1.0)))
+    val eb = TextOps.bpeEncodeBytes(spark, d, nMerges = 4)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(eb == Seq((1L, 2L, 2L, 1.0), (2L, 1L, 1L, 1.0)))
+  }
 }
