@@ -947,10 +947,39 @@ object TextOps {
         nMerges)
     }
 
+  /** Max TOTAL SYMBOLS in the type table for the single-task learner
+    * ([[bpeMergesBytesLocal]]): ~8M short strings is low hundreds of
+    * MB in one task — conservative for a 4–8 GB production executor,
+    * trivial at local[32]/128G. Overridable per session
+    * (`SPARK_GRAFT_BPE_LOCAL_MAX`; 0 forces the distributed loop —
+    * the A/B lever the SCALING depth cells use). */
+  val BpeLocalMaxSymbols: Long =
+    sys.env.get("SPARK_GRAFT_BPE_LOCAL_MAX").map(_.toLong)
+      .getOrElse(8000000L)
+
   /** [[bpeMergesBytes]] over any (t: array<string>) corpus — the
-    * fixture-testable form. */
+    * fixture-testable form.
+    *
+    * Dispatch (r16 verdict item 1, the [[graft.algo.PageRank]]
+    * `runLocal` pattern): the learner's per-round state is the
+    * VOCABULARY, not the corpus — after the one corpus-sized count
+    * below, the whole merge loop runs over the type table. The
+    * distributed loop schedules one Spark job per merge round (a
+    * 1-row TakeOrderedAndProject collect), which is fine at k≤64 but
+    * is a SCHEDULER wall at the production merge-budget class its own
+    * scaladoc names (10⁴–10⁵ rounds): 10⁵ scheduled jobs cost hours
+    * independent of data size. When the type table fits one task
+    * (total symbols ≤ `localMaxSymbols`), run the classic incremental
+    * pair-count learner (Sennrich's learn_bpe update rule: only words
+    * CONTAINING the merged pair are touched per round) inside a single
+    * `mapPartitions` job — one job total instead of k, executor-side
+    * (no driver collect of the types), cluster-safe: it is the
+    * single-partition degenerate case made explicit. Identity with
+    * the distributed loop is pinned in BpeSpec (same fixture, both
+    * paths) and by the unchanged `bpe_merges_bytes` oracle hash. */
   private[graft] def bpeMergesBytesOf(spark: SparkSession,
-      corpus: DataFrame, nMerges: Int): DataFrame = {
+      corpus: DataFrame, nMerges: Int,
+      localMaxSymbols: Long = BpeLocalMaxSymbols): DataFrame = {
     import spark.implicits._
     val cut: DataFrame => DataFrame =
       if (graft.model.BuilderCache.inspecting) identity
@@ -965,6 +994,12 @@ object TextOps {
       .select(expr(
         "concat(trim(regexp_replace(w, '(.)', '$1 ')), '</w>')").as("s"),
         col("f"))
+    // one cheap job over the vocabulary-bounded table decides the path
+    val totalSyms = wf
+      .select(coalesce(sum(size(split(col("s"), " "))), lit(0))
+        .cast("long")).as[Long].head()
+    if (totalSyms <= localMaxSymbols)
+      return bpeMergesBytesLocal(spark, wf, nMerges)
     val merges = scala.collection.mutable.ArrayBuffer.empty[
       (Int, String, String, String, Long)]
     var step = 1
@@ -1000,6 +1035,97 @@ object TextOps {
       step += 1
     }
     merges.toSeq
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** Single-task byte-level learner: the identical merge semantics —
+    * freq-weighted adjacent-pair counts WITH overlaps, winner by
+    * (count DESC, lhs ASC, rhs ASC), greedy left-to-right
+    * non-overlapping rewrite — run as imperative Scala over the type
+    * table inside ONE `mapPartitions` job. Per round: an O(#pairs)
+    * winner scan (no heap — at real vocabularies the scan is micro-
+    * seconds and a heap's lazy-deletion bookkeeping is where learn_bpe
+    * implementations grow bugs) plus incremental count updates touching
+    * ONLY the words that contain the winning pair (`where` index), so
+    * a 10⁵-round budget costs seconds, not 10⁵ scheduled Spark jobs.
+    * Winner selection is a total order, so the result is independent
+    * of hash-map iteration order. */
+  private def bpeMergesBytesLocal(spark: SparkSession, wf: DataFrame,
+      nMerges: Int): DataFrame = {
+    import spark.implicits._
+    wf.select(split(col("s"), " ").as("t"), col("f"))
+      .as[(Seq[String], Long)]
+      .coalesce(1)
+      .mapPartitions { it =>
+        val words = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+        val freqs = scala.collection.mutable.ArrayBuffer.empty[Long]
+        it.foreach { case (t, f) => words += t.toArray; freqs += f }
+        val counts =
+          scala.collection.mutable.HashMap.empty[(String, String), Long]
+        val where = scala.collection.mutable
+          .HashMap.empty[(String, String), scala.collection.mutable.HashSet[Int]]
+        def addPairs(i: Int): Unit = {
+          val t = words(i); val f = freqs(i); var j = 0
+          while (j < t.length - 1) {
+            val p = (t(j), t(j + 1))
+            counts(p) = counts.getOrElse(p, 0L) + f
+            where.getOrElseUpdate(p,
+              scala.collection.mutable.HashSet.empty) += i
+            j += 1
+          }
+        }
+        def dropPairs(i: Int): Unit = {
+          val t = words(i); val f = freqs(i); var j = 0
+          while (j < t.length - 1) {
+            val p = (t(j), t(j + 1))
+            val c = counts(p) - f
+            // c hits 0 only when the last occurrence anywhere is gone
+            // (freqs are ≥1 and additions/removals cancel exactly)
+            if (c == 0L) { counts.remove(p); where.remove(p) }
+            else { counts(p) = c; where.get(p).foreach(_ -= i) }
+            j += 1
+          }
+        }
+        def rewrite(t: Array[String], a: String, b: String,
+            m: String): Array[String] = {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var j = 0
+          while (j < t.length) {
+            if (j < t.length - 1 && t(j) == a && t(j + 1) == b) {
+              out += m; j += 2
+            } else { out += t(j); j += 1 }
+          }
+          out.toArray
+        }
+        var i = 0
+        while (i < words.length) { addPairs(i); i += 1 }
+        val merges = scala.collection.mutable.ArrayBuffer
+          .empty[(Int, String, String, String, Long)]
+        var step = 1
+        while (step <= nMerges && counts.nonEmpty) {
+          var bp: (String, String) = null
+          var bc = 0L
+          counts.foreach { case (p, c) =>
+            if (bp == null || c > bc || (c == bc &&
+                (p._1 < bp._1 || (p._1 == bp._1 && p._2 < bp._2)))) {
+              bp = p; bc = c
+            }
+          }
+          val (a, b) = bp
+          val m = a + b
+          merges += ((step, a, b, m, bc))
+          // snapshot: dropPairs/addPairs mutate the index sets
+          val affected = where(bp).toArray
+          affected.foreach { w =>
+            dropPairs(w)
+            words(w) = rewrite(words(w), a, b, m)
+            addPairs(w)
+          }
+          step += 1
+        }
+        merges.iterator
+      }
       .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy("step")
   }

@@ -219,6 +219,16 @@ class BpeSpec extends SparkSpec {
     TextOps.bpeMergesBytes(spark, corpusDir(docs), nMerges = n)
       .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
 
+  /** Path-forcing form: localMax = 0 forces the distributed per-round
+    * loop, Long.MaxValue forces the single-task learner. */
+  private def runBytesPath(docs: Seq[(Long, String)], n: Int,
+      localMax: Long): Seq[(Int, String, String, String, Long)] =
+    TextOps.bpeMergesBytesOf(spark,
+      docs.toDF("doc_id", "text")
+        .select(org.apache.spark.sql.functions.split($"text", " ").as("t")),
+      nMerges = n, localMaxSymbols = localMax)
+      .as[(Int, String, String, String, Long)].collect().toSeq.sortBy(_._1)
+
   test("byte-level: chars merge within words, marker glues to the last char") {
     // "low" ×3, "lowest" ×1: step 1 merges (l,o) with freq-weighted
     // count 4 (3 from 'low', 1 from 'lowest'), step 2 merges
@@ -287,17 +297,39 @@ class BpeSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
-  test("byte-level: 64 rounds with checkpoint generations match the reference") {
+  test("byte-level: 64 rounds with checkpoint generations match the reference" +
+      " (distributed loop forced)") {
     // distinct 4-char words whose char pairs chain: each word type
     // yields 4 symbols → 3 pairs + marker handling; 30 types keep the
-    // loop productive past 64 rounds
+    // loop productive past 64 rounds. localMax=0 forces the
+    // distributed per-round loop (the default dispatch would take the
+    // single-task learner on a corpus this small), keeping the
+    // checkpoint-generation machinery under test.
     val texts = (0 until 30).map { i =>
       val w = f"w${i % 10}x${i / 10}"
       Seq.fill(i % 3 + 1)(w).mkString(" ")
     }
     val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
-    val got = runBytes(docs, 64)
+    val got = runBytesPath(docs, 64, localMax = 0L)
     assert(got == refBytes(texts, 64))
+  }
+
+  test("byte-level: single-task learner is merge-table-identical to the " +
+      "distributed loop and the reference, through exhaustion") {
+    // same depth fixture; 256 requested rounds exhaust the pair space
+    // well before the budget, so the identity covers productive rounds
+    // AND the clean stop. The default-dispatch runBytes path (local at
+    // this size) is covered by every other byte-level test.
+    val texts = (0 until 30).map { i =>
+      val w = f"w${i % 10}x${i / 10}"
+      Seq.fill(i % 3 + 1)(w).mkString(" ")
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val local = runBytesPath(docs, 256, localMax = Long.MaxValue)
+    val dist = runBytesPath(docs, 256, localMax = 0L)
+    assert(local == dist)
+    assert(local == refBytes(texts, 256))
+    assert(local.size < 256) // exhaustion actually happened
   }
 
   test("merge exhaustion: learners stop cleanly, encodes keep clean-stop " +
