@@ -175,6 +175,123 @@ def main():
             print(f"FAIL {name}: " + "; ".join(diff_cols)); n_bad += 1
         else:
             print(f"ok   {name} ({len(exp)} rows)"); n_ok += 1
+    # ---- envelope checks for the no-oracle five (r16 verdict item 5) --
+    # knn_ivf / popularity_approx / pagerank_global / ppr_seeded /
+    # rec_blend_full are convergence- or sketch-dependent by design (no
+    # bit-exact DuckDB oracle), but each has a hash-checked exact twin
+    # in the same dump. Bound them mechanically against the twin so the
+    # gate reports a CHECKED envelope instead of a blank. Bounds were
+    # derived from the measured sf0.01 deltas (r17: knn overlap
+    # min/avg 0.60/0.72 with bit-identical shared cosines; both
+    # rank L1s 0.0 at round-6; popularity max rel diff 4.9% with 96/100
+    # shared keys; rec_blend all-zero deltas) with generous headroom for
+    # per-round data regeneration — a bound trip means the approximate
+    # path genuinely broke, not that the data moved.
+    def rd(q):
+        return f"read_parquet('{out_dir}/{q}/*.parquet')"
+
+    def env_knn_ivf():
+        ps = con.execute(
+            f"SELECT (SELECT count(DISTINCT pid) FROM {rd('knn_ivf')}),"
+            f" (SELECT count(DISTINCT pid) FROM {rd('knn_ivf_fixed')})"
+        ).fetchone()
+        if ps[0] != ps[1]:
+            return f"probe sets differ: {ps[0]} vs {ps[1]} pids", None
+        mn, avg, md = con.execute(f"""
+            WITH a AS (SELECT pid, vec_id, cosine FROM {rd('knn_ivf')}),
+                 b AS (SELECT pid, vec_id, cosine
+                       FROM {rd('knn_ivf_fixed')}),
+                 j AS (SELECT a.pid, count(*) AS shared,
+                              max(abs(a.cosine - b.cosine)) AS md
+                       FROM a JOIN b USING (pid, vec_id) GROUP BY 1),
+                 ka AS (SELECT pid, count(*) AS na FROM a GROUP BY 1)
+            SELECT min(coalesce(shared, 0) * 1.0 / na),
+                   avg(coalesce(shared, 0) * 1.0 / na),
+                   max(coalesce(md, 0))
+            FROM ka LEFT JOIN j USING (pid)""").fetchone()
+        if md is not None and md > 1e-9:
+            return f"shared-neighbor cosine drift {md}", None
+        if mn < 0.2 or avg < 0.5:
+            return f"recall vs exact twin: min {mn:.2f} avg {avg:.2f}", None
+        return None, f"recall@k vs twin min {mn:.2f} avg {avg:.2f}"
+
+    def env_rank(name, twin, l1_bound=1e-2):
+        def f():
+            na, nb, nj, l1 = con.execute(f"""
+                SELECT (SELECT count(*) FROM {rd(name)}),
+                       (SELECT count(*) FROM {rd(twin)}),
+                       count(*), coalesce(sum(abs(a.rank - b.rank)), 0)
+                FROM {rd(name)} a JOIN {rd(twin)} b
+                  USING (product_id)""").fetchone()
+            if not (na == nb == nj):
+                return f"vertex sets differ: {na}/{nb}, joined {nj}", None
+            if l1 > l1_bound:
+                return f"rank L1 vs {twin} = {l1} > {l1_bound}", None
+            return None, f"rank L1 vs {twin} = {l1:.2e}"
+        return f
+
+    def env_popularity():
+        na, nb, nj, bad = con.execute(f"""
+            SELECT (SELECT count(*) FROM {rd('popularity_approx')}),
+                   (SELECT count(*) FROM {rd('popularity_topk')}),
+                   count(*),
+                   coalesce(sum(CASE WHEN abs(a.popularity - b.popularity)
+                     > greatest(1, ceil(0.08 * b.popularity))
+                     THEN 1 ELSE 0 END), 0)
+            FROM {rd('popularity_approx')} a
+            JOIN {rd('popularity_topk')} b USING (product_id)""").fetchone()
+        # top-k boundary products may differ under sketch error; the
+        # BODY of the two rankings must agree
+        if nj < 0.8 * min(na, nb):
+            return f"top-k key overlap {nj}/{min(na, nb)} < 80%", None
+        if bad > 0:
+            return f"{bad}/{nj} shared products outside the HLL " \
+                   f"3-sigma bound (8%)", None
+        return None, f"{nj}/{min(na, nb)} keys shared, all within 8%"
+
+    def env_rec_blend():
+        nj, ds, dc, dsim, dp = con.execute(f"""
+            SELECT count(*), coalesce(max(abs(a.score - b.score)), 1),
+                   coalesce(max(abs(a.c_cooc - b.c_cooc)), 1),
+                   coalesce(max(abs(a.c_sim - b.c_sim)), 1),
+                   coalesce(max(abs(a.c_ppr - b.c_ppr)), 1)
+            FROM {rd('rec_blend_full')} a
+            JOIN {rd('rec_blend_fixed')} b USING (product_id)""").fetchone()
+        if nj < 8:
+            return f"top-10 overlap with fixed twin only {nj}", None
+        # cooc/sim legs share no convergence state — must be exact;
+        # score/ppr legs differ only by the converged-vs-8-step tail
+        if dc > 1e-9 or dsim > 1e-9:
+            return f"exact legs drifted: cooc {dc} sim {dsim}", None
+        if ds > 1e-3 or dp > 1e-3:
+            return f"blend drift: score {ds} ppr {dp}", None
+        return None, f"{nj}/10 shared, max score drift {ds:.1e}"
+
+    envelopes = [
+        ("knn_ivf", env_knn_ivf),
+        ("pagerank_global", env_rank("pagerank_global", "pagerank_fixed")),
+        ("ppr_seeded", env_rank("ppr_seeded", "ppr_fixed")),
+        ("popularity_approx", env_popularity),
+        ("rec_blend_full", env_rec_blend),
+    ]
+    for name, check in envelopes:
+        if only and name not in only:
+            continue
+        files = glob.glob(f"{out_dir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output"); n_bad += 1; continue
+        try:
+            err, desc = check()
+        except Exception as e:
+            err, desc = f"envelope error {e}", None
+        if err:
+            print(f"FAIL {name}: {err}"); n_bad += 1
+        else:
+            n = con.execute(
+                f"SELECT count(*) FROM read_parquet({files!r})"
+            ).fetchone()[0]
+            print(f"ok   {name} ({n} rows, envelope: {desc})"); n_ok += 1
+
     print(f"== {n_ok} ok, {n_bad} fail ==")
     sys.exit(1 if n_bad else 0)
 

@@ -156,7 +156,18 @@ object CorpusStream {
     * batch or on an all-empty stream. */
   def runningFit(spark: SparkSession,
       stateDir: String): Option[(Double, Double, Double)] =
-    scala.util.Try(spark.read.parquet(stateDir)).toOption.flatMap { st =>
+    runningFitThrough(spark, stateDir, Long.MaxValue)
+
+  /** [[runningFit]] restricted to state rows with `batch_id ≤ through`
+    * — the replay-safe form [[mixedIngest]] uses: a re-delivered batch
+    * N must solve from EXACTLY the state it solved from the first time,
+    * so rows a later batch may already have landed (crash after N+1's
+    * state write, replay from N) are filtered out by partition
+    * pruning on the batch_id partition column. */
+  def runningFitThrough(spark: SparkSession, stateDir: String,
+      through: Long): Option[(Double, Double, Double)] =
+    scala.util.Try(spark.read.parquet(stateDir)).toOption.flatMap { st0 =>
+      val st = st0.filter(col("batch_id") <= through)
       val total = st.agg(
         sum("n").cast("decimal(38,0)").as("n"),
         sum("s1").cast("decimal(38,0)").as("s1"),
@@ -170,6 +181,69 @@ object CorpusStream {
       if (total.isNullAt(0)) None // state dir exists but holds no rows
       else graft.operators.Distill.solveSums(total)
     }
+
+  /** The CLOSED production loop — fit AND mix composed in one
+    * foreachBatch, with the model hot-swapping as the stream runs (r16
+    * verdict item 3: [[mixedStream]]'s parity is pinned under FIXED
+    * weights; this is the live form the scaladocs narrate). Per
+    * micro-batch k:
+    *
+    *  1. land batch k's nine normal-equation sums in the fit state
+    *     (idempotent per-partition overwrite, as [[fittedStream]]);
+    *  2. re-solve the running fit over state rows `batch_id ≤ k` —
+    *     the INCLUSIVE schedule: batch k mixes under weights_k, the
+    *     fit over batches 1..k. Inclusive is the pinned choice
+    *     because it degenerates exactly to the batch semantics: a
+    *     stream that delivers the whole corpus in one batch produces
+    *     the declared `mix_quality` rows verbatim (weights fitted on
+    *     the full corpus, applied to the full corpus). The `≤ k`
+    *     filter (partition-pruned) keeps replay exact: a re-delivered
+    *     batch re-solves from precisely the state it saw first time,
+    *     even if later batches already landed their rows;
+    *  3. mix batch k's slice under those weights and land it under its
+    *     own `batch_id=k` output partition (idempotent overwrite — the
+    *     [[ingest]] sink contract).
+    *
+    * Weights therefore CHANGE across the stream as evidence
+    * accumulates — the hot-swap is the loop body, not an operator
+    * restart. StreamingSpec pins exact row parity against the
+    * batch-side replay of the same schedule over ≥3 micro-batches, and
+    * the one-batch degenerate case against the declared query.
+    *
+    * Scale posture: per batch, one map-side-combined 1-row reduction,
+    * one 9-number solve on the driver (bounded metadata), and the
+    * stateless scan→broadcast-join→explode mix — no state store, no
+    * watermark; the fit state grows one row per batch. */
+  def mixedIngest(docs: DataFrame, outDir: String, checkpointDir: String,
+      stateDir: String, rates: Map[String, Double],
+      qLow: Double = Corpus.DefaultQLow,
+      qHigh: Double = Corpus.DefaultQHigh): StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val featured = graft.operators.Distill.featuredSlice(batch).cache()
+        graft.operators.Distill.sumsOf(featured)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(stateDir)
+        // (0,0,0) on an unsolvable fit mirrors the batch mixQuality
+        // convention: q_pred = 0 < qLow ⇒ every row tiers to 0 and
+        // drops, exactly what the batch query emits on that state
+        val w = runningFitThrough(spark, stateDir, batchId)
+          .getOrElse((0.0, 0.0, 0.0))
+        Corpus.mixQualityOf(spark, featured, w, rates, qLow, qHigh)
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(outDir)
+        featured.unpersist()
+        ()
+      }
+      .start()
 
   /** [[prepareSlice]] plus the round-5 gates — the streaming twin of
     * [[Corpus.corpusPrepareFull]] minus packing: repetition gate over

@@ -1154,6 +1154,99 @@ class StreamingSpec extends SparkSpec {
     assert(CorpusStream.runningFit(spark, state) == batch)
   }
 
+  test("composed fit→mix stream hot-swaps weights per batch and matches " +
+      "the batch replay of the same schedule") {
+    import graft.streaming.CorpusStream
+    import graft.operators.{Corpus, Distill}
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-mixingest")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val chunks = Seq(0, 1, 2).map { i =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === i).cache()
+    }
+    // stage each chunk as one parquet file; copy-then-drain one at a
+    // time so batch k IS chunk k (the schedule the parity replays)
+    def stage(i: Int): Unit = {
+      val staging = s"$base/staging-$i"
+      chunks(i).coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .filter(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(part.toPath,
+        java.nio.file.Paths.get(s"$watched/chunk$i.parquet"))
+    }
+    stage(0)
+    val src = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(watched)
+    val q = CorpusStream.mixedIngest(src, out, s"$base/ckpt", state,
+      Corpus.defaultMixRates)
+    try {
+      q.processAllAvailable()
+      stage(1); q.processAllAvailable()
+      stage(2); q.processAllAvailable()
+    } finally q.stop()
+    // batch-side replay of the INCLUSIVE schedule mixedIngest pins:
+    // batch k mixes under the fit over chunks 0..k (integer sums ⇒
+    // the accumulated solve equals the union solve exactly)
+    val wk = (0 to 2).map { k =>
+      val un = chunks.take(k + 1).reduce(_ unionByName _)
+      Distill.solveSums(
+        Distill.sumsOf(Distill.featuredSlice(un)).collect()(0))
+        .getOrElse((0.0, 0.0, 0.0))
+    }
+    // the hot-swap is REAL on this data: the weight triple moves as
+    // evidence accumulates (if it ever stops moving here, the fixture
+    // no longer exercises the swap — fail loudly, don't vacuously pass)
+    assert(wk.distinct.size > 1, s"weight schedule never moved: $wk")
+    val got = spark.read.parquet(out)
+      .select("batch_id", "doc_id", "source", "q_pred", "tier", "copy_idx")
+      .as[(Long, Long, String, Double, Long, Long)].collect().toSet
+    val want = (0 to 2).flatMap { k =>
+      Corpus.mixQualityOf(spark, Distill.featuredSlice(chunks(k)), wk(k),
+        Corpus.defaultMixRates)
+        .withColumn("batch_id", lit(k.toLong))
+        .select("batch_id", "doc_id", "source", "q_pred", "tier",
+          "copy_idx")
+        .as[(Long, Long, String, Double, Long, Long)].collect()
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+    chunks.foreach(_.unpersist())
+  }
+
+  test("composed fit→mix stream degenerates to the declared mix_quality " +
+      "on a one-batch stream") {
+    import graft.streaming.CorpusStream
+    import graft.operators.Corpus
+    val dir = "/root/testdata/sf0.001"
+    val base = java.nio.file.Files.createTempDirectory("graft-mixingest1")
+    val (watched, out, state) = (s"$base/in", s"$base/out", s"$base/state")
+    java.nio.file.Files.createDirectory(java.nio.file.Paths.get(watched))
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val staging = s"$base/staging"
+    docs.coalesce(1).write.mode("overwrite").parquet(staging)
+    val part = new java.io.File(staging).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(s"$watched/all.parquet"))
+    val q = CorpusStream.mixedIngest(
+      spark.readStream.schema(docs.schema).parquet(watched),
+      out, s"$base/ckpt", state, Corpus.defaultMixRates)
+    try q.processAllAvailable() finally q.stop()
+    // whole corpus in one batch ⇒ the inclusive schedule's weights ARE
+    // the full-corpus fit ⇒ rows equal the declared query's verbatim
+    val got = spark.read.parquet(out)
+      .select("doc_id", "source", "q_pred", "tier", "copy_idx")
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    val want = Corpus.mixQuality(spark, dir, Corpus.defaultMixRates)
+      .as[(Long, String, Double, Long, Long)].collect().toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("compaction no-ops on a store with no batch partitions") {
     import graft.streaming.CorpusStream
     val base = java.nio.file.Files.createTempDirectory("graft-compact-empty")
