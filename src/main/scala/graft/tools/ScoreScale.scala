@@ -30,13 +30,25 @@ import graft.streaming.CorpusStream
   * config, and in-row copy explosion are all row-local, so
   * stateOperators must stay empty and latency flat).
   *
-  * Usage: runMain graft.tools.ScoreScale <sfDir> [chunks=20] [score|mix] */
+  * Round 17: an `ingest` mode replays [[CorpusStream.ingest]] — the
+  * full preparation pipeline (quality gate, per-slice near-dup
+  * removal, split assignment) through the foreachBatch parquet sink
+  * (batch_id/split-partitioned, idempotent overwrite) — and a
+  * `mixingest` mode replays [[CorpusStream.mixedIngest]], the
+  * composed fit→mix loop with per-batch weight hot-swap, both
+  * reporting landed-row counts alongside the progress metrics: the
+  * fifth-decade cell for the one streaming surface (the parquet sink
+  * loop) that only had sf10 numbers.
+  *
+  * Usage: runMain graft.tools.ScoreScale <sfDir> [chunks=20]
+  *          [score|mix|ingest|mixingest] */
 object ScoreScale {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val chunks = args.lift(1).map(_.toInt).getOrElse(20)
     val mode = args.lift(2).getOrElse("score")
-    require(mode == "score" || mode == "mix", s"unknown mode $mode")
+    require(Set("score", "mix", "ingest", "mixingest")(mode),
+      s"unknown mode $mode")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
@@ -82,15 +94,25 @@ object ScoreScale {
       .option("maxFilesPerTrigger", "1")
       .option("pathGlobFilter", "chunk*.parquet")
       .parquet(staging)
+    val outDir = Files.createTempDirectory("graft-scorescale-out").toString
+    val stateDir = s"$outDir-state"
     val t0 = System.nanoTime()
-    val streamed =
-      if (mode == "mix")
-        CorpusStream.mixedStream(src, w,
+    val q = mode match {
+      case "ingest" =>
+        CorpusStream.ingest(src, outDir, ck)
+      case "mixingest" =>
+        CorpusStream.mixedIngest(src, outDir, ck, stateDir,
           graft.operators.Corpus.defaultMixRates)
-      else CorpusStream.scoredStream(src, w)
-    val q = streamed.writeStream
-      .format("noop").option("checkpointLocation", ck)
-      .outputMode("append").start()
+      case "mix" =>
+        CorpusStream.mixedStream(src, w,
+            graft.operators.Corpus.defaultMixRates)
+          .writeStream.format("noop").option("checkpointLocation", ck)
+          .outputMode("append").start()
+      case _ =>
+        CorpusStream.scoredStream(src, w)
+          .writeStream.format("noop").option("checkpointLocation", ck)
+          .outputMode("append").start()
+    }
     q.processAllAvailable()
     val wall = (System.nanoTime() - t0) / 1e9
     val progs = q.recentProgress.filter(_.numInputRows > 0).toSeq
@@ -108,6 +130,13 @@ object ScoreScale {
     println(f"SCORESCALE result docs=$nTotal batches=${progs.length} " +
       f"wall=$wall%.1f s rate=${nTotal / wall}%.0f docs/s " +
       f"stateRowsTotal=$stateRows stateBytesTotal=$stateBytes")
+    if (mode == "ingest" || mode == "mixingest") {
+      val landed = spark.read.parquet(outDir).count()
+      val sinkGb = org.apache.commons.io.FileUtils
+        .sizeOfDirectory(new java.io.File(outDir)) / 1e9
+      println(f"SCORESCALE sink rows=$landed size=$sinkGb%.2f GB " +
+        s"dir=$outDir")
+    }
     spark.stop()
   }
 }
