@@ -24,6 +24,13 @@ def main():
     # never a surprise cwd): 40 GB-scale temp files must not land in
     # whatever directory the caller happened to invoke us from.
     con.execute(f"SET temp_directory='{os.path.join(out_dir, '.tmp')}'")
+    # GRAFT_ORACLE_THREADS: cap DuckDB's parallelism when a scale check
+    # shares the box with a live Spark run (the sf30 iterative-tier
+    # compares) — all-cores DuckDB next to a 32-thread local[*] JVM
+    # doubles BOTH walls.
+    if os.environ.get("GRAFT_ORACLE_THREADS"):
+        con.execute(
+            f"SET threads={int(os.environ['GRAFT_ORACLE_THREADS'])}")
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if not os.path.exists(p):

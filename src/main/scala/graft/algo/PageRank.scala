@@ -5,6 +5,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.model.Tables
 import graft.operators.Relational
@@ -69,6 +70,17 @@ object PageRank {
     *                 transition weights (out-weights sum to 1 per src)
     * @return (id: Long, rank: Double), Σrank ≈ 1
     */
+  /** Per-source adjacency as parallel primitive arrays. NOT
+    * `Array[(Long, Double)]`: an array of tuples is an object per edge
+    * (~56 B of header/box/pointer for 16 B of payload), which at the
+    * sf30 co-purchase graph (720 M edges) is ~40 GB of heap for ~11 GB
+    * of data — the round-17 run where `cache()` partitions
+    * (782 MiB each, deserialized) failed storage admission and the
+    * adjacency was silently REBUILT from the groupByKey shuffle every
+    * iteration. Primitive `Array[Long]`/`Array[Double]` pairs hold the
+    * same edges at ~16 B each, in memory and on the wire. */
+  private type Adj = (Array[Long], Array[Double])
+
   /** Session-level memo of the grouped adjacency, keyed by the edge
     * DataFrame's semantic plan hash: pagerank_global, ppr_seeded and
     * rec_blend_full all iterate the SAME product graph in one
@@ -77,7 +89,7 @@ object PageRank {
     * SparkContext. */
   private val adjCache =
     scala.collection.concurrent.TrieMap
-      .empty[(String, Int), (RDD[(Long, Array[(Long, Double)])], HashPartitioner, Long)]
+      .empty[(String, Int), (RDD[(Long, Adj)], HashPartitioner, Long)]
 
   /** Drop this application's memoized grouped adjacencies so the next
     * PageRank call pays the DF→RDD + groupByKey first-touch again — the
@@ -91,7 +103,7 @@ object PageRank {
   }
 
   private def groupedAdjacency(spark: SparkSession, edges: DataFrame,
-      n: Long): (RDD[(Long, Array[(Long, Double)])], HashPartitioner, Long) = {
+      n: Long): (RDD[(Long, Adj)], HashPartitioner, Long) = {
     import spark.implicits._
     val key = (spark.sparkContext.applicationId,
       edges.queryExecution.analyzed.semanticHash())
@@ -103,18 +115,40 @@ object PageRank {
             col("weight").cast("double"))
           .as[(Long, Long, Double)].rdd
           .map { case (s, d, w) => (s, (d, w)) }
-          .cache()
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         val m = eRaw.count()
         // Partition the iteration by graph size, not cluster width:
         // vertices dominate task sizing once edges are grouped to
         // adjacency lists; edges matter via the flatMap emission volume.
         // Tiny graphs on defaultParallelism partitions are pure
-        // scheduling overhead across 50 iterations.
-        val numParts = math.max(1, math.min(
-          spark.sparkContext.defaultParallelism * 4,
+        // scheduling overhead across 50 iterations. NO cluster-width
+        // cap (the pre-r17 `defaultParallelism * 4` min): the cap
+        // contradicted the comment above — at the sf30 graph (720 M
+        // edges) it clamped 360 data-sized partitions to 128, and the
+        // per-iteration reduceByKey's map-side combine then held a
+        // near-|V|-entry AppendOnlyMap in EVERY concurrent task
+        // (~5.6 M edges/task reach ~all 6 M dst keys), 32 of which
+        // doubling their tables together heap-OOM'd a 64 g driver.
+        // Edge-sized tasks (~2 M edges) keep the combine map bounded
+        // by the keys one task's edges actually touch; the scheduling
+        // cost of more tasks per iteration is noise next to it.
+        val numParts = math.max(1, math.min(4096,
           math.ceil(math.max(n / 100000.0, m / 2000000.0)).toInt))
         val p = new HashPartitioner(numParts)
-        val grouped = eRaw.groupByKey(p).mapValues(_.toArray).cache()
+        // MEMORY_AND_DISK_SER, not cache(): the adjacency is the one
+        // structure the loop touches every iteration, so a partition
+        // that fails memory admission must land on local disk — a miss
+        // here silently re-runs the groupByKey SHUFFLE once per
+        // iteration (observed at sf30 before this was explicit). The
+        // serialized form is also the compact one (primitive arrays,
+        // see [[Adj]]), so at 100 TB the working set is edge bytes,
+        // not JVM object graphs.
+        val grouped = eRaw.groupByKey(p)
+          .mapValues { it =>
+            val a = it.toArray
+            (a.map(_._1), a.map(_._2))
+          }
+          .persist(StorageLevel.MEMORY_AND_DISK_SER)
         grouped.count()
         eRaw.unpersist(blocking = false)
         adjCache.put(key, (grouped, p, m))
@@ -133,17 +167,17 @@ object PageRank {
     * collect), so the code path is cluster-safe; it is simply the
     * single-partition degenerate case made explicit. */
   private def runLocal(spark: SparkSession, vRaw: RDD[(Long, Double)],
-      eBySrc: RDD[(Long, Array[(Long, Double)])], persTotal: Double,
+      eBySrc: RDD[(Long, Adj)], persTotal: Double,
       params: Params): DataFrame = {
     import spark.implicits._
-    val vTag: RDD[(Long, Either[Double, Array[(Long, Double)]])] =
+    val vTag: RDD[(Long, Either[Double, Adj])] =
       vRaw.mapValues(Left(_))
-    val eTag: RDD[(Long, Either[Double, Array[(Long, Double)]])] =
+    val eTag: RDD[(Long, Either[Double, Adj])] =
       eBySrc.mapValues(Right(_))
     (vTag union eTag).coalesce(1).mapPartitions { it =>
       val persMap = scala.collection.mutable.LongMap.empty[Double]
       val adjRaw =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, Array[(Long, Double)])]
+        scala.collection.mutable.ArrayBuffer.empty[(Long, Adj)]
       it.foreach {
         case (id, Left(p))  => persMap(id) = p
         case (id, Right(a)) => adjRaw += ((id, a))
@@ -166,12 +200,18 @@ object PageRank {
       val isSink = Array.fill(nV)(true)
       val outIdx = new Array[Array[Int]](nV)
       val outW = new Array[Array[Double]](nV)
-      adjRaw.foreach { case (src, a) =>
+      adjRaw.foreach { case (src, (dsts, ws)) =>
         idx.get(src).foreach { si =>
           isSink(si) = false
-          val kept = a.filter(e => idx.contains(e._1))
-          outIdx(si) = kept.map(e => idx(e._1))
-          outW(si) = kept.map(_._2)
+          val ki = Array.newBuilder[Int]
+          val kw = Array.newBuilder[Double]
+          var k = 0
+          while (k < dsts.length) {
+            if (idx.contains(dsts(k))) { ki += idx(dsts(k)); kw += ws(k) }
+            k += 1
+          }
+          outIdx(si) = ki.result()
+          outW(si) = kw.result()
         }
       }
       val d = params.damping
@@ -249,8 +289,8 @@ object PageRank {
       val iterT0 = System.nanoTime()
       val sm = sinkMass
       val contribs = eBySrc.join(state, part)
-        .flatMap { case (_, (adj, (r, _, _))) =>
-          adj.iterator.map { case (dst, w) => (dst, w * r) } }
+        .flatMap { case (_, ((dsts, ws), (r, _, _))) =>
+          Iterator.tabulate(dsts.length)(k => (dsts(k), ws(k) * r)) }
         .reduceByKey(part, _ + _) // the one shuffle per iteration
       val stepped = state.leftOuterJoin(contribs, part)
         .mapValues { case ((oldR, p, s), c) =>
