@@ -86,11 +86,18 @@ object Dedup {
     // DESCENDING sequence (not empty like DuckDB's range), so an
     // unguarded expression would fabricate shingles for docs shorter
     // than the window; explode drops the guarded empty array (no row —
-    // both engines agree a short doc has no shingles)
-    docs.select(col("doc_id"), explode(array_distinct(expr(
-      s"""CASE WHEN size(split(text, ' ')) >= $n
-         |  THEN transform(sequence(0, size(split(text, ' ')) - $n),
-         |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+    // both engines agree a short doc has no shingles).
+    // Tokenize ONCE into `t` in a separate projection (the textCleanOf
+    // pattern): higher-order-function lambdas are interpreted, so a
+    // `split(text)` INSIDE the transform lambda re-splits the whole
+    // document per element — O(len²) characters per doc. CollapseProject
+    // keeps the projections apart (the alias is non-cheap and referenced
+    // more than once), so `t` is computed once per row.
+    docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), explode(array_distinct(expr(
+      s"""CASE WHEN size(t) >= $n
+         |  THEN transform(sequence(0, size(t) - $n),
+         |         i -> concat_ws(' ', slice(t, i + 1, $n)))
          |  ELSE array()
          |END""".stripMargin))).as("sh"))
 
@@ -123,10 +130,13 @@ object Dedup {
     import org.apache.spark.sql.expressions.Window
     // (doc_id, pos, h): positioned k-gram hashes — NOT array_distinct
     // (winnowing is positional; repeats are distinct grams)
-    val grams = docs.select(col("doc_id"), posexplode(expr(
-        s"""CASE WHEN size(split(text, ' ')) >= $k
-           |  THEN transform(sequence(0, size(split(text, ' ')) - $k),
-           |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $k)))
+    // pre-split `t` once per row — same O(len²)-avoidance note as
+    // [[shinglesOf]]
+    val grams = docs.select(col("doc_id"), split(col("text"), " ").as("t"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""CASE WHEN size(t) >= $k
+           |  THEN transform(sequence(0, size(t) - $k),
+           |         i -> concat_ws(' ', slice(t, i + 1, $k)))
            |  ELSE array()
            |END""".stripMargin)))
       // posexplode emits an Int position; the contract (and the

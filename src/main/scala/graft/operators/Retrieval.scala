@@ -46,12 +46,15 @@ object Retrieval {
     * [[bigramNll]] — one definition so the guard, sequence bounds and
     * 1-based offsets can never drift apart between the two consumers.
     * The `size >= 2` guard is load-bearing: Spark's
-    * `sequence(0, negative)` DESCENDS rather than returning empty. */
-  private def bigramsOf(textCol: String): Column = expr(
-    s"""CASE WHEN size(split($textCol, ' ')) >= 2
-       |  THEN transform(sequence(0, size(split($textCol, ' ')) - 2),
-       |    i -> struct(element_at(split($textCol, ' '), i + 1) AS w1,
-       |                element_at(split($textCol, ' '), i + 2) AS w2))
+    * `sequence(0, negative)` DESCENDS rather than returning empty.
+    * Takes a PRE-SPLIT token-array column (see [[Dedup.shinglesOf]]'s
+    * O(len²) note: a `split` inside the interpreted transform lambda
+    * would re-split the document once per element). */
+  private def bigramsOf(tCol: String): Column = expr(
+    s"""CASE WHEN size($tCol) >= 2
+       |  THEN transform(sequence(0, size($tCol) - 2),
+       |    i -> struct(element_at($tCol, i + 1) AS w1,
+       |                element_at($tCol, i + 2) AS w2))
        |  ELSE array()
        |END""".stripMargin)
 
@@ -280,7 +283,9 @@ object Retrieval {
     tf.agg(count_distinct(col("term")).cast("long").as("v_size"))
 
   private def bigramNllImpl(docs: DataFrame, v: DataFrame): DataFrame = {
-    val dbg = docs.select(col("doc_id"), explode(bigramsOf("text")).as("bg"))
+    val dbg = docs
+      .select(col("doc_id"), toks(col("text")).as("t"))
+      .select(col("doc_id"), explode(bigramsOf("t")).as("bg"))
       .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
       .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("tf"))
     val bcnt = dbg.groupBy("w1", "w2").agg(sum("tf").as("c_ab"))
@@ -358,7 +363,8 @@ object Retrieval {
 
   private[graft] def pmiBigramsOf(docs: DataFrame, minCount: Long = 5L,
       k: Int = 100): DataFrame = {
-    val big = docs.select(explode(bigramsOf("text")).as("bg"))
+    val big = docs.select(toks(col("text")).as("t"))
+      .select(explode(bigramsOf("t")).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val bcnt = big.groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= minCount)

@@ -145,11 +145,15 @@ object TextOps {
     * stream; top-k plans as TakeOrderedAndProject. */
   def ngramCounts(spark: SparkSession, dir: String, n: Int = 2,
       k: Int = 100): DataFrame = {
+    // pre-split `t` once per row (the textCleanOf pattern): a split
+    // inside the interpreted transform lambda re-splits the document
+    // per element — O(len²) chars per doc (see Dedup.shinglesOf)
     val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(split(text, ' ')) >= $n
-           |  THEN transform(sequence(0, size(split(text, ' ')) - $n),
-           |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+        s"""CASE WHEN size(t) >= $n
+           |  THEN transform(sequence(0, size(t) - $n),
+           |         i -> concat_ws(' ', slice(t, i + 1, $n)))
            |  ELSE array()
            |END""".stripMargin)).as("gram"))
     // two-level aggregation instead of count+countDistinct in one agg:
@@ -316,11 +320,14 @@ object TextOps {
   /** [[textRepetition]] over any (doc_id, text, ...) relation — the
     * form the streaming ingestion runs per micro-batch. */
   private[graft] def textRepetitionOf(docs: DataFrame): DataFrame = {
+    // pre-split `t` once per row — same O(len²)-avoidance note as
+    // ngramCounts/Dedup.shinglesOf
     val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        """CASE WHEN size(split(text, ' ')) >= 2
-          |  THEN transform(sequence(0, size(split(text, ' ')) - 2),
-          |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, 2)))
+        """CASE WHEN size(t) >= 2
+          |  THEN transform(sequence(0, size(t) - 2),
+          |         i -> concat_ws(' ', slice(t, i + 1, 2)))
           |  ELSE array()
           |END""".stripMargin)).as("gram"))
     grams.groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
@@ -357,11 +364,14 @@ object TextOps {
 
   /** [[spanDupRate]] over any (doc_id, text, ...) relation. */
   private[graft] def spanDupRateOf(docs: DataFrame, n: Int = 8): DataFrame = {
+    // pre-split `t` once per row — same O(len²)-avoidance note as
+    // ngramCounts/Dedup.shinglesOf
     val spans = docs
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
       .select(col("doc_id"), explode(expr(
-        s"""CASE WHEN size(split(text, ' ')) >= $n
-           |  THEN transform(sequence(0, size(split(text, ' ')) - $n),
-           |         i -> concat_ws(' ', slice(split(text, ' '), i + 1, $n)))
+        s"""CASE WHEN size(t) >= $n
+           |  THEN transform(sequence(0, size(t) - $n),
+           |         i -> concat_ws(' ', slice(t, i + 1, $n)))
            |  ELSE array()
            |END""".stripMargin)).as("s"))
     val perDoc = spans.groupBy("doc_id", "s").agg(count(lit(1)).as("c"))
