@@ -111,16 +111,20 @@ object Dedup {
     * positional, unlike MinHash's set sketch, so matches localize.
     *
     * Plan shape: positions come from one `posexplode`; the per-window
-    * minimum is a doc-partitioned bounded window frame (CURRENT ROW …
-    * w−1 FOLLOWING — never unpartitioned, never unbounded); the
-    * rightmost-minimizer selection is a w-way `sequence` fan-out
-    * equi-join back to the gram relation (the event_window_join
-    * pattern: the range condition becomes an equi-key, so no
-    * nested-loop join exists at any scale) + one max aggregation.
-    * Everything is keyed by doc_id — embarrassingly parallel across
-    * documents. Docs with fewer than w complete windows emit nothing
-    * (no complete window exists; byte-identical short docs belong to
-    * `dedup_exact`). */
+    * rightmost minimizer is ONE doc-partitioned bounded window frame
+    * (CURRENT ROW … w−1 FOLLOWING — never unpartitioned, never
+    * unbounded) taking the lexicographic MIN of struct(h, −pos): the
+    * struct ordering picks the window's minimum hash first and, among
+    * equal hashes, the smallest −pos = the RIGHTMOST position — the
+    * winnowing tie rule — so no fan-out join back to the gram relation
+    * is needed (round 17: the previous shape exploded each window start
+    * w ways and equi-joined the w·|grams| candidates back to grams +
+    * one max aggregation — two extra shuffles and a w× intermediate
+    * for a value the window operator already sees; plans/r17/
+    * winnow_fingerprints_*). Everything is keyed by doc_id —
+    * embarrassingly parallel across documents. Docs with fewer than w
+    * complete windows emit nothing (no complete window exists;
+    * byte-identical short docs belong to `dedup_exact`). */
   def winnowFingerprints(spark: SparkSession, dir: String, k: Int = 3,
       w: Int = 4): DataFrame =
     winnowOf(Tables.documents(spark, dir), k, w)
@@ -146,21 +150,16 @@ object Dedup {
     val frame = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(Window.currentRow, w - 1)
     val perDoc = Window.partitionBy("doc_id")
-    val starts = grams
-      .withColumn("mn", min("h").over(frame))
+    grams
+      // min of struct(h, -pos) over the w-row frame = (window-min hash,
+      // negated RIGHTMOST position achieving it): struct comparison is
+      // lexicographic, so ties on h resolve to the smallest -pos
+      .withColumn("mnp",
+        min(struct(col("h"), (-col("pos")).as("negpos"))).over(frame))
       .withColumn("np", count(lit(1)).over(perDoc))
       .filter(col("pos") <= col("np") - w) // complete windows only
-      .select(col("doc_id"), col("pos").as("s"), col("mn"))
-    val cand = starts
-      .select(col("doc_id"), col("s"), col("mn"),
-        explode(expr(s"sequence(0, ${w - 1})")).as("off"))
-      .select(col("doc_id"), col("s"), col("mn"),
-        (col("s") + col("off")).as("pos"))
-    cand.join(grams, Seq("doc_id", "pos"))
-      .filter(col("h") === col("mn"))
-      .groupBy("doc_id", "s", "mn")
-      .agg(max("pos").as("pos")) // rightmost minimizer of each window
-      .select(col("doc_id"), col("pos"), col("mn").as("fingerprint"))
+      .select(col("doc_id"), (-col("mnp.negpos")).as("pos"),
+        col("mnp.h").as("fingerprint"))
       .distinct() // adjacent windows often elect the same (pos, hash)
       .orderBy("doc_id", "pos")
   }

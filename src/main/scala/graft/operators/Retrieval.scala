@@ -292,8 +292,17 @@ object Retrieval {
     val ctx = bcnt.groupBy("w1").agg(sum("c_ab").as("c_ctx"))
     val nll2 = -log((col("c_ab") + lit(1.0)) /
       (col("c_ctx") + col("v_size")))
-    dbg.join(bcnt, Seq("w1", "w2"))
-      .join(ctx, Seq("w1"))
+    // assemble the MODEL first (bigram counts ⋈ context counts — both
+    // bounded by distinct-bigram cardinality), then attach it to the
+    // per-doc stream with ONE join: the doc-keyed frame is the one that
+    // grows with the corpus, and joining it twice (on (w1,w2), then
+    // again on w1) shuffled it once more than necessary; with the model
+    // pre-joined, AQE can also broadcast it whole when it measures
+    // small, leaving the doc stream entirely unshuffled between its two
+    // aggregations (guide §3.1/§2.4). Value-identical: the same
+    // (c_ab, c_ctx) pair attaches to each (w1, w2).
+    val model = bcnt.join(ctx, Seq("w1"))
+    dbg.join(model, Seq("w1", "w2"))
       .crossJoin(broadcast(v))
       .groupBy("doc_id")
       .agg(sum("tf").cast("long").as("n_bigrams"),
