@@ -520,11 +520,21 @@ object Dedup {
     val extra = SimhashBits % nBands // first `extra` bands 1 bit wider
     val widths = Seq.tabulate(nBands)(b => if (b < extra) base + 1 else base)
     val offsets = widths.scanLeft(0)(_ + _)
-    val allBands = (0 until nBands).map { b =>
-      sig.select(col("doc_id"), col("simhash"), lit(b).as("band"),
+    // ONE posexplode emits every band row per fingerprint (pos = band
+    // index, matching the lit(b) of the former nBands-way unionAll of
+    // per-band selects — same rows, same types). The union form
+    // instantiated each branch as its own map stage PER REFERENCE (hot
+    // count + both self-join sides = 8 stages at nBands = 4, ~20 AQE
+    // stages for the whole query), and stage-profile showed the query
+    // wall dominated by that stage/codegen overhead, not data
+    // (plans/r17/dedup_simhash_pairs_*). The [[minhashBandsOf]] shape —
+    // one Generate over one scan — cuts the map work to a single stage
+    // per reference at any scale (guide §2.4).
+    val allBands = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until nBands).map { b =>
         shiftright(col("simhash"), offsets(b))
-          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bv"))
-    }.reduce(_ unionAll _)
+          .bitwiseAND(lit((1L << widths(b)) - 1))
+      }: _*)).as(Seq("band", "bv")))
     // no per-call cache: every recompute of `allBands` (hot count + both
     // self-join sides) is a narrow shift-and-mask over the BuilderCache'd
     // fingerprint table — cheaper than pinning a 4× copy of it.
