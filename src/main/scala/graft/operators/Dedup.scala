@@ -246,6 +246,19 @@ object Dedup {
     hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
   }
 
+  /** [[minhashOfHashed]] plus the per-doc element count `sz` in the SAME
+    * aggregation — for consumers that need exact set sizes alongside the
+    * sketch ([[graft.operators.Recommend.jaccardLshWith]]'s
+    * inclusion–exclusion scoring): the count rides the one signature
+    * shuffle instead of a second full groupBy pass over the element
+    * relation (round 17 — the sizes aggregation was a separate
+    * incidence-sized shuffle on the same key). */
+  private[graft] def minhashOfHashedCounted(hashed: DataFrame): DataFrame = {
+    val aggs = (0 until MinhashK).map(i => min(perm(i, col("h"))).as(s"m$i")) :+
+      count(lit(1)).as("sz")
+    hashed.groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Hot-bucket guard shared by the LSH-style candidate generators: drop
     * every row whose bucket key holds more than `maxBucket` members. The
     * per-bucket counts aggregate to a handful of rows (only degenerate

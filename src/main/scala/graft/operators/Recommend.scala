@@ -211,8 +211,14 @@ object Recommend {
       candidates: (DataFrame, Int) => DataFrame): DataFrame = {
     val hashed = b.select(col("product_id").as("doc_id"),
       graft.operators.TextOps.h32(col("customer_id").cast("string")).as("h"))
-    val cand = candidates(Dedup.minhashOfHashed(hashed), maxBucket)
-    val sizes = b.groupBy("product_id").agg(count(lit(1)).as("sz"))
+    // sizes ride the signature aggregation (one groupBy(product) shuffle
+    // of the incidence instead of two on the same key — round 17, guide
+    // §2.4): `hashed` has exactly one row per incidence row, so the
+    // count(1) alongside the 16 mins IS |customers(p)|, the same value
+    // the former b.groupBy(product).count() pass produced.
+    val sig = Dedup.minhashOfHashedCounted(hashed)
+    val cand = candidates(sig, maxBucket)
+    val sizes = sig.select(col("doc_id").as("product_id"), col("sz"))
     val common = cand
       .join(b.as("x"), col("p1") === col("x.product_id"))
       .select(col("p1"), col("p2"), col("x.customer_id").as("cid"))
