@@ -3,7 +3,13 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dump formatted physical plans for the declared queries — plan-review
-  * aid (SURVEY §4.2 "verify via explain()"). Usage:
+  * aid (SURVEY §4.2 "verify via explain()"). With
+  * SPARK_GRAFT_EXPLAIN_UNCACHED=1 the queries build under
+  * [[graft.model.BuilderCache.uncached]], so memoized builders and
+  * eager checkpoints are bypassed and the FULL plan (including shapes
+  * normally hidden behind InMemoryRelation / LogicalRDD leaves) is
+  * printed — the same visibility mode PlanSpec's detector sweeps use.
+  * Usage:
   *   runMain graft.tools.Explain <sfDir> [query...]
   */
 object Explain {
@@ -18,12 +24,15 @@ object Explain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    graft.SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)
-      .foreach { case (name, fn) =>
-        println(s"\n===== $name =====")
-        println(fn(spark, dir).queryExecution.explainString(
-          org.apache.spark.sql.execution.FormattedMode))
-      }
+    val uncached = sys.env.get("SPARK_GRAFT_EXPLAIN_UNCACHED").contains("1")
+    def show(): Unit =
+      graft.SparkEntry.queries.filter(q => names(q._1)).toSeq.sortBy(_._1)
+        .foreach { case (name, fn) =>
+          println(s"\n===== $name =====")
+          println(fn(spark, dir).queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+        }
+    if (uncached) graft.model.BuilderCache.uncached(show()) else show()
     spark.stop()
   }
 }
